@@ -1,0 +1,14 @@
+"""cda_client_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of Guidewire's cda-client (CDC parquet ETL),
+re-expressed Spark-first, plus large-scale training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal columns).
+
+Reference behavior is documented in SURVEY.md; citations in docstrings point
+into /root/reference (e.g. TableReader.scala:425-433) for parity checking.
+"""
+
+from cda_client_spark.session import get_spark, session_builder
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "session_builder", "__version__"]

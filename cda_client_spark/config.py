@@ -1,0 +1,210 @@
+"""YAML config model + validation (reference parity: ClientConfigReader.scala:77-357, X6).
+
+The reference deserializes YAML into a case-class tree via Jackson and
+validates required fields/formats with explicit error messages. We mirror the
+shape with dataclasses + a validate pass; no pydantic (not in the container).
+
+Config shape (sample.config.yaml in the reference):
+
+.. code-block:: yaml
+
+    sourceLocation:
+      path: /data/cdc-root          # dir containing manifest.json + <table>/<fp>/<ts>/
+    outputSettings:
+      tablesToInclude: "t1,t2"      # optional comma list
+      saveIntoFileType: parquet     # parquet|csv|none
+      exportTarget: file            # file|jdbc|jdbc_v2
+      fileSettings:
+        path: /out
+        saveAsSingleFile: false
+        includeColumnNames: true
+      jdbcSettings:
+        url: jdbc:postgresql://...
+        schema: public
+        saveMode: raw               # raw|merged|rawandmerged
+        applyLatestUpdatesOnly: true
+        batchSize: 5000
+        largeTextFields: "note.body"
+    savepointsLocation: /out/savepoints
+    performanceTuning:
+      numberOfJobsInParallelMaxCount: 8
+      sparkMaster: local
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+try:
+    import yaml  # type: ignore
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover - container may lack pyyaml
+    yaml = None
+    _HAVE_YAML = False
+
+VALID_EXPORT_TARGETS = {"file", "jdbc", "jdbc_v2"}
+VALID_FILE_TYPES = {"parquet", "csv", "none"}
+VALID_SAVE_MODES = {"raw", "merged", "rawandmerged"}
+
+
+class ConfigError(ValueError):
+    """Raised on invalid configuration (parity: InvalidConfigParameterException)."""
+
+
+@dataclass
+class FileSettings:
+    path: str = ""
+    save_as_single_file: bool = False
+    include_column_names: bool = True
+
+
+@dataclass
+class JdbcSettings:
+    url: str = ""
+    schema: str = ""
+    user: str = ""
+    password: str = ""
+    save_mode: str = "raw"
+    apply_latest_updates_only: bool = True
+    batch_size: int = 5000
+    large_text_fields: tuple[str, ...] = ()
+
+
+@dataclass
+class OutputSettings:
+    export_target: str = "file"
+    save_into_file_type: str = "parquet"
+    tables_to_include: tuple[str, ...] = ()
+    file_settings: FileSettings = field(default_factory=FileSettings)
+    jdbc_settings: JdbcSettings = field(default_factory=JdbcSettings)
+
+
+@dataclass
+class PerformanceTuning:
+    number_of_jobs_in_parallel: int = 0  # 0 => cpu count (ClientConfigReader.scala:213-229)
+    spark_master: str = ""
+
+
+@dataclass
+class ClientConfig:
+    source_path: str = ""
+    savepoints_path: str = ""
+    output: OutputSettings = field(default_factory=OutputSettings)
+    tuning: PerformanceTuning = field(default_factory=PerformanceTuning)
+
+    def validate(self) -> "ClientConfig":
+        if not self.source_path:
+            raise ConfigError("sourceLocation.path is required")
+        if not self.savepoints_path:
+            raise ConfigError("savepointsLocation is required")
+        out = self.output
+        if out.export_target not in VALID_EXPORT_TARGETS:
+            raise ConfigError(
+                f"outputSettings.exportTarget must be one of {sorted(VALID_EXPORT_TARGETS)},"
+                f" got {out.export_target!r}"
+            )
+        if out.export_target == "file":
+            if out.save_into_file_type not in VALID_FILE_TYPES:
+                raise ConfigError(
+                    f"outputSettings.saveIntoFileType must be one of {sorted(VALID_FILE_TYPES)},"
+                    f" got {out.save_into_file_type!r}"
+                )
+            if not out.file_settings.path:
+                raise ConfigError("outputSettings.fileSettings.path is required for file target")
+        else:
+            j = out.jdbc_settings
+            if not j.url:
+                raise ConfigError("outputSettings.jdbcSettings.url is required for jdbc target")
+            if j.save_mode not in VALID_SAVE_MODES:
+                raise ConfigError(
+                    f"jdbcSettings.saveMode must be one of {sorted(VALID_SAVE_MODES)},"
+                    f" got {j.save_mode!r}"
+                )
+            if j.batch_size <= 0:
+                raise ConfigError("jdbcSettings.batchSize must be positive")
+        if self.tuning.number_of_jobs_in_parallel < 0:
+            raise ConfigError("performanceTuning.numberOfJobsInParallelMaxCount must be >= 0")
+        return self
+
+
+def _get(d: dict[str, Any], *path: str, default: Any = None) -> Any:
+    cur: Any = d
+    for p in path:
+        if not isinstance(cur, dict) or p not in cur:
+            return default
+        cur = cur[p]
+    return cur
+
+
+def from_dict(raw: dict[str, Any]) -> ClientConfig:
+    """Build + validate a ClientConfig from a parsed YAML/JSON dict."""
+    ltf = _get(raw, "outputSettings", "jdbcSettings", "largeTextFields", default="") or ""
+    tables = _get(raw, "outputSettings", "tablesToInclude", default="") or ""
+    cfg = ClientConfig(
+        source_path=_get(raw, "sourceLocation", "path", default="") or "",
+        savepoints_path=_get(raw, "savepointsLocation", default="") or "",
+        output=OutputSettings(
+            export_target=_get(raw, "outputSettings", "exportTarget", default="file"),
+            save_into_file_type=_get(
+                raw, "outputSettings", "saveIntoFileType", default="parquet"
+            ),
+            tables_to_include=tuple(t.strip() for t in str(tables).split(",") if t.strip()),
+            file_settings=FileSettings(
+                path=_get(raw, "outputSettings", "fileSettings", "path", default="") or "",
+                save_as_single_file=bool(
+                    _get(raw, "outputSettings", "fileSettings", "saveAsSingleFile", default=False)
+                ),
+                include_column_names=bool(
+                    _get(
+                        raw, "outputSettings", "fileSettings", "includeColumnNames", default=True
+                    )
+                ),
+            ),
+            jdbc_settings=JdbcSettings(
+                url=_get(raw, "outputSettings", "jdbcSettings", "url", default="") or "",
+                schema=_get(raw, "outputSettings", "jdbcSettings", "schema", default="") or "",
+                user=_get(raw, "outputSettings", "jdbcSettings", "user", default="") or "",
+                password=_get(raw, "outputSettings", "jdbcSettings", "password", default="") or "",
+                save_mode=_get(raw, "outputSettings", "jdbcSettings", "saveMode", default="raw"),
+                apply_latest_updates_only=bool(
+                    _get(
+                        raw,
+                        "outputSettings",
+                        "jdbcSettings",
+                        "applyLatestUpdatesOnly",
+                        default=True,
+                    )
+                ),
+                batch_size=int(
+                    _get(raw, "outputSettings", "jdbcSettings", "batchSize", default=5000)
+                ),
+                large_text_fields=tuple(
+                    t.strip() for t in str(ltf).split(",") if t.strip()
+                ),
+            ),
+        ),
+        tuning=PerformanceTuning(
+            number_of_jobs_in_parallel=int(
+                _get(raw, "performanceTuning", "numberOfJobsInParallelMaxCount", default=0)
+            ),
+            spark_master=_get(raw, "performanceTuning", "sparkMaster", default="") or "",
+        ),
+    )
+    return cfg.validate()
+
+
+def load_config(path: str | Path) -> ClientConfig:
+    """Load + validate config from a YAML (or JSON) file."""
+    text = Path(path).read_text()
+    if _HAVE_YAML:
+        raw = yaml.safe_load(text)
+    else:
+        import json
+
+        raw = json.loads(text)
+    if not isinstance(raw, dict):
+        raise ConfigError(f"config root must be a mapping, got {type(raw).__name__}")
+    return from_dict(raw)

@@ -1,0 +1,1 @@
+"""cda_client_spark.metadata"""

@@ -1,0 +1,64 @@
+"""SparkSession factory (reference parity: TableReader.scala:52-79, X5).
+
+The reference builds a SparkConf from YAML config (master local[N]/yarn,
+driver/executor memory, unlimited maxResultSize to survive toLocalIterator).
+We deliberately diverge on the scale-hostile defaults:
+
+- ``spark.driver.maxResultSize`` stays at Spark's default (1g) — nothing in
+  this engine collects a table to the driver (SURVEY.md §7.4.7).
+- AQE is on: runtime shuffle-partition coalescing + skew-join handling
+  replace the reference's hand-tuned thread pools.
+- Arrow is on for the Pandas-UDF paths (text/similarity operators).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the 100 TB target: these are *per-session defaults* that AQE
+# adjusts at runtime; on a real cluster, shuffle.partitions should be
+# ~2-3x total executor cores and is expected to be overridden.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: vectorized reader + pushdown are defaults, keep explicit
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.mergeSchema": "false",  # schema unions are explicit (planner-driven)
+    # timestamps in testdata are naive; pin session TZ for determinism
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",
+    "spark.executor.extraJavaOptions": "-Djava.security.manager=allow",
+}
+
+
+def session_builder(
+    app_name: str = "cda_client_spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession.Builder:
+    """Return a pre-configured builder; callers may further customize."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    merged = dict(_DEFAULT_CONF)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(
+    app_name: str = "cda_client_spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Get or create the engine SparkSession."""
+    return session_builder(app_name, master, conf).getOrCreate()

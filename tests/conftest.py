@@ -1,0 +1,35 @@
+"""Shared pytest fixtures (reference parity: SparkSessionProviderTestSpec.scala:12-93).
+
+The reference uses one shared local-mode session for the whole suite with a
+small shuffle-partition count; we do the same (local[*] would oversubscribe —
+tests pin local[4] / shuffle=8 for latency, the engine default stays 32).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cda_client_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="cda_client_spark-tests",
+        master="local[4]",
+        conf={"spark.sql.shuffle.partitions": "8"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

@@ -1,0 +1,62 @@
+"""Session factory + config validation tests (parity: ClientConfigReaderTest.scala:10-78)."""
+
+import pytest
+
+from cda_client_spark.config import ConfigError, from_dict
+
+
+def _valid_raw():
+    return {
+        "sourceLocation": {"path": "/data/cdc"},
+        "savepointsLocation": "/out/sp",
+        "outputSettings": {
+            "exportTarget": "file",
+            "saveIntoFileType": "parquet",
+            "fileSettings": {"path": "/out/files"},
+        },
+    }
+
+
+def test_spark_session_smoke(spark):
+    assert spark.range(10).count() == 10
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_config_happy_path():
+    cfg = from_dict(_valid_raw())
+    assert cfg.source_path == "/data/cdc"
+    assert cfg.output.export_target == "file"
+    assert cfg.output.file_settings.path == "/out/files"
+
+
+def test_config_tables_to_include_csv():
+    raw = _valid_raw()
+    raw["outputSettings"]["tablesToInclude"] = "taccount, tpolicy"
+    assert from_dict(raw).output.tables_to_include == ("taccount", "tpolicy")
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda r: r.pop("sourceLocation"),
+        lambda r: r.pop("savepointsLocation"),
+        lambda r: r["outputSettings"].update(exportTarget="bogus"),
+        lambda r: r["outputSettings"].update(saveIntoFileType="xml"),
+        lambda r: r["outputSettings"]["fileSettings"].update(path=""),
+    ],
+)
+def test_config_invalid(mutate):
+    raw = _valid_raw()
+    mutate(raw)
+    with pytest.raises(ConfigError):
+        from_dict(raw)
+
+
+def test_config_jdbc_requires_url():
+    raw = _valid_raw()
+    raw["outputSettings"]["exportTarget"] = "jdbc"
+    with pytest.raises(ConfigError):
+        from_dict(raw)
+    raw["outputSettings"]["jdbcSettings"] = {"url": "jdbc:postgresql://x/db", "saveMode": "merged"}
+    cfg = from_dict(raw)
+    assert cfg.output.jdbc_settings.save_mode == "merged"
