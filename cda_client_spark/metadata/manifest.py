@@ -1,0 +1,70 @@
+"""Manifest catalog (reference parity: ManifestReader.scala:7-10,29-49, S1).
+
+``manifest.json`` maps table name → entry; the entry is the commit watermark
+and schema-version catalog for that table:
+
+.. code-block:: json
+
+    "taccount": {
+      "lastSuccessfulWriteTimestamp": "1562112543749",
+      "totalProcessedRecordsCount": 123,
+      "dataFilesPath": "file:///data/cdc/taccount",
+      "schemaHistory": {"6b4ec63538131c3e": "1561112543748"}
+    }
+
+This is metadata, not data — parsed driver-side (the reference GETs the JSON
+from S3 and Jackson-parses it; we read local/posix paths or any fsspec-style
+URI the caller hands us as text).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+@dataclass(frozen=True)
+class ManifestEntry:
+    last_successful_write_timestamp: int
+    total_processed_records_count: int
+    data_files_path: str
+    schema_history: dict[str, int] = field(default_factory=dict)
+
+
+ManifestMap = dict[str, ManifestEntry]
+
+
+def parse_manifest(text: str) -> ManifestMap:
+    """Parse manifest JSON text → {table: ManifestEntry}."""
+    raw = json.loads(text)
+    if not isinstance(raw, dict):
+        raise ValueError(f"manifest root must be an object, got {type(raw).__name__}")
+    out: ManifestMap = {}
+    for table, entry in raw.items():
+        out[table] = ManifestEntry(
+            last_successful_write_timestamp=int(entry["lastSuccessfulWriteTimestamp"]),
+            total_processed_records_count=int(entry.get("totalProcessedRecordsCount", 0)),
+            data_files_path=str(entry["dataFilesPath"]).rstrip("/"),
+            schema_history={
+                fp: int(ts) for fp, ts in (entry.get("schemaHistory") or {}).items()
+            },
+        )
+    return out
+
+
+def read_manifest(manifest_path: str | Path) -> ManifestMap:
+    """Read + parse manifest.json from a local path."""
+    return parse_manifest(Path(manifest_path).read_text())
+
+
+def filter_tables(manifest: ManifestMap, tables_to_include: tuple[str, ...]) -> ManifestMap:
+    """Restrict to an include list (parity: TableReader.scala:148-160, S9).
+
+    Empty include list means all tables. Unknown names are ignored, matching
+    the reference's filterKeys semantics.
+    """
+    if not tables_to_include:
+        return dict(manifest)
+    wanted = set(tables_to_include)
+    return {t: e for t, e in manifest.items() if t in wanted}

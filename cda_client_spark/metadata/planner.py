@@ -1,0 +1,179 @@
+"""Incremental folder planner (parity: TableReader.scala:166-260,378-416,527-548).
+
+Turns (manifest, savepoints) into a list of copy jobs — one per
+(table, schema-fingerprint) — each holding the timestamp folders to read.
+This is pure driver-side planning over *metadata*; the data itself is read by
+Spark in a single multi-path parquet scan per job (sources/parquet.py).
+
+Semantics preserved exactly (SURVEY.md §7.4.3):
+
+- savepoint resume is **exclusive**: folders with ts > savepoint are read
+  (the reference lists S3 with marker = savepoint+1, TableReader.scala:383);
+- manifest watermark is **inclusive**: folders with
+  ts <= lastSuccessfulWriteTimestamp are safe (folders newer than the
+  manifest are uncommitted data, TableReader.scala:406-416, boundary
+  asserted by TableReaderTest.scala:71-72);
+- fingerprint eligibility: schemaHistory entries sorted by start timestamp
+  form half-open intervals [start_i, start_{i+1}) with a +inf sentinel; a
+  fingerprint is eligible iff its interval end > savepoint
+  (TableReader.scala:527-548);
+- DDL-target serialization: when the sink needs DDL (JDBC), only the
+  *earliest* eligible fingerprint that still has unread folders is processed
+  per run, so schema changes apply one at a time (TableReader.scala:228-260).
+
+Folder listing goes through a pluggable lister so S3/HDFS can reuse the same
+planner (on a cluster, pass a lister backed by the Hadoop FileSystem API or
+fsspec; listing stays O(#folders) metadata ops, never touches data).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+from pathlib import Path
+
+from cda_client_spark.metadata.manifest import ManifestEntry, ManifestMap
+from cda_client_spark.metadata.savepoints import SavepointsStore
+
+_TIMESTAMP_DIR_RE = re.compile(r"^\d+$")
+
+# Lister: given a directory URI, yield (name, uri) of immediate subdirectories.
+Lister = Callable[[str], Iterable[tuple[str, str]]]
+
+
+def local_lister(path: str) -> Iterable[tuple[str, str]]:
+    """Default lister for local paths (and file:// URIs)."""
+    p = Path(path.removeprefix("file://"))
+    if not p.is_dir():
+        return
+    for child in sorted(p.iterdir()):
+        if child.is_dir():
+            yield child.name, str(child)
+
+
+@dataclass(frozen=True)
+class TimestampFolder:
+    table: str
+    fingerprint: str
+    timestamp: int
+    uri: str
+
+
+@dataclass(frozen=True)
+class CopyJob:
+    """One (table, fingerprint) unit of work: read folders, merge, write."""
+
+    table: str
+    fingerprint: str
+    fingerprint_started_at: int
+    manifest_timestamp: int
+    folders: tuple[TimestampFolder, ...]
+
+    @property
+    def max_folder_timestamp(self) -> int:
+        return max(f.timestamp for f in self.folders)
+
+    @property
+    def paths(self) -> list[str]:
+        return [f.uri for f in self.folders]
+
+
+def fingerprint_intervals(entry: ManifestEntry) -> list[tuple[str, int, int]]:
+    """schemaHistory → [(fingerprint, start_ts, end_ts)] sorted by start.
+
+    Half-open [start, end) with +inf sentinel on the last version
+    (TableReader.scala:527-548 uses Long.MaxValue).
+    """
+    hist = sorted(entry.schema_history.items(), key=lambda kv: kv[1])
+    out: list[tuple[str, int, int]] = []
+    for i, (fp, start) in enumerate(hist):
+        end = hist[i + 1][1] if i + 1 < len(hist) else float("inf")
+        out.append((fp, start, end))  # type: ignore[arg-type]
+    return out
+
+
+def eligible_fingerprints(
+    entry: ManifestEntry, savepoint: int | None
+) -> list[tuple[str, int]]:
+    """Fingerprints whose interval may still contain unread folders.
+
+    Returns [(fingerprint, start_ts)] in interval order. A fingerprint is
+    eligible iff interval_end > savepoint (no savepoint → all eligible).
+    """
+    if savepoint is None:
+        return [(fp, start) for fp, start, _ in fingerprint_intervals(entry)]
+    return [
+        (fp, start)
+        for fp, start, end in fingerprint_intervals(entry)
+        if end > savepoint
+    ]
+
+
+def discover_folders(
+    table: str,
+    fingerprint: str,
+    base_uri: str,
+    savepoint: int | None,
+    manifest_timestamp: int,
+    lister: Lister = local_lister,
+) -> list[TimestampFolder]:
+    """List unread, committed timestamp folders for one (table, fingerprint).
+
+    savepoint-exclusive, watermark-inclusive (see module docstring).
+    Non-numeric folder names are skipped (the reference's regex extract).
+    """
+    fp_uri = f"{base_uri.rstrip('/')}/{fingerprint}"
+    out = []
+    for name, uri in lister(fp_uri):
+        if not _TIMESTAMP_DIR_RE.match(name):
+            continue
+        ts = int(name)
+        if savepoint is not None and ts <= savepoint:
+            continue
+        if ts > manifest_timestamp:
+            continue  # uncommitted (newer than manifest watermark)
+        out.append(TimestampFolder(table, fingerprint, ts, uri))
+    out.sort(key=lambda f: f.timestamp)
+    return out
+
+
+def plan_copy_jobs(
+    manifest: ManifestMap,
+    savepoints: SavepointsStore,
+    lister: Lister = local_lister,
+    serialize_ddl: bool = False,
+) -> list[CopyJob]:
+    """Manifest + savepoints → copy jobs (parity: TableReader.scala:166-181, X1).
+
+    With ``serialize_ddl`` (JDBC targets), at most one fingerprint per table —
+    the earliest eligible one that actually has unread folders — is planned,
+    so additive schema evolution is applied one version per run
+    (TableReader.scala:228-260, S5).
+    """
+    jobs: list[CopyJob] = []
+    for table, entry in sorted(manifest.items()):
+        sp = savepoints.get(table)
+        for fp, fp_start in eligible_fingerprints(entry, sp):
+            folders = discover_folders(
+                table,
+                fp,
+                entry.data_files_path,
+                sp,
+                entry.last_successful_write_timestamp,
+                lister,
+            )
+            if not folders:
+                continue
+            jobs.append(
+                CopyJob(
+                    table=table,
+                    fingerprint=fp,
+                    fingerprint_started_at=fp_start,
+                    manifest_timestamp=entry.last_successful_write_timestamp,
+                    folders=tuple(folders),
+                )
+            )
+            if serialize_ddl:
+                break  # one fingerprint per table per run
+    return jobs

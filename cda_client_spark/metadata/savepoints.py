@@ -1,0 +1,54 @@
+"""Savepoint (checkpoint) store (parity: SavepointsProcessor.scala:24-107, S2/X4).
+
+``savepoints.json`` is a flat ``{table: "<epoch_millis_string>"}`` map: the
+last timestamp folder successfully written per table. Reads resume *after*
+it (exclusive — marker = savepoint + 1, TableReader.scala:383).
+
+The reference rewrites the whole JSON under a lock after each table job; we
+keep the same model (the map is tiny) with an atomic rename so a crash
+mid-write can't corrupt the store. In streaming mode the Structured
+Streaming checkpoint subsumes this entirely (see streaming/runner.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from pathlib import Path
+
+SAVEPOINTS_FILENAME = "savepoints.json"
+
+
+class SavepointsStore:
+    def __init__(self, dir_path: str | Path):
+        self._dir = Path(dir_path)
+        self._path = self._dir / SAVEPOINTS_FILENAME
+        self._lock = threading.Lock()
+        self._data: dict[str, int] = {}
+        if self._path.exists():
+            raw = json.loads(self._path.read_text() or "{}")
+            self._data = {t: int(ts) for t, ts in raw.items()}
+
+    def get(self, table: str) -> int | None:
+        """Last successfully written timestamp folder for table, if any."""
+        return self._data.get(table)
+
+    def upsert(self, table: str, timestamp: int) -> None:
+        """Record + persist a new savepoint (parity: writeSavepoints :93-107).
+
+        Thread-safe: per-table jobs may run in parallel threads.
+        """
+        with self._lock:
+            self._data[table] = int(timestamp)
+            self._flush()
+
+    def as_dict(self) -> dict[str, int]:
+        return dict(self._data)
+
+    def _flush(self) -> None:
+        self._dir.mkdir(parents=True, exist_ok=True)
+        tmp = self._path.with_suffix(".json.tmp")
+        # the reference serializes values as strings; keep that on-disk shape
+        tmp.write_text(json.dumps({t: str(ts) for t, ts in self._data.items()}, indent=2))
+        os.replace(tmp, self._path)

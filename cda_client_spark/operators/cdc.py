@@ -1,0 +1,165 @@
+"""CDC classification + last-wins merge (the heart of the engine).
+
+Reference parity: op-code filters P5-P7 (JdbcOutputWriter.scala:357-361,
+409-411, 472-477), arg-max dedup A1 (:426-437), ordered apply O1 (:438-446),
+and the row-at-a-time JDBC apply J1/J2 (:456-468, :485-495) — re-expressed as
+ONE set-based Spark aggregation instead of driver-side prepared statements.
+
+Op codes (JdbcOutputWriter.scala:359,411,475): 0 = initial load, 2 = insert,
+4 = update, 1 = delete.
+
+Apply semantics preserved exactly (SURVEY.md §7.4.2):
+
+- an UPDATE without a matching anchor row (insert/initial/pre-existing
+  target row) is a **no-op** (the reference's ``UPDATE ... WHERE id=? AND
+  seqval<?`` matches 0 rows silently);
+- updates apply only when their ``gwcbi___seqval_hex`` is **greater** than
+  the stored row's (lexicographic compare on fixed-width hex — valid because
+  the feed zero-pads; see ``normalize_seqval`` for untrusted feeds);
+- the reference applies all inserts, then updates, then deletes — so a
+  DELETE for an id anywhere in the batch removes the id regardless of
+  seqval interleaving;
+- "apply latest only" (A1) and "apply all in order" (O1) produce the same
+  final state (each ordered update applies iff newer than current), so one
+  merge implementation serves both.
+
+Scale design: the merge is ``groupBy(id).agg(max(struct(seqval, ...)))`` —
+an aggregation with map-side partial combine: ONE shuffle whose volume is
+the distinct-key cardinality per map partition, not the row count. (Struct
+buffers aren't hash-aggregable, so Spark plans a SortAggregate — but the
+``partial_max`` combine before the exchange is what matters at 100 TB.)
+This is strictly cheaper than the window-function formulation
+(partitionBy+orderBy shuffles and sorts EVERY row); it is the same
+lexicographic-struct-max trick the reference uses
+(JdbcOutputWriter.scala:428-432), which happens to be the scale-optimal plan.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.columns import OP_COL, SEQVAL_COL
+
+OP_INITIAL = 0
+OP_DELETE = 1
+OP_INSERT = 2
+OP_UPDATE = 4
+
+ANCHOR_OPS = (OP_INSERT, OP_INITIAL)
+SEQVAL_WIDTH = 16  # fixed-width hex (FIXTURES.md F3)
+
+
+def inserts(df: DataFrame) -> DataFrame:
+    """Rows to INSERT: op in (2, 0) (P5, JdbcOutputWriter.scala:357-361)."""
+    return df.filter(F.col(OP_COL).isin(OP_INSERT, OP_INITIAL))
+
+
+def updates(df: DataFrame) -> DataFrame:
+    """Rows to UPDATE: op == 4 (P6, JdbcOutputWriter.scala:409-411)."""
+    return df.filter(F.col(OP_COL).isin(OP_UPDATE))
+
+
+def deletes(df: DataFrame, key: str = "id") -> DataFrame:
+    """Keys to DELETE: op == 1, projected to the key (P7,
+    JdbcOutputWriter.scala:472-477)."""
+    return df.filter(F.col(OP_COL).isin(OP_DELETE)).select(key)
+
+
+def normalize_seqval(col: Column, width: int = SEQVAL_WIDTH) -> Column:
+    """Zero-pad + uppercase a hex seqval so lexicographic == numeric order.
+
+    The reference compares seqval hex strings lexicographically and is only
+    correct for fixed-width values (SURVEY.md §7.4.1); this makes the
+    assumption explicit for feeds that don't guarantee padding.
+    """
+    return F.lpad(F.upper(col), width, "0")
+
+
+def latest_changes(df: DataFrame, key: str = "id", seq_col: str = SEQVAL_COL) -> DataFrame:
+    """Last change per key by seqval — arg-max via struct-max (A1).
+
+    Same column set out as in. One hash aggregation (map-side combinable);
+    preferred over Window row_number at scale (no per-partition sort).
+    """
+    others = [c for c in df.columns if c not in (key, seq_col)]
+    packed = F.max(F.struct(F.col(seq_col), *[F.col(c) for c in others])).alias("latest")
+    agg = df.groupBy(key).agg(packed)
+    return agg.select(key, F.col(f"latest.{seq_col}"), *[F.col(f"latest.{c}") for c in others])
+
+
+def ordered_changes(df: DataFrame, seq_col: str = SEQVAL_COL) -> DataFrame:
+    """All changes in transaction order (O1, JdbcOutputWriter.scala:438-446).
+
+    Only meaningful for sinks that consume serially; the merge itself never
+    needs a global sort.
+    """
+    return df.orderBy(F.asc(seq_col))
+
+
+def merge_cdc(
+    batch_df: DataFrame,
+    key: str = "id",
+    seq_col: str = SEQVAL_COL,
+    op_col: str = OP_COL,
+    drop_op: bool = True,
+) -> DataFrame:
+    """Collapse a CDC change batch to the merged (last-state) snapshot.
+
+    Per key: absent if any delete; absent if no anchor (orphan updates
+    no-op); else the highest-seqval row among anchor + applicable updates.
+
+    Output: one row per surviving key, payload columns + ``seq_col``
+    retained (the merged table keeps seqval for future incremental applies,
+    P8 / JdbcOutputWriter.scala:350-351), op column dropped by default.
+    """
+    others = [c for c in batch_df.columns if c not in (key, seq_col)]
+    packed_fields = [F.col(seq_col), *[F.col(c) for c in others]]
+    op = F.col(op_col)
+    agg = batch_df.groupBy(key).agg(
+        # delete rows must never supply the payload: exclude them from the max
+        F.max(F.when(~op.eqNullSafe(OP_DELETE), F.struct(*packed_fields))).alias("latest"),
+        F.max(op.isin(*ANCHOR_OPS).cast("int")).alias("__has_anchor"),
+        F.max((op == OP_DELETE).cast("int")).alias("__has_delete"),
+    )
+    survivors = agg.filter((F.col("__has_anchor") == 1) & (F.col("__has_delete") == 0))
+    out_cols = [F.col(key), F.col(f"latest.{seq_col}").alias(seq_col)] + [
+        F.col(f"latest.{c}").alias(c) for c in others
+    ]
+    out = survivors.select(*out_cols)
+    return out.drop(op_col) if drop_op and op_col in out.columns else out
+
+
+def apply_cdc(
+    target_df: DataFrame,
+    batch_df: DataFrame,
+    key: str = "id",
+    seq_col: str = SEQVAL_COL,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Apply a CDC change batch to an existing merged snapshot.
+
+    The target's rows act as anchors (op = initial-load); the batch's
+    inserts/updates/deletes then resolve per the merge semantics. Replaces
+    the reference's per-row JDBC loop (W7) with one distributed aggregation.
+
+    Schemas are aligned by name; columns present on one side only become
+    null on the other (schema evolution: additive columns just appear).
+    """
+    tagged_target = target_df.withColumn(op_col, F.lit(OP_INITIAL))
+    unioned = tagged_target.unionByName(batch_df, allowMissingColumns=True)
+    return merge_cdc(unioned, key=key, seq_col=seq_col, op_col=op_col)
+
+
+def union_by_name(dfs: list[DataFrame], allow_missing: bool = True) -> DataFrame:
+    """N-way unionByName (U1/U2, TableReader.scala:496-517).
+
+    Prefer a single multi-path ``spark.read.parquet(*paths)`` when all
+    folders share a schema (sources/parquet.py); this is the fallback when
+    schemas differ across folders.
+    """
+    if not dfs:
+        raise ValueError("union_by_name requires at least one DataFrame")
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing), dfs)

@@ -1,0 +1,90 @@
+"""Column-management operators (parity: TableReader.scala:49,444-486, P1-P4).
+
+All pure DataFrame projections — Catalyst prunes the parquet scan to the
+surviving columns automatically, so these are free at 100 TB (column pruning
+reaches the reader; verify with .explain → ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# internal columns that survive the drop (TableReader.scala:49)
+RELEVANT_INTERNAL_COLUMNS = frozenset({"gwcbi___seqval_hex", "gwcbi___operation"})
+INTERNAL_PREFIX = "gwcbi___"
+PROVENANCE_PREFIX = "gwcdac__"
+
+SEQVAL_COL = "gwcbi___seqval_hex"
+OP_COL = "gwcbi___operation"
+FINGERPRINT_COL = "gwcdac__fingerprintfolder"
+TIMESTAMP_COL = "gwcdac__timestampfolder"
+
+
+def drop_irrelevant_internal_columns(df: DataFrame) -> DataFrame:
+    """Drop gwcbi___* columns except seqval/operation (P1).
+
+    Prefix match is case-insensitive, keep-set match exact
+    (TableReaderTest.scala:76-110 / FIXTURES.md F2).
+    """
+    to_drop = [
+        c
+        for c in df.columns
+        if c.lower().startswith(INTERNAL_PREFIX) and c not in RELEVANT_INTERNAL_COLUMNS
+    ]
+    return df.drop(*to_drop) if to_drop else df
+
+
+def add_provenance_columns(df: DataFrame, fingerprint: str, timestamp: int) -> DataFrame:
+    """Add gwcdac__fingerprintfolder / gwcdac__timestampfolder literals (P2).
+
+    The reference wraps the literal in a vacuous when(isNotNull) —
+    semantically just a lit(); we use the plain literal
+    (TableReader.scala:482-486).
+    """
+    return df.withColumn(FINGERPRINT_COL, F.lit(fingerprint)).withColumn(
+        TIMESTAMP_COL, F.lit(str(timestamp))
+    )
+
+
+def sanitize_for_jdbc(df: DataFrame) -> DataFrame:
+    """Rename reserved `interval`→`interval_`; drop spatial/textdata columns (P3).
+
+    TableReader.scala:448-461: drop any column whose name contains
+    'spatial' or equals 'textdata' (compound attrs can't be inserted).
+    """
+    out = df
+    if "interval" in out.columns:
+        out = out.withColumnRenamed("interval", "interval_")
+    to_drop = [c for c in out.columns if "spatial" in c.lower() or c.lower() == "textdata"]
+    return out.drop(*to_drop) if to_drop else out
+
+
+def manage_columns_for_target(
+    df: DataFrame,
+    export_target: str,
+    fingerprint: str,
+    timestamp: int,
+) -> DataFrame:
+    """Route projections by export target (P4, TableReader.scala:444-462).
+
+    file → internal-dropped frame; jdbc/jdbc_v2 → internal-dropped +
+    provenance + sanitize.
+    """
+    out = drop_irrelevant_internal_columns(df)
+    if export_target in ("jdbc", "jdbc_v2"):
+        out = add_provenance_columns(out, fingerprint, timestamp)
+        out = sanitize_for_jdbc(out)
+    return out
+
+
+def drop_cdc_metadata(df: DataFrame, keep_seqval: bool = True) -> DataFrame:
+    """Drop all gwcbi___*/gwcdac__* columns, optionally keeping seqval (P8,
+    JdbcOutputWriter.scala:350-351)."""
+    to_drop = [
+        c
+        for c in df.columns
+        if (c.lower().startswith(INTERNAL_PREFIX) or c.lower().startswith(PROVENANCE_PREFIX))
+        and not (keep_seqval and c == SEQVAL_COL)
+    ]
+    return df.drop(*to_drop) if to_drop else df

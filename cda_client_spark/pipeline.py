@@ -1,0 +1,140 @@
+"""Batch incremental pipeline runner (parity: TableReader.scala:166-351, X1-X4).
+
+One run = plan copy jobs from (manifest, savepoints) → per (table,
+fingerprint): single multi-path parquet scan → column management → raw
+and/or merged materialization → savepoint commit.
+
+Reference-divergences by design (SURVEY.md §7.4.7):
+
+- Per-job work is ONE Spark job graph; the reference's nested ``.par``
+  folder fetches disappear (a multi-path scan parallelizes by file split).
+- Cross-job concurrency uses a thread pool over Spark's thread-safe
+  scheduler (the reference uses Scala parallel collections identically);
+  on a real cluster the FAIR scheduler shares executors between jobs.
+- A failed table job is logged and skipped — other tables proceed
+  (TableReader.scala:190-207), and its savepoint is NOT advanced, so the
+  next run retries (at-least-once; file sinks are idempotent overwrites).
+
+Savepoint value preserved exactly (TableReader.scala:334-343, §7.4.4):
+file targets checkpoint the MANIFEST timestamp; jdbc targets checkpoint the
+max folder timestamp actually written.
+"""
+
+from __future__ import annotations
+
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from cda_client_spark.config import ClientConfig
+from cda_client_spark.metadata.manifest import filter_tables, read_manifest
+from cda_client_spark.metadata.planner import CopyJob, Lister, local_lister, plan_copy_jobs
+from cda_client_spark.metadata.savepoints import SavepointsStore
+from cda_client_spark.operators.cdc import merge_cdc
+from cda_client_spark.operators.columns import manage_columns_for_target
+from cda_client_spark.sinks.files import output_path, write_csv, write_parquet
+from cda_client_spark.sources.parquet import read_micro_batch
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class JobResult:
+    table: str
+    fingerprint: str
+    rows_written: int
+    savepoint: int
+    ok: bool = True
+    error: str | None = None
+
+
+@dataclass
+class RunReport:
+    results: list[JobResult] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return all(r.ok for r in self.results)
+
+
+def run_job(
+    spark: SparkSession,
+    cfg: ClientConfig,
+    job: CopyJob,
+    savepoints: SavepointsStore,
+    merged: bool = False,
+) -> JobResult:
+    """Execute one (table, fingerprint) copy job (X3, TableReader.scala:271-351)."""
+    batch = read_micro_batch(spark, job)
+    df = manage_columns_for_target(
+        batch.df, cfg.output.export_target, job.fingerprint, job.max_folder_timestamp
+    )
+    if merged:
+        df = merge_cdc(df)
+
+    target = cfg.output.export_target
+    if target == "file":
+        kind = "merged" if merged else cfg.output.save_into_file_type
+        path = output_path(
+            cfg.output.file_settings.path, job.table, job.fingerprint, job.manifest_timestamp
+        )
+        if merged:
+            path = f"{path}/merged"
+        n = df.count()
+        if kind == "csv":
+            write_csv(
+                df,
+                path,
+                header=cfg.output.file_settings.include_column_names,
+                single_file=cfg.output.file_settings.save_as_single_file,
+            )
+        else:
+            write_parquet(
+                df, path, single_file=cfg.output.file_settings.save_as_single_file
+            )
+        savepoint = job.manifest_timestamp
+    else:
+        from cda_client_spark.sinks.jdbc import write_jdbc_raw
+
+        n = df.count()
+        write_jdbc_raw(df, cfg.output.jdbc_settings, job.table)
+        savepoint = job.max_folder_timestamp
+
+    savepoints.upsert(job.table, savepoint)
+    return JobResult(job.table, job.fingerprint, n, savepoint)
+
+
+def run(
+    spark: SparkSession,
+    cfg: ClientConfig,
+    lister: Lister = local_lister,
+    merged: bool = False,
+    max_parallel_jobs: int | None = None,
+) -> RunReport:
+    """Full incremental run (3.1 lifecycle): manifest → plan → execute → checkpoint."""
+    manifest = filter_tables(
+        read_manifest(f"{cfg.source_path.rstrip('/')}/manifest.json"),
+        cfg.output.tables_to_include,
+    )
+    savepoints = SavepointsStore(cfg.savepoints_path)
+    serialize_ddl = cfg.output.export_target in ("jdbc", "jdbc_v2")
+    jobs = plan_copy_jobs(manifest, savepoints, lister, serialize_ddl=serialize_ddl)
+
+    report = RunReport()
+
+    def _one(job: CopyJob) -> JobResult:
+        try:
+            return run_job(spark, cfg, job, savepoints, merged=merged)
+        except Exception as e:  # per-job failure doesn't kill the run (X2)
+            logger.exception("job failed: %s/%s", job.table, job.fingerprint)
+            return JobResult(job.table, job.fingerprint, 0, -1, ok=False, error=str(e))
+
+    workers = max_parallel_jobs or cfg.tuning.number_of_jobs_in_parallel or 4
+    if workers <= 1 or len(jobs) <= 1:
+        report.results = [_one(j) for j in jobs]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            report.results = list(pool.map(_one, jobs))
+    return report

@@ -1,0 +1,120 @@
+"""File sinks: CSV / Parquet + schema.yaml + output pathing (W2-W5).
+
+Reference parity: FileBasedOutputWriter.scala:78-187,
+LocalFilesystemOutputWriter.scala:39-45, S3OutputWriter.scala:37-55.
+
+Differences by design:
+
+- Struct flattening for CSV uses the built-in ``to_json`` (the reference's
+  one UDF, P9/FileBasedOutputWriter.scala:170-187, re-expressed JVM-side —
+  no Python round-trip).
+- ``single_file`` coalesces to 1 task exactly like the reference's
+  ``saveAsSingleFile`` (documented slow path there too); default is the
+  distributed multi-file write.
+- Paths with ``s3://`` are rewritten to ``s3a://`` (S3OutputWriter.scala:37-41);
+  Spark's committers handle the upload — no driver-side putObject.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StructType
+
+try:
+    import yaml
+except Exception:  # pragma: no cover
+    yaml = None
+
+# leading underscore: Hadoop's hidden-file filter skips it on re-read, like
+# _SUCCESS (the reference writes a bare schema.yaml, but it also never
+# re-reads its own output directory with Spark)
+SCHEMA_FILENAME = "_schema.yaml"
+
+
+def output_path(
+    base: str, table: str, fingerprint: str, manifest_timestamp: int | None = None
+) -> str:
+    """<base>/<table>/<fingerprint>[/<manifestTimestamp>] (W5,
+    FileBasedOutputWriter.scala:78-85); s3:// → s3a://."""
+    base = base.replace("s3://", "s3a://", 1) if base.startswith("s3://") else base
+    parts = [base.rstrip("/"), table, fingerprint]
+    if manifest_timestamp is not None:
+        parts.append(str(manifest_timestamp))
+    return "/".join(parts)
+
+
+def flatten_structs_for_csv(df: DataFrame) -> DataFrame:
+    """Replace every top-level struct column with its JSON string (P9).
+
+    Binary leaves are decoded to UTF-8 chars first, matching the reference
+    UDF's char-decoding (FileBasedOutputWriter.scala:176-180) — done with
+    built-ins so the whole projection stays in codegen.
+    """
+    def decode_binaries(col: F.Column, dt: StructType, prefix: str) -> F.Column:
+        fields = []
+        for f in dt.fields:
+            child = col.getField(f.name)
+            if isinstance(f.dataType, BinaryType):
+                fields.append(F.decode(child, "UTF-8").alias(f.name))
+            elif isinstance(f.dataType, StructType):
+                fields.append(decode_binaries(child, f.dataType, prefix + f.name + ".").alias(f.name))
+            else:
+                fields.append(child.alias(f.name))
+        return F.struct(*fields)
+
+    out_cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StructType):
+            out_cols.append(F.to_json(decode_binaries(F.col(f.name), f.dataType, "")).alias(f.name))
+        else:
+            out_cols.append(F.col(f.name))
+    return df.select(*out_cols)
+
+
+def schema_yaml(df: DataFrame) -> str:
+    """Schema as the reference's schema.yaml shape (W4,
+    FileBasedOutputWriter.scala:105-114): [{name, dataType, nullable}]."""
+    entries = [
+        {"name": f.name, "dataType": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in df.schema.fields
+    ]
+    if yaml is not None:
+        return yaml.safe_dump(entries, sort_keys=False)
+    import json
+
+    return json.dumps(entries, indent=2)
+
+
+def write_schema_yaml(df: DataFrame, dir_path: str) -> None:
+    p = Path(dir_path)
+    p.mkdir(parents=True, exist_ok=True)
+    (p / SCHEMA_FILENAME).write_text(schema_yaml(df))
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    single_file: bool = False,
+    with_schema_yaml: bool = True,
+) -> None:
+    """CSV sink (W2, FileBasedOutputWriter.scala:154-165): overwrite mode,
+    struct columns flattened to JSON strings."""
+    flat = flatten_structs_for_csv(df)
+    out = flat.coalesce(1) if single_file else flat
+    out.write.option("header", str(header).lower()).mode("overwrite").csv(path)
+    if with_schema_yaml and not path.startswith(("s3a://", "s3://", "hdfs://")):
+        write_schema_yaml(df, path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, single_file: bool = False, with_schema_yaml: bool = True
+) -> None:
+    """Parquet sink (W3, FileBasedOutputWriter.scala:120-132)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").parquet(path)
+    if with_schema_yaml and not path.startswith(("s3a://", "s3://", "hdfs://")):
+        write_schema_yaml(df, path)

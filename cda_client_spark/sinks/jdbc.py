@@ -1,0 +1,240 @@
+"""JDBC sinks: distributed raw append + DDL/PK/index generation (W6-W13).
+
+Reference parity: SparkJDBCWriter.scala:42-105 (the v2 distributed writer),
+JdbcOutputWriter.scala:537-665 (DDL, PK, index), :755-846 (type map),
+:146-279 (additive schema evolution).
+
+Design decisions (SURVEY.md §7.4.6/§7.4.7):
+
+- Raw append is ``df.write.format("jdbc")`` — distributed, batched
+  (``batchsize``), never the reference v1's driver-side
+  ``toLocalIterator`` loop (its documented OOM/throughput bottleneck,
+  README.md:15-18).
+- The merged (CDC apply) path for JDBC is: compute the merged frame with
+  operators/cdc.py (one Spark aggregation), stage it with the raw writer,
+  then issue ONE set-based ``INSERT ... ON CONFLICT DO UPDATE`` /
+  ``MERGE`` statement — never per-row prepared statements. Emitting the
+  statement is pure string templating here; executing it needs a live DB
+  connection, which this container lacks — the statement builders are
+  fully unit-tested, the execute path is a thin, gated function.
+- DDL: alphabetical column order (JdbcOutputWriter.scala:549), forced NOT
+  NULL keys (:542-547), per-dialect type overrides incl. large-text fields
+  (:573-620), raw PK (id, seqval, operation) / merged PK (id) + secondary
+  index (:628-665).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+from cda_client_spark.config import JdbcSettings
+
+# NOT NULL key columns (JdbcOutputWriter.scala:542-547)
+RAW_NOT_NULL = ("id", "gwcbi___operation", "gwcbi___seqval_hex")
+MERGED_NOT_NULL = RAW_NOT_NULL + ("publicid", "retired", "typecode")
+
+RAW_PK = ("id", "gwcbi___seqval_hex", "gwcbi___operation")
+MERGED_PK = ("id",)
+
+DEFAULT_VARCHAR_LEN = 1333  # JdbcOutputWriter.scala:573-586
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+    quote: str = '"'
+    large_text: str = "TEXT"
+    binary: str = "BYTEA"
+    timestamp: str = "TIMESTAMP"
+    boolean: str = "BOOLEAN"
+    double: str = "DOUBLE PRECISION"
+
+    def q(self, ident: str) -> str:
+        return f"{self.quote}{ident}{self.quote}"
+
+
+POSTGRES = Dialect("postgresql")
+SQLSERVER = Dialect(
+    "sqlserver",
+    large_text="VARCHAR(max)",
+    binary="VARBINARY(max)",
+    # out-of-range datetimes force DATETIME2 (JdbcOutputWriter.scala:615, README.md:50)
+    timestamp="DATETIME2",
+    boolean="BIT",
+    double="FLOAT",
+)
+ORACLE = Dialect(
+    "oracle",
+    large_text="VARCHAR2(32767)",
+    binary="BLOB",
+    # Oracle has no boolean; the reference maps to TINYINT-ish (JdbcOutputWriter.scala:844)
+    boolean="NUMBER(3)",
+    double="BINARY_DOUBLE",
+)
+
+_DIALECTS = {"postgresql": POSTGRES, "sqlserver": SQLSERVER, "oracle": ORACLE}
+
+
+def dialect_for_url(url: str) -> Dialect:
+    for key, d in _DIALECTS.items():
+        if f":{key}:" in url or url.startswith(f"jdbc:{key}"):
+            return d
+    return POSTGRES
+
+
+def sql_type(
+    dt: DataType, dialect: Dialect, large_text: bool = False, scale_zero_number: bool = True
+) -> str:
+    """Spark type → DDL type (W13, JdbcOutputWriter.scala:755-846)."""
+    if isinstance(dt, StringType):
+        return dialect.large_text if large_text else f"VARCHAR({DEFAULT_VARCHAR_LEN})"
+    if isinstance(dt, BinaryType):
+        return dialect.binary
+    if isinstance(dt, TimestampType):
+        return dialect.timestamp
+    if isinstance(dt, DateType):
+        return "DATE"
+    if isinstance(dt, BooleanType):
+        return dialect.boolean
+    if isinstance(dt, DoubleType):
+        return dialect.double
+    if isinstance(dt, FloatType):
+        return "REAL"
+    if isinstance(dt, LongType):
+        return "BIGINT"
+    if isinstance(dt, IntegerType):
+        return "INTEGER"
+    if isinstance(dt, (ShortType, ByteType)):
+        return "SMALLINT"
+    if isinstance(dt, DecimalType):
+        # Oracle NUMBER(p) when scale==0 (JdbcOutputWriter.scala:604-614)
+        if dialect is ORACLE and dt.scale == 0 and scale_zero_number:
+            return f"NUMBER({dt.precision})"
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, ArrayType):
+        inner = sql_type(dt.elementType, dialect)
+        return f"{inner}[]" if dialect is POSTGRES else inner
+    raise ValueError(f"type not writable to JDBC: {dt.simpleString()}")
+
+
+def create_table_ddl(
+    schema: StructType,
+    table: str,
+    dialect: Dialect,
+    merged: bool = False,
+    large_text_fields: tuple[str, ...] = (),
+    db_schema: str = "",
+) -> str:
+    """CREATE TABLE DDL (W9, JdbcOutputWriter.scala:537-558): columns
+    alphabetical, forced NOT NULL keys."""
+    not_null = set(MERGED_NOT_NULL if merged else RAW_NOT_NULL)
+    cols = []
+    for f in sorted(schema.fields, key=lambda f: f.name):
+        t = sql_type(f.dataType, dialect, large_text=f.name in large_text_fields)
+        nn = " NOT NULL" if f.name in not_null else ""
+        cols.append(f"{dialect.q(f.name)} {t}{nn}")
+    qualified = f"{dialect.q(db_schema)}.{dialect.q(table)}" if db_schema else dialect.q(table)
+    return f"CREATE TABLE {qualified} (\n  " + ",\n  ".join(cols) + "\n)"
+
+
+def primary_key_ddl(table: str, dialect: Dialect, merged: bool = False) -> str:
+    """PK DDL (W10, JdbcOutputWriter.scala:628-656)."""
+    pk = MERGED_PK if merged else RAW_PK
+    cols = ", ".join(dialect.q(c) for c in pk)
+    return f"ALTER TABLE {dialect.q(table)} ADD PRIMARY KEY ({cols})"
+
+
+def secondary_index_ddl(table: str, dialect: Dialect) -> str:
+    """Merged secondary index: typecode for `*tl_` typelist tables else
+    publicid (W10, JdbcOutputWriter.scala:657-665)."""
+    col = "typecode" if table.startswith(("tl_",)) or "tl_" in table[:4] else "publicid"
+    return f"CREATE INDEX {table}_{col}_idx ON {dialect.q(table)} ({dialect.q(col)})"
+
+
+def alter_add_columns_ddl(
+    table: str, new_fields: list, dialect: Dialect, large_text_fields: tuple[str, ...] = ()
+) -> list[str]:
+    """Additive schema evolution (W11, JdbcOutputWriter.scala:209-274):
+    one ALTER TABLE ADD per new column; non-additive drift is a bypass —
+    callers skip the table, never emit destructive DDL."""
+    return [
+        f"ALTER TABLE {dialect.q(table)} ADD {dialect.q(f.name)} "
+        f"{sql_type(f.dataType, dialect, large_text=f.name in large_text_fields)}"
+        for f in sorted(new_fields, key=lambda f: f.name)
+    ]
+
+
+def upsert_statement(
+    schema: StructType, table: str, dialect: Dialect, staging_table: str
+) -> str:
+    """Set-based merged apply (replaces J1/J2's per-row loop): one statement
+    applying a staged batch, with the reference's seqval guard
+    (``seqval_hex < excluded``, JdbcOutputWriter.scala:456-468)."""
+    cols = sorted(f.name for f in schema.fields)
+    collist = ", ".join(dialect.q(c) for c in cols)
+    if dialect is POSTGRES:
+        sets = ", ".join(
+            f"{dialect.q(c)} = EXCLUDED.{dialect.q(c)}" for c in cols if c != "id"
+        )
+        return (
+            f"INSERT INTO {dialect.q(table)} ({collist})\n"
+            f"SELECT {collist} FROM {dialect.q(staging_table)}\n"
+            f"ON CONFLICT (\"id\") DO UPDATE SET {sets}\n"
+            f'WHERE {dialect.q(table)}."gwcbi___seqval_hex" < EXCLUDED."gwcbi___seqval_hex"'
+        )
+    # generic ANSI MERGE (sqlserver/oracle)
+    sets = ", ".join(f"t.{dialect.q(c)} = s.{dialect.q(c)}" for c in cols if c != "id")
+    svals = ", ".join(f"s.{dialect.q(c)}" for c in cols)
+    return (
+        f"MERGE INTO {dialect.q(table)} t USING {dialect.q(staging_table)} s"
+        f' ON (t."id" = s."id")\n'
+        f'WHEN MATCHED AND t."gwcbi___seqval_hex" < s."gwcbi___seqval_hex"'
+        f" THEN UPDATE SET {sets}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({svals})"
+    )
+
+
+def delete_statement(table: str, dialect: Dialect, staging_table: str) -> str:
+    """Set-based delete apply (replaces J2's per-row DELETE loop)."""
+    return (
+        f'DELETE FROM {dialect.q(table)} WHERE "id" IN '
+        f'(SELECT "id" FROM {dialect.q(staging_table)})'
+    )
+
+
+def write_jdbc_raw(df: DataFrame, settings: JdbcSettings, table: str, mode: str = "append") -> None:
+    """Distributed raw append (W8, SparkJDBCWriter.scala:42-105).
+
+    Executors write in parallel with prepared-statement batches of
+    ``batch_size`` — the scale path. Requires a reachable database.
+    """
+    qualified = f"{settings.schema}.{table}" if settings.schema else table
+    (
+        df.write.format("jdbc")
+        .option("url", settings.url)
+        .option("dbtable", qualified)
+        .option("user", settings.user)
+        .option("password", settings.password)
+        .option("batchsize", settings.batch_size)
+        .mode(mode)
+        .save()
+    )

@@ -1,0 +1,57 @@
+"""Parquet micro-batch source (parity: TableReader.scala:425-433,496-517, S6/U2).
+
+The reference reads each timestamp folder into its own DataFrame and
+pairwise-unions them (U2). At scale that builds a deep union tree of N plans;
+we instead hand ALL folder paths of one (table, fingerprint) job to a single
+``spark.read.parquet(*paths)`` — one scan node, one file-listing pass, full
+partition/filter pushdown. ``unionByName(allowMissingColumns=True)`` remains
+as the fallback when folders genuinely differ in schema (shouldn't happen
+within one fingerprint, by construction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cda_client_spark.metadata.planner import CopyJob
+from cda_client_spark.operators.cdc import union_by_name
+
+
+@dataclass(frozen=True)
+class MicroBatch:
+    """Parity: DataFrameWrapperForMicroBatch (TableReader.scala:34-42)."""
+
+    table: str
+    schema_fingerprint: str
+    fingerprint_timestamp: int
+    manifest_timestamp: int
+    max_folder_timestamp: int
+    df: DataFrame
+
+
+def read_folders(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Read N timestamp folders as ONE scan (replaces the reference's N-way
+    union; same rows, flatter plan)."""
+    if not paths:
+        raise ValueError("read_folders requires at least one path")
+    return spark.read.parquet(*paths)
+
+
+def read_folders_union(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Schema-tolerant fallback: per-folder read + unionByName."""
+    return union_by_name([spark.read.parquet(p) for p in paths])
+
+
+def read_micro_batch(spark: SparkSession, job: CopyJob, tolerant: bool = False) -> MicroBatch:
+    """Materialize one planned CopyJob as a MicroBatch."""
+    reader = read_folders_union if tolerant else read_folders
+    return MicroBatch(
+        table=job.table,
+        schema_fingerprint=job.fingerprint,
+        fingerprint_timestamp=job.fingerprint_started_at,
+        manifest_timestamp=job.manifest_timestamp,
+        max_folder_timestamp=job.max_folder_timestamp,
+        df=reader(spark, job.paths),
+    )

@@ -1,0 +1,102 @@
+"""Build local CDC folder-tree fixtures (FIXTURES.md F3/F4 shapes).
+
+Layout: <root>/<table>/<fingerprint>/<epoch_millis>/part-0.parquet
+plus <root>/manifest.json. Written with pyarrow directly (no Spark needed),
+deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def seqval_hex(n: int) -> str:
+    """Fixed-width (16-char) zero-padded uppercase hex — lexicographic
+    order == numeric order (SURVEY.md §7.4.1)."""
+    return format(n, "016X")
+
+
+def cdc_batch(rows: list[dict]) -> pa.Table:
+    """rows: dicts with id, op, seq (+ optional payload fields v/note)."""
+    return pa.table(
+        {
+            "id": pa.array([r["id"] for r in rows], pa.int64()),
+            "publicid": pa.array([f"pc:{r['id']}" for r in rows], pa.string()),
+            "retired": pa.array([r.get("retired", 0) for r in rows], pa.int64()),
+            "typecode": pa.array([r.get("typecode", "t0") for r in rows], pa.string()),
+            "gwcbi___seqval_hex": pa.array([seqval_hex(r["seq"]) for r in rows], pa.string()),
+            "gwcbi___operation": pa.array([r["op"] for r in rows], pa.int32()),
+            "gwcbi___payload_junk": pa.array(
+                [f"junk{r['seq']}" for r in rows], pa.string()
+            ),
+            "v": pa.array([float(r.get("v", 0.0)) for r in rows], pa.float64()),
+            "note": pa.array([r.get("note", "") for r in rows], pa.string()),
+        }
+    )
+
+
+def write_folder(root: Path, table: str, fp: str, ts: int, tbl: pa.Table) -> Path:
+    d = root / table / fp / str(ts)
+    d.mkdir(parents=True, exist_ok=True)
+    pq.write_table(tbl, d / "part-00000.parquet")
+    return d
+
+
+def write_manifest(root: Path, entries: dict) -> Path:
+    p = root / "manifest.json"
+    p.write_text(json.dumps(entries, indent=2))
+    return p
+
+
+def build_basic_tree(root: Path) -> dict:
+    """F4 scenario matrix:
+
+    - ``tsimple``: 1 fingerprint, 3 timestamp folders (1000, 2000, 3000) and a
+      4th folder (4000) NEWER than the manifest watermark (3000) → excluded.
+    - ``taccount``: 3-entry schemaHistory (fp1@0, fp2@1500, fp3@2500), folders
+      fp1:[1000], fp2:[2000], fp3:[3000]; watermark 3000.
+    """
+    # tsimple: ops tell the merge story — insert 1,2; update 1; insert 3; delete 2
+    b1 = cdc_batch(
+        [
+            {"id": 1, "op": 2, "seq": 1, "v": 1.0},
+            {"id": 2, "op": 2, "seq": 2, "v": 2.0},
+        ]
+    )
+    b2 = cdc_batch(
+        [
+            {"id": 1, "op": 4, "seq": 3, "v": 1.5},
+            {"id": 3, "op": 2, "seq": 4, "v": 3.0},
+        ]
+    )
+    b3 = cdc_batch([{"id": 2, "op": 1, "seq": 5}])
+    b4 = cdc_batch([{"id": 9, "op": 2, "seq": 9, "v": 9.0}])  # uncommitted
+    write_folder(root, "tsimple", "fpA", 1000, b1)
+    write_folder(root, "tsimple", "fpA", 2000, b2)
+    write_folder(root, "tsimple", "fpA", 3000, b3)
+    write_folder(root, "tsimple", "fpA", 4000, b4)
+
+    write_folder(root, "taccount", "fp1", 1000, cdc_batch([{"id": 10, "op": 2, "seq": 10}]))
+    write_folder(root, "taccount", "fp2", 2000, cdc_batch([{"id": 11, "op": 2, "seq": 11}]))
+    write_folder(root, "taccount", "fp3", 3000, cdc_batch([{"id": 12, "op": 2, "seq": 12}]))
+
+    manifest = {
+        "tsimple": {
+            "lastSuccessfulWriteTimestamp": "3000",
+            "totalProcessedRecordsCount": 5,
+            "dataFilesPath": str(root / "tsimple"),
+            "schemaHistory": {"fpA": "0"},
+        },
+        "taccount": {
+            "lastSuccessfulWriteTimestamp": "3000",
+            "totalProcessedRecordsCount": 3,
+            "dataFilesPath": str(root / "taccount"),
+            "schemaHistory": {"fp1": "0", "fp2": "1500", "fp3": "2500"},
+        },
+    }
+    write_manifest(root, manifest)
+    return manifest

@@ -1,0 +1,199 @@
+"""CDC merge operator tests (SURVEY.md §7.4 hard semantics; FIXTURES.md F3).
+
+The merged result must equal a row-by-row replay of the ops ordered by
+gwcbi___seqval_hex, with the reference's apply order (inserts → updates with
+seqval predicate → deletes)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cda_client_spark.operators.cdc import (
+    OP_DELETE,
+    OP_INITIAL,
+    OP_INSERT,
+    OP_UPDATE,
+    apply_cdc,
+    deletes,
+    inserts,
+    latest_changes,
+    merge_cdc,
+    normalize_seqval,
+    updates,
+)
+from tests.cdc_fixture import seqval_hex
+
+
+def make_batch(spark, rows):
+    """rows: (id, op, seq, v)"""
+    data = [(i, op, seqval_hex(seq), float(v)) for i, op, seq, v in rows]
+    return spark.createDataFrame(
+        data, "id bigint, gwcbi___operation int, gwcbi___seqval_hex string, v double"
+    )
+
+
+def merged_dict(df):
+    return {r["id"]: (r["gwcbi___seqval_hex"], r["v"]) for r in df.collect()}
+
+
+def test_classify_filters(spark):
+    df = make_batch(
+        spark,
+        [(1, OP_INSERT, 1, 1), (2, OP_INITIAL, 2, 2), (3, OP_UPDATE, 3, 3), (4, OP_DELETE, 4, 0)],
+    )
+    assert {r["id"] for r in inserts(df).collect()} == {1, 2}
+    assert {r["id"] for r in updates(df).collect()} == {3}
+    assert deletes(df).columns == ["id"]
+    assert {r["id"] for r in deletes(df).collect()} == {4}
+
+
+def test_latest_changes_argmax(spark):
+    df = make_batch(spark, [(1, OP_UPDATE, 5, 50), (1, OP_UPDATE, 9, 90), (1, OP_UPDATE, 7, 70)])
+    out = latest_changes(df).collect()
+    assert len(out) == 1
+    assert out[0]["v"] == 90.0
+    assert out[0]["gwcbi___seqval_hex"] == seqval_hex(9)
+
+
+def test_merge_basic_insert_update_delete(spark):
+    df = make_batch(
+        spark,
+        [
+            (1, OP_INSERT, 1, 10),
+            (1, OP_UPDATE, 2, 11),  # applies: anchor exists, newer seq
+            (2, OP_INSERT, 3, 20),
+            (3, OP_INSERT, 4, 30),
+            (3, OP_DELETE, 5, 0),  # delete wins
+        ],
+    )
+    m = merged_dict(merge_cdc(df))
+    assert set(m) == {1, 2}
+    assert m[1] == (seqval_hex(2), 11.0)
+    assert m[2] == (seqval_hex(3), 20.0)
+
+
+def test_merge_orphan_update_is_noop(spark):
+    # update with no anchor anywhere → id absent (SURVEY §7.4.2)
+    df = make_batch(spark, [(7, OP_UPDATE, 1, 70), (8, OP_INSERT, 2, 80)])
+    m = merged_dict(merge_cdc(df))
+    assert set(m) == {8}
+
+
+def test_merge_multiple_updates_same_id(spark):
+    df = make_batch(
+        spark,
+        [(1, OP_INSERT, 1, 1), (1, OP_UPDATE, 4, 4), (1, OP_UPDATE, 2, 2), (1, OP_UPDATE, 3, 3)],
+    )
+    m = merged_dict(merge_cdc(df))
+    assert m[1] == (seqval_hex(4), 4.0)
+
+
+def test_merge_delete_of_never_inserted_id_noop(spark):
+    df = make_batch(spark, [(1, OP_INSERT, 1, 1), (99, OP_DELETE, 2, 0)])
+    assert set(merged_dict(merge_cdc(df))) == {1}
+
+
+def test_merge_delete_wins_even_over_newer_insert(spark):
+    # the reference applies deletes LAST with WHERE id=? only — a delete
+    # anywhere in the batch removes the id (SURVEY §7.4.2 apply order)
+    df = make_batch(spark, [(5, OP_DELETE, 1, 0), (5, OP_INSERT, 9, 50)])
+    assert merged_dict(merge_cdc(df)) == {}
+
+
+def test_apply_cdc_incremental(spark):
+    batch1 = make_batch(spark, [(1, OP_INSERT, 1, 10), (2, OP_INSERT, 2, 20)])
+    target = merge_cdc(batch1)
+    batch2 = make_batch(
+        spark,
+        [
+            (1, OP_UPDATE, 3, 11),   # update existing target row
+            (2, OP_DELETE, 4, 0),    # delete existing
+            (3, OP_INSERT, 5, 30),   # new insert
+            (4, OP_UPDATE, 6, 40),   # orphan update → no-op
+        ],
+    )
+    m = merged_dict(apply_cdc(target, batch2))
+    assert m == {1: (seqval_hex(3), 11.0), 3: (seqval_hex(5), 30.0)}
+
+
+def test_apply_cdc_stale_update_noop(spark):
+    # update whose seqval is OLDER than the stored row's → predicate fails
+    target = merge_cdc(make_batch(spark, [(1, OP_INSERT, 10, 100)]))
+    stale = make_batch(spark, [(1, OP_UPDATE, 5, 55)])
+    m = merged_dict(apply_cdc(target, stale))
+    assert m == {1: (seqval_hex(10), 100.0)}
+
+
+def test_apply_cdc_update_to_row_inserted_in_earlier_batch(spark):
+    # FIXTURES F3: update whose insert is in an earlier batch
+    target = merge_cdc(make_batch(spark, [(1, OP_INSERT, 1, 1)]))
+    m = merged_dict(apply_cdc(target, make_batch(spark, [(1, OP_UPDATE, 2, 2)])))
+    assert m == {1: (seqval_hex(2), 2.0)}
+
+
+def test_apply_cdc_schema_evolution_additive(spark):
+    target = merge_cdc(make_batch(spark, [(1, OP_INSERT, 1, 1)]))
+    batch = make_batch(spark, [(2, OP_INSERT, 2, 2)]).withColumn("extra", F.lit("x"))
+    out = apply_cdc(target, batch)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["extra"] is None and rows[2]["extra"] == "x"
+
+
+def test_hex_seqval_lexicographic_is_numeric(spark):
+    # seq 255 (FF) vs seq 4096 (1000): zero-padded hex orders correctly
+    df = make_batch(spark, [(1, OP_INSERT, 255, 1), (1, OP_UPDATE, 4096, 2)])
+    m = merged_dict(merge_cdc(df))
+    assert m[1][1] == 2.0
+
+
+def test_normalize_seqval(spark):
+    df = spark.createDataFrame([("ff",), ("1000",)], "s string")
+    out = [r[0] for r in df.select(normalize_seqval(F.col("s")).alias("n")).collect()]
+    assert out == ["00000000000000FF", "0000000000001000"]
+    assert sorted(out) == out[:]  # lexicographic == numeric after normalize
+
+
+def test_merge_plan_has_partial_aggregation(spark):
+    # scale guard: the merge must aggregate with map-side partial combine
+    # (shuffle volume ~ distinct keys), never a Window (shuffles every row),
+    # and exactly one exchange
+    df = make_batch(spark, [(1, OP_INSERT, 1, 1)])
+    plan = merge_cdc(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize("n_ids,ops_per_id", [(200, 5)])
+def test_merge_matches_sequential_replay(spark, n_ids, ops_per_id):
+    """Property-style check: set-based merge == row-by-row replay with the
+    reference's apply order (inserts, then updates seq-asc w/ predicate,
+    then deletes)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    seq = 0
+    for i in range(n_ids):
+        seq += 1
+        first = rng.choice([OP_INSERT, OP_UPDATE, OP_INITIAL])  # some orphans
+        rows.append((i, first, seq, rng.randint(0, 100)))
+        for _ in range(rng.randint(0, ops_per_id)):
+            seq += 1
+            rows.append((i, rng.choice([OP_UPDATE, OP_UPDATE, OP_DELETE]), seq, rng.randint(0, 100)))
+
+    # replay oracle
+    state = {}
+    ordered = sorted(rows, key=lambda r: r[2])
+    for i, op, s, v in ordered:  # inserts first
+        if op in (OP_INSERT, OP_INITIAL):
+            state[i] = (s, v)
+    for i, op, s, v in ordered:  # updates in order, predicate stored < new
+        if op == OP_UPDATE and i in state and state[i][0] < s:
+            state[i] = (s, v)
+    for i, op, s, v in ordered:  # deletes last
+        if op == OP_DELETE:
+            state.pop(i, None)
+    expected = {i: (seqval_hex(s), float(v)) for i, (s, v) in state.items()}
+
+    got = merged_dict(merge_cdc(make_batch(spark, rows)))
+    assert got == expected

@@ -1,0 +1,64 @@
+"""Column management tests (parity: TableReaderTest.scala:76-111; FIXTURES.md F2)."""
+
+from cda_client_spark.operators.columns import (
+    add_provenance_columns,
+    drop_cdc_metadata,
+    drop_irrelevant_internal_columns,
+    manage_columns_for_target,
+    sanitize_for_jdbc,
+)
+
+
+def f2_frame(spark):
+    return spark.createDataFrame(
+        [("s1", 2, "x", "y", "z", "w")],
+        "gwcbi___seqval_hex string, gwcbi___operation int, gwcbi___something string,"
+        " GWCBI___c4 string, gwcbic3 string, not_internal_column string",
+    )
+
+
+def test_drop_internal_columns_f2(spark):
+    out = drop_irrelevant_internal_columns(f2_frame(spark))
+    # prefix match case-insensitive, keep-set exact (FIXTURES.md F2)
+    assert out.columns == [
+        "gwcbi___seqval_hex",
+        "gwcbi___operation",
+        "gwcbic3",
+        "not_internal_column",
+    ]
+
+
+def test_add_provenance(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = add_provenance_columns(df, "fpX", 1234)
+    row = out.collect()[0]
+    assert row["gwcdac__fingerprintfolder"] == "fpX"
+    assert row["gwcdac__timestampfolder"] == "1234"
+
+
+def test_sanitize_for_jdbc(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "a", "b", "c")],
+        "id int, interval int, SpatialPoint string, textdata string, ok string",
+    )
+    out = sanitize_for_jdbc(df)
+    assert out.columns == ["id", "interval_", "ok"]
+
+
+def test_manage_columns_routing(spark):
+    base = f2_frame(spark)
+    df = base.withColumn("interval", base.gwcbi___operation)
+    file_out = manage_columns_for_target(df, "file", "fp", 1)
+    assert "gwcdac__fingerprintfolder" not in file_out.columns
+    assert "interval" in file_out.columns  # no sanitize for file target
+    jdbc_out = manage_columns_for_target(df, "jdbc", "fp", 1)
+    assert "gwcdac__fingerprintfolder" in jdbc_out.columns
+    assert "interval_" in jdbc_out.columns
+
+
+def test_drop_cdc_metadata(spark):
+    df = f2_frame(spark)
+    out = drop_cdc_metadata(add_provenance_columns(df, "fp", 1))
+    assert out.columns == ["gwcbi___seqval_hex", "gwcbic3", "not_internal_column"]
+    out2 = drop_cdc_metadata(df, keep_seqval=False)
+    assert out2.columns == ["gwcbic3", "not_internal_column"]

@@ -1,0 +1,117 @@
+"""Metadata layer tests (parity: TableReaderTest.scala:56-74,150-174,
+ManifestReaderTest.scala:11-26, SavepointsProcessorTest.scala:34-117;
+scenario matrix from FIXTURES.md F4)."""
+
+import json
+
+import pytest
+
+from cda_client_spark.metadata.manifest import filter_tables, parse_manifest, read_manifest
+from cda_client_spark.metadata.planner import (
+    discover_folders,
+    eligible_fingerprints,
+    fingerprint_intervals,
+    plan_copy_jobs,
+)
+from cda_client_spark.metadata.savepoints import SavepointsStore
+from tests.cdc_fixture import build_basic_tree
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    manifest = build_basic_tree(tmp_path)
+    return tmp_path, manifest
+
+
+def test_parse_manifest_roundtrip(tree):
+    root, raw = tree
+    m = read_manifest(root / "manifest.json")
+    assert set(m) == {"tsimple", "taccount"}
+    e = m["taccount"]
+    assert e.last_successful_write_timestamp == 3000
+    assert e.schema_history == {"fp1": 0, "fp2": 1500, "fp3": 2500}
+    assert e.data_files_path.endswith("taccount")
+
+
+def test_manifest_bad_root():
+    with pytest.raises(ValueError):
+        parse_manifest("[1,2]")
+
+
+def test_filter_tables(tree):
+    _, _ = tree
+    m = {"a": None, "b": None}
+    assert set(filter_tables(m, ())) == {"a", "b"}
+    assert set(filter_tables(m, ("b", "zzz"))) == {"b"}
+
+
+def test_savepoints_persist_upsert(tmp_path):
+    sp = SavepointsStore(tmp_path)
+    assert sp.get("t") is None
+    sp.upsert("t", 1000)
+    sp.upsert("u", 2000)
+    sp.upsert("t", 3000)
+    reloaded = SavepointsStore(tmp_path)
+    assert reloaded.get("t") == 3000
+    assert reloaded.get("u") == 2000
+    # on-disk shape matches the reference: string values
+    raw = json.loads((tmp_path / "savepoints.json").read_text())
+    assert raw == {"t": "3000", "u": "2000"}
+
+
+def test_discover_no_savepoint_reads_all_committed(tree):
+    root, _ = tree
+    m = read_manifest(root / "manifest.json")
+    folders = discover_folders(
+        "tsimple", "fpA", m["tsimple"].data_files_path, None, 3000
+    )
+    # folder 4000 > manifest watermark 3000 → excluded; 3000 == watermark → INCLUDED
+    assert [f.timestamp for f in folders] == [1000, 2000, 3000]
+
+
+def test_discover_savepoint_resume_is_exclusive(tree):
+    root, _ = tree
+    m = read_manifest(root / "manifest.json")
+    folders = discover_folders(
+        "tsimple", "fpA", m["tsimple"].data_files_path, 2000, 3000
+    )
+    # savepoint 2000 → folder 2000 NOT re-read (marker = savepoint+1)
+    assert [f.timestamp for f in folders] == [3000]
+
+
+def test_fingerprint_intervals_and_eligibility(tree):
+    root, _ = tree
+    m = read_manifest(root / "manifest.json")
+    e = m["taccount"]
+    ivals = fingerprint_intervals(e)
+    assert ivals == [("fp1", 0, 1500), ("fp2", 1500, 2500), ("fp3", 2500, float("inf"))]
+    # savepoint inside fp2's interval → fp2 and fp3 eligible, fp1 not (F4 #4)
+    assert [fp for fp, _ in eligible_fingerprints(e, 2000)] == ["fp2", "fp3"]
+    assert [fp for fp, _ in eligible_fingerprints(e, None)] == ["fp1", "fp2", "fp3"]
+
+
+def test_plan_copy_jobs_all(tree):
+    root, _ = tree
+    m = read_manifest(root / "manifest.json")
+    sp = SavepointsStore(root / "sp")
+    jobs = plan_copy_jobs(m, sp)
+    by_key = {(j.table, j.fingerprint): j for j in jobs}
+    assert set(by_key) == {
+        ("tsimple", "fpA"),
+        ("taccount", "fp1"),
+        ("taccount", "fp2"),
+        ("taccount", "fp3"),
+    }
+    assert by_key[("tsimple", "fpA")].max_folder_timestamp == 3000
+    assert len(by_key[("tsimple", "fpA")].paths) == 3
+
+
+def test_plan_copy_jobs_serialize_ddl_one_fingerprint(tree):
+    root, _ = tree
+    m = read_manifest(root / "manifest.json")
+    sp = SavepointsStore(root / "sp")
+    sp.upsert("taccount", 2000)  # inside fp2's interval; fp2 folder 2000 already read
+    jobs = plan_copy_jobs({"taccount": m["taccount"]}, sp, serialize_ddl=True)
+    # fp2 eligible but has no unread folders (its only folder is 2000 <= sp);
+    # earliest WITH data is fp3 (F4 #4 + S5 probe semantics)
+    assert [(j.table, j.fingerprint) for j in jobs] == [("taccount", "fp3")]

@@ -1,0 +1,108 @@
+"""End-to-end batch pipeline tests (parity: lifecycle §3.1-3.3; FIXTURES.md F4)."""
+
+import json
+
+from cda_client_spark.config import from_dict
+from cda_client_spark.metadata.savepoints import SavepointsStore
+from cda_client_spark.pipeline import run
+from tests.cdc_fixture import build_basic_tree, seqval_hex
+
+
+def make_cfg(root, out, kind="parquet"):
+    return from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "file",
+                "saveIntoFileType": kind,
+                "fileSettings": {"path": str(out / "files")},
+            },
+        }
+    )
+
+
+def test_full_run_raw_then_incremental_noop(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = make_cfg(root, out)
+
+    report = run(spark, cfg)
+    assert report.ok
+    assert len(report.results) == 4  # tsimple/fpA + taccount fp1..fp3
+
+    # raw output: all 5 committed tsimple rows (folder 4000 excluded), junk cols dropped
+    raw = spark.read.parquet(str(out / "files" / "tsimple" / "fpA" / "3000"))
+    assert raw.count() == 5
+    assert "gwcbi___payload_junk" not in raw.columns
+    assert "gwcbi___seqval_hex" in raw.columns
+
+    # savepoints = manifest timestamp for file targets
+    sp = json.loads((out / "sp" / "savepoints.json").read_text())
+    assert sp == {"tsimple": "3000", "taccount": "3000"}
+
+    # second run: nothing new → no jobs
+    report2 = run(spark, cfg)
+    assert report2.results == []
+
+
+def test_full_run_merged(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = make_cfg(root, out)
+
+    report = run(spark, cfg, merged=True)
+    assert report.ok
+    merged = spark.read.parquet(str(out / "files" / "tsimple" / "fpA" / "3000" / "merged"))
+    rows = {r["id"]: r for r in merged.collect()}
+    # fixture story: insert 1,2 → update 1 → insert 3 → delete 2
+    assert set(rows) == {1, 3}
+    assert rows[1]["v"] == 1.5 and rows[1]["gwcbi___seqval_hex"] == seqval_hex(3)
+    assert rows[3]["v"] == 3.0
+
+
+def test_tables_to_include_filter(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    raw_cfg = {
+        "sourceLocation": {"path": str(root)},
+        "savepointsLocation": str(out / "sp"),
+        "outputSettings": {
+            "exportTarget": "file",
+            "tablesToInclude": "tsimple",
+            "fileSettings": {"path": str(out / "files")},
+        },
+    }
+    report = run(spark, from_dict(raw_cfg))
+    assert {r.table for r in report.results} == {"tsimple"}
+
+
+def test_failed_job_does_not_advance_savepoint(spark, tmp_path, monkeypatch):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = make_cfg(root, out)
+
+    import cda_client_spark.pipeline as pl
+
+    real = pl.read_micro_batch
+
+    def boom(spark_, job, tolerant=False):
+        if job.table == "tsimple":
+            raise RuntimeError("injected")
+        return real(spark_, job, tolerant)
+
+    monkeypatch.setattr(pl, "read_micro_batch", boom)
+    report = run(spark, cfg, max_parallel_jobs=1)
+    assert not report.ok
+    assert any(not r.ok and r.table == "tsimple" for r in report.results)
+    sp = SavepointsStore(out / "sp")
+    assert sp.get("tsimple") is None  # failed table retries next run
+    assert sp.get("taccount") == 3000  # others proceeded (X2)

@@ -1,0 +1,132 @@
+"""File sink + JDBC DDL tests (parity: LocalOutputWriterTest.scala:96-187;
+JdbcOutputWriter.scala DDL paths; FIXTURES.md F5)."""
+
+from pathlib import Path
+
+import yaml
+
+from cda_client_spark.sinks.files import (
+    flatten_structs_for_csv,
+    output_path,
+    schema_yaml,
+    write_csv,
+    write_parquet,
+)
+from cda_client_spark.sinks.jdbc import (
+    ORACLE,
+    POSTGRES,
+    SQLSERVER,
+    alter_add_columns_ddl,
+    create_table_ddl,
+    dialect_for_url,
+    primary_key_ddl,
+    secondary_index_ddl,
+    sql_type,
+    upsert_statement,
+)
+
+
+def test_output_path():
+    assert output_path("/out", "t", "fp") == "/out/t/fp"
+    assert output_path("/out/", "t", "fp", 123) == "/out/t/fp/123"
+    assert output_path("s3://b/p", "t", "fp").startswith("s3a://b/p")
+
+
+def test_flatten_structs_for_csv_golden(spark):
+    # F5 golden: struct<c11:string, c12:binary> → JSON with decoded binary
+    df = spark.createDataFrame(
+        [(("ABC", bytearray(b"something")), "v2", "v3")],
+        "c1 struct<c11:string, c12:binary>, c2 string, c3 string",
+    )
+    out = flatten_structs_for_csv(df).collect()[0]
+    assert out["c1"] == '{"c11":"ABC","c12":"something"}'
+    assert out["c2"] == "v2"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", "b"), (2, "c", "d")], "c1 int, c2 string, c3 string")
+    path = str(tmp_path / "csvout")
+    write_csv(df, path, single_file=True)
+    back = spark.read.option("header", "true").csv(path)
+    assert sorted((r["c2"], r["c3"]) for r in back.collect()) == [("a", "b"), ("c", "d")]
+    assert (Path(path) / "_schema.yaml").exists()
+
+
+def test_parquet_roundtrip_with_schema_yaml(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "c1 int, c2 string")
+    path = str(tmp_path / "pqout")
+    write_parquet(df, path)
+    assert spark.read.parquet(path).count() == 1
+    entries = yaml.safe_load((Path(path) / "_schema.yaml").read_text())
+    assert entries == [
+        {"name": "c1", "dataType": "int", "nullable": True},
+        {"name": "c2", "dataType": "string", "nullable": True},
+    ]
+
+
+def test_schema_yaml_shape(spark):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    text = schema_yaml(df)
+    assert "dataType" in text and "nullable" in text
+
+
+def test_dialect_for_url():
+    assert dialect_for_url("jdbc:postgresql://h/db") is POSTGRES
+    assert dialect_for_url("jdbc:sqlserver://h;db") is SQLSERVER
+    assert dialect_for_url("jdbc:oracle:thin:@h") is ORACLE
+
+
+def test_sql_type_mapping(spark):
+    from pyspark.sql.types import (
+        BooleanType,
+        DecimalType,
+        StringType,
+        TimestampType,
+    )
+
+    assert sql_type(StringType(), POSTGRES) == "VARCHAR(1333)"
+    assert sql_type(StringType(), POSTGRES, large_text=True) == "TEXT"
+    assert sql_type(StringType(), SQLSERVER, large_text=True) == "VARCHAR(max)"
+    assert sql_type(StringType(), ORACLE, large_text=True) == "VARCHAR2(32767)"
+    assert sql_type(TimestampType(), SQLSERVER) == "DATETIME2"  # README.md:50
+    assert sql_type(DecimalType(10, 0), ORACLE) == "NUMBER(10)"
+    assert sql_type(DecimalType(10, 2), ORACLE) == "DECIMAL(10,2)"
+    assert sql_type(BooleanType(), ORACLE) == "NUMBER(3)"
+
+
+def test_create_table_ddl_alphabetical_and_not_null(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 2, "pc", 0, "tc")],
+        "id bigint, zcol string, gwcbi___operation int, publicid string,"
+        " retired bigint, typecode string",
+    )
+    ddl = create_table_ddl(df.schema, "mytable", POSTGRES, merged=True)
+    lines = [l.strip().rstrip(",") for l in ddl.splitlines()[1:-1]]
+    names = [l.split()[0] for l in lines]
+    assert names == sorted(names)  # alphabetical (JdbcOutputWriter.scala:549)
+    assert '"id" BIGINT NOT NULL' in ddl
+    assert '"publicid" VARCHAR(1333) NOT NULL' in ddl  # merged adds publicid/retired/typecode
+    assert '"zcol" VARCHAR(1333)' in ddl and "zcol\" VARCHAR(1333) NOT NULL" not in ddl
+
+
+def test_pk_and_index_ddl():
+    assert 'PRIMARY KEY ("id", "gwcbi___seqval_hex", "gwcbi___operation")' in primary_key_ddl(
+        "t", POSTGRES
+    )
+    assert 'PRIMARY KEY ("id")' in primary_key_ddl("t", POSTGRES, merged=True)
+    assert '("typecode")' in secondary_index_ddl("tl_status", POSTGRES)
+    assert '("publicid")' in secondary_index_ddl("taccount", POSTGRES)
+
+
+def test_alter_add_columns(spark):
+    df = spark.createDataFrame([(1,)], "newcol int")
+    stmts = alter_add_columns_ddl("t", list(df.schema.fields), POSTGRES)
+    assert stmts == ['ALTER TABLE "t" ADD "newcol" INTEGER']
+
+
+def test_upsert_statement_has_seqval_guard(spark):
+    df = spark.createDataFrame([(1, "x", "a")], "id bigint, gwcbi___seqval_hex string, v string")
+    pg = upsert_statement(df.schema, "t", POSTGRES, "t_stage")
+    assert "ON CONFLICT" in pg and '"gwcbi___seqval_hex" < EXCLUDED' in pg
+    ms = upsert_statement(df.schema, "t", SQLSERVER, "t_stage")
+    assert "MERGE INTO" in ms and 't."gwcbi___seqval_hex" < s."gwcbi___seqval_hex"' in ms
