@@ -1,0 +1,578 @@
+"""Query catalog: every operator exposed as a (spark_fn, oracle_sql) pair.
+
+This is the engine's public query surface AND its correctness gate: for each
+named query, ``SPARK[name](spark, sf_dir)`` returns a DataFrame and
+``ORACLE[name]`` is ANSI SQL DuckDB runs on the same parquet tables; the
+driver compares row counts, schemas and order-insensitive value hashes.
+
+Determinism rules (so value hashes match bit-for-bit across engines):
+
+- Sums of doubles are computed as ``sum(cast(x AS decimal(38,10)))`` then
+  cast back to double — exact, order-independent, identical both sides.
+- Averages are ``cast(sum_decimal AS double) / count`` — IEEE division of
+  identical operands.
+- Top-k queries break ties with a unique key so the selected SET is
+  deterministic.
+- Counts are cast to bigint in the oracle (DuckDB sums/counts can widen to
+  HUGEINT; Spark uses bigint).
+
+Scale notes are in each function's docstring; the shared rules: broadcast
+genuinely small dims (region/nation), let AQE size everything else, keep
+every expression JVM-side (no Python UDFs anywhere in this module).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table.
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    read it as a long (legacy conf) and rebuild a microsecond timestamp
+    (the data is microsecond-granular — no precision loss; DuckDB reads the
+    same values natively as TIMESTAMP_NS).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent exact sum of a double column, rounded to 4 decimals
+    before the double cast: the exact decimal sum can exceed 17 significant
+    digits, where decimal->double conversion differs by 1 ULP between
+    engines; <=15 significant digits convert identically everywhere."""
+    return F.round(F.sum(col.cast("decimal(38,10)")), 4).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (aggregation / join / sort / top-k)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation.
+
+    Scale: filter pushes to parquet (PushedFilters), partial aggregation
+    map-side; ~6 groups → tiny shuffle.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_disc_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(38,10))), 4) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped top-k.
+
+    Scale: filters push into all three scans; joins shuffle on the join
+    keys, AQE picks broadcast when a side is small; top-k is a
+    TakeOrderedAndProject (no global sort materialization).
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small-dim broadcasts.
+
+    Scale: region/nation are broadcast explicitly (tiny); the
+    customer⋈orders⋈lineitem⋈supplier chain shuffles on keys with AQE
+    free to re-plan skew.
+    """
+    r = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order volume; deterministic tie-break on key."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            F.col("c_custkey"), F.col("c_name"), F.col("total_spent"), F.col("n_orders")
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS total_spent,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (set difference on key)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_mktsegment")
+
+
+CUSTOMERS_WITH_OPEN_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (engine gap called out in SURVEY §2.4)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def distinct_brand_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection."""
+    return t(spark, sf_dir, "part").select("p_brand", "p_size").distinct()
+
+
+DISTINCT_BRAND_SIZES_SQL = "SELECT DISTINCT p_brand, p_size FROM part"
+
+
+def union_orders_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union (U1/U2 re-expressed as a user query)."""
+    o = t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 400000).withColumn("bucket", F.lit("high"))
+    lo = o.filter(F.col("o_totalprice") < 10000).withColumn("bucket", F.lit("low"))
+    return hi.unionByName(lo).select("o_orderkey", "o_totalprice", "bucket")
+
+
+UNION_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice < 10000
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window / event-stream queries
+# ---------------------------------------------------------------------------
+
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() per group; rank<=3 keeps a deterministic set (value ties share
+    rank)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def running_total_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum over an event stream; unique (ts, event_id) ordering."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum(F.col("value").cast("decimal(38,10)")).over(w), 4)
+            .cast("double")
+            .alias("running_value"),
+        )
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,10))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per key — the engine's A1 pattern on the events table
+    (struct-max: partial-combinable aggregation, no window sort)."""
+    e = t(spark, sf_dir, "events")
+    packed = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("latest")
+    return (
+        e.groupBy("user_id")
+        .agg(packed)
+        .select(
+            "user_id",
+            F.col("latest.ts").alias("ts"),
+            F.col("latest.event_id").alias("event_id"),
+            F.col("latest.event_type").alias("event_type"),
+            F.col("latest.value").alias("value"),
+        )
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h) via lag + cumulative flag."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 3600 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > CAST(3600 AS BIGINT) * 1000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+GROUP BY user_id
+"""
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot by event_type)."""
+    e = t(spark, sf_dir, "events")
+
+    def cnt(kind: str) -> Column:
+        return F.sum(F.when(F.col("event_type") == kind, 1).otherwise(0)).alias(f"n_{kind}")
+
+    return e.groupBy("user_id").agg(
+        cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error")
+    )
+
+
+EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props column."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS total_k, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC queries (the reference's core capability, oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def _orders_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC envelope over orders (FIXTURES.md F6 wrapping):
+    all rows inserted; keys %5==0 also updated (+10% price); keys %97==0
+    get an orphan update (id shifted +10M, must no-op); keys %7==0 deleted.
+    """
+    o = t(spark, sf_dir, "orders")
+
+    def seqhex(expr: Column) -> Column:
+        return F.lpad(F.upper(F.hex(expr)), 16, "0")
+
+    key = F.col("o_orderkey")
+    ins = o.select(
+        key.alias("id"),
+        F.lit(2).alias("gwcbi___operation"),
+        seqhex(key * 10).alias("gwcbi___seqval_hex"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    upd = o.filter(key % 5 == 0).select(
+        key.alias("id"),
+        F.lit(4).alias("gwcbi___operation"),
+        seqhex(key * 10 + 1).alias("gwcbi___seqval_hex"),
+        (F.col("o_totalprice") * 1.1).alias("totalprice"),
+    )
+    orphan = o.filter(key % 97 == 0).select(
+        (key + 10_000_000).alias("id"),
+        F.lit(4).alias("gwcbi___operation"),
+        seqhex(key * 10 + 3).alias("gwcbi___seqval_hex"),
+        F.lit(0.0).alias("totalprice"),
+    )
+    dele = o.filter(key % 7 == 0).select(
+        key.alias("id"),
+        F.lit(1).alias("gwcbi___operation"),
+        seqhex(key * 10 + 2).alias("gwcbi___seqval_hex"),
+        F.lit(0.0).alias("totalprice"),
+    )
+    return ins.unionByName(upd).unionByName(orphan).unionByName(dele)
+
+
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: last-wins CDC merge (operators/cdc.py) over a deterministic
+    change batch built from orders. One partial-combinable aggregation."""
+    from cda_client_spark.operators.cdc import merge_cdc
+
+    return merge_cdc(_orders_cdc_batch(spark, sf_dir))
+
+
+CDC_MERGE_ORDERS_SQL = """
+WITH batch AS (
+  SELECT o_orderkey AS id, 2 AS op,
+         lpad(upper(to_hex(o_orderkey * 10)), 16, '0') AS seqval,
+         o_totalprice AS totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 4, lpad(upper(to_hex(o_orderkey * 10 + 1)), 16, '0'),
+         o_totalprice * 1.1
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, 4, lpad(upper(to_hex(o_orderkey * 10 + 3)), 16, '0'), 0.0
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey, 1, lpad(upper(to_hex(o_orderkey * 10 + 2)), 16, '0'), 0.0
+  FROM orders WHERE o_orderkey % 7 = 0
+), flagged AS (
+  SELECT id, seqval, totalprice,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY seqval DESC) AS rn,
+         MAX(CASE WHEN op IN (0, 2) THEN 1 ELSE 0 END) OVER (PARTITION BY id) AS has_anchor,
+         MAX(CASE WHEN op = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY id) AS has_delete
+  FROM batch
+)
+SELECT id, seqval AS gwcbi___seqval_hex, totalprice
+FROM flagged WHERE rn = 1 AND has_anchor = 1 AND has_delete = 0
+"""
+
+
+def cdc_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC classification counts (P5-P7 as a query)."""
+    b = _orders_cdc_batch(spark, sf_dir)
+    op = F.col("gwcbi___operation")
+    return b.agg(
+        F.sum(F.when(op.isin(2, 0), 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(op == 4, 1).otherwise(0)).alias("n_updates"),
+        F.sum(F.when(op == 1, 1).otherwise(0)).alias("n_deletes"),
+    )
+
+
+CDC_OP_COUNTS_SQL = """
+WITH batch AS (
+  SELECT 2 AS op FROM orders
+  UNION ALL SELECT 4 FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL SELECT 4 FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL SELECT 1 FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT CAST(SUM(CASE WHEN op IN (2,0) THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(SUM(CASE WHEN op = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(SUM(CASE WHEN op = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+FROM batch
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "top_customers": top_customers,
+    "customers_without_orders": customers_without_orders,
+    "customers_with_open_orders": customers_with_open_orders,
+    "rollup_lineitem_flags": rollup_lineitem_flags,
+    "distinct_brand_sizes": distinct_brand_sizes,
+    "union_orders_extremes": union_orders_extremes,
+    "window_rank_orders": window_rank_orders,
+    "running_total_per_user": running_total_per_user,
+    "latest_event_per_user": latest_event_per_user,
+    "sessionize_events": sessionize_events,
+    "event_type_pivot": event_type_pivot,
+    "json_props_extract": json_props_extract,
+    "cdc_merge_orders": cdc_merge_orders,
+    "cdc_op_counts": cdc_op_counts,
+}
+
+ORACLE: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "top_customers": TOP_CUSTOMERS_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "customers_with_open_orders": CUSTOMERS_WITH_OPEN_ORDERS_SQL,
+    "rollup_lineitem_flags": ROLLUP_SQL,
+    "distinct_brand_sizes": DISTINCT_BRAND_SIZES_SQL,
+    "union_orders_extremes": UNION_ORDERS_SQL,
+    "window_rank_orders": WINDOW_RANK_SQL,
+    "running_total_per_user": RUNNING_TOTAL_SQL,
+    "latest_event_per_user": LATEST_EVENT_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
+    "json_props_extract": JSON_PROPS_SQL,
+    "cdc_merge_orders": CDC_MERGE_ORDERS_SQL,
+    "cdc_op_counts": CDC_OP_COUNTS_SQL,
+}

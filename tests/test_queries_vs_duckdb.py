@@ -1,0 +1,57 @@
+"""Every query in the catalog vs its DuckDB oracle at sf0.001 (mirrors the
+driver's correctness gate: row count + schema + order-insensitive values)."""
+
+import math
+
+import duckdb
+import pytest
+
+from cda_client_spark.queries import ORACLE, SPARK, TABLES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(rows, columns):
+    """Sort columns by name, then rows — like the driver's compare."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(SPARK))
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    sdf = SPARK[name](spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    assert name in ORACLE, f"{name} has no oracle (rows-only check)"
+    res = duck.execute(ORACLE[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column names differ: {sorted(spark_cols)} vs {sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
