@@ -1,0 +1,232 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Scale design (the whole point of these at 100 TB):
+
+- **Exact**: hash-groupBy on a fingerprint — one partial-combinable
+  aggregation, shuffle volume = distinct docs.
+- **MinHash+LSH**: signatures are computed *scalar per row* (array
+  transforms, no explode); only the tiny (id, band, band_signature)
+  projection is exploded and shuffled; candidate pairs come from
+  equi-joins inside LSH buckets — never an all-pairs product. Verification
+  (true Jaccard) runs only on candidates.
+- **SimHash**: 64-bit signature per doc from word-hash sign sums; near-dup
+  = signatures equal in all but <=k bits; banding over signature chunks
+  gives the same bucket-join shape as MinHash.
+- **Embedding near-dup**: cosine via JVM array ops; all-pairs only within
+  LSH buckets (random-hyperplane signs), brute force kept for small sets /
+  verification.
+
+Hash choice: ``xxhash64`` (JVM, fastest) by default; ``md5`` variants exist
+where cross-engine reproducibility matters (the DuckDB oracles use md5 —
+xxhash64 seeds/implementations aren't portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.text import ngrams, normalize_text
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None, id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (lowest id wins —
+    deterministic, unlike dropDuplicates which keeps an arbitrary row).
+
+    One aggregation: groupBy(cols).min(struct(id, rest)).
+    """
+    key_cols = cols or [c for c in df.columns if c != id_col]
+    others = [c for c in df.columns if c not in key_cols and c != id_col]
+    packed = F.min(F.struct(F.col(id_col), *[F.col(c) for c in others])).alias("keep")
+    agg = df.groupBy(*key_cols).agg(packed, F.count(F.lit(1)).alias("n_dups"))
+    return agg.select(
+        F.col(f"keep.{id_col}").alias(id_col),
+        *key_cols,
+        *[F.col(f"keep.{c}").alias(c) for c in others],
+        "n_dups",
+    )
+
+
+def minhash_signature(
+    text_col: str, num_hashes: int = 16, shingle: int = 3, hash_fn: str = "xxhash64"
+) -> Column:
+    """MinHash signature as array<string> (md5) or array<bigint> (xxhash64).
+
+    Scalar per row: grams -> for each hash index i, min over grams of
+    hash(i || ':' || gram). No explode, no shuffle.
+    """
+    grams = ngrams(text_col, shingle)
+    sig = []
+    for i in range(num_hashes):
+        if hash_fn == "md5":
+            hashed = F.transform(grams, lambda g: F.md5(F.concat(F.lit(f"{i}:"), g)))
+        else:
+            hashed = F.transform(grams, lambda g: F.xxhash64(F.concat(F.lit(f"{i}:"), g)))
+        sig.append(F.array_min(hashed))
+    return F.array(*sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b that
+    collide in at least one band.
+
+    Only (id, band_id, band_sig) rows shuffle — ``bands`` small rows per
+    doc, regardless of document size. The bucket equi-join produces pairs;
+    distinct() collapses multi-band collisions.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(text_col, num_hashes, shingle, hash_fn)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = with_sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """True n-gram Jaccard similarity for candidate pairs (id_a, id_b).
+
+    With ``pairs=None`` computes ALL pairs — O(n^2), for small sets /
+    verification only; production flows pass LSH candidates.
+    Jaccard = |A∩B| / |A∪B| over distinct shingle sets, via JVM
+    array_intersect (sets stay arrays, no explode).
+    """
+    grams = df.select(
+        F.col(id_col), F.array_distinct(ngrams(text_col, shingle)).alias("grams")
+    )
+    if pairs is None:
+        a, b = grams.alias("a"), grams.alias("b")
+        joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        joined = (
+            pairs.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+            .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+            .select("id_a", "id_b", F.col("grams_a").alias("a_grams"), F.col("grams_b").alias("b_grams"))
+        )
+    if pairs is None:
+        joined = joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.grams").alias("a_grams"),
+            F.col("b.grams").alias("b_grams"),
+        )
+    inter = F.size(F.array_intersect("a_grams", "b_grams"))
+    union = F.size("a_grams") + F.size("b_grams") - inter
+    out = joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).cast("double").alias("jaccard"),
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash64(text_col: str, shingle: int = 2) -> Column:
+    """64-bit SimHash from shingle hashes: bit b of the signature is the
+    sign of sum over shingles of (+1 if bit b of xxhash64(shingle) else -1).
+
+    Scalar per row: aggregate over the gram array accumulating 64 counters
+    packed into... kept simple: one aggregate per bit over the hash array
+    (64 array scans of an in-memory array — still row-local, no shuffle).
+    """
+    hashes = F.transform(ngrams(text_col, shingle), lambda g: F.xxhash64(g))
+    bits = []
+    for b in range(64):
+        # sum of bit b over hashes, vs half the count → majority sign
+        ones = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        bit = (ones * 2 >= F.size(hashes)).cast("bigint")
+        bits.append(F.shiftleft(bit, b))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out.bitwiseOR(x)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (popcount via
+    bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: signatures within ``max_hamming`` bits.
+
+    Banding: split the 64-bit signature into ``bands`` chunks; by
+    pigeonhole, any pair within max_hamming < bands bits collides on at
+    least one chunk → bucket equi-join, then exact Hamming verify.
+    """
+    width = 64 // bands
+    sigs = df.select(F.col(id_col), simhash64(text_col, shingle).alias("sim"))
+    chunk_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sim"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(id_col, "sim", F.explode(F.array(*chunk_cols)).alias("bk")).select(
+        id_col, "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

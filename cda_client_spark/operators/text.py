@@ -1,0 +1,149 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are Spark built-ins (JVM-side, whole-stage
+codegen) — no Python UDFs: at 100 TB a row-at-a-time Python UDF is a
+10-100x tax (see /opt/skills/guides/pyspark_guide.md), and none of these
+need one.
+
+The reference has no text operators (its one UDF is a struct stringifier,
+FileBasedOutputWriter.scala:170-187); these are the north-star extensions
+for LLM-data pipelines: tokenization, quality scoring, language ID,
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# token pattern: word runs or single non-space punctuation — a cheap BPE-ish
+# pre-tokenizer (the real BPE merge table is model-specific; this matches the
+# common "GPT-2-style pre-split" shape)
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "es": ("el", "la", "de", "que", "y", "los", "en"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+}
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.lower(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """BPE-ish token count via regex matches (JVM regexp, no UDF)."""
+    return F.regexp_count(col, F.lit(TOKEN_REGEX))
+
+
+def word_count(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def ngrams(text_col: str, n: int = 3) -> Column:
+    """Word n-grams of a string column as array<string> — pure SQL transform
+    over the word array; stays scalar (no explode), so a row never
+    amplifies. ``text_col`` is a column NAME (the expression is built in
+    SQL text so the lambda stays in Catalyst)."""
+    w = f"split(lower({text_col}), '\\\\s+')"
+    return F.expr(
+        f"transform(sequence(1, greatest(size({w}) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice({w}, i, {n})))"
+    )
+
+
+def ngrams_from_words(words_col: str, n: int = 3) -> Column:
+    """Word n-grams from a pre-split array column named ``words_col``."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({words_col}) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice({words_col}, i, {n})))"
+    )
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?'\"]", ""))
+
+
+def digit_ratio(col: Column) -> Column:
+    digits = F.length(col) - F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return digits / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_count(col: Column, lang: str = "en") -> Column:
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features (length / punctuation / stopword
+    ratios) — the standard cheap filters before expensive dedup stages."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = word_count(c)
+    return df.withColumns(
+        {
+            "n_chars_m": n_chars,
+            "n_words": n_words,
+            "n_tokens": token_count(c),
+            "avg_word_len": (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)),
+            "punct_ratio": punct_count(c) / F.greatest(n_chars, F.lit(1)),
+            "digit_ratio": digit_ratio(c),
+            "stopword_ratio": stopword_count(c) / F.greatest(n_words, F.lit(1)),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: rewards stopword density and
+    mid-length docs, penalizes digit/punct noise. Deterministic arithmetic
+    only (oracle-checkable)."""
+    feat = quality_features(df, text_col)
+    length_term = F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+    noise_term = F.greatest(
+        F.lit(1.0) - 4 * (F.col("punct_ratio") + F.col("digit_ratio")), F.lit(0.0)
+    )
+    return feat.withColumn(
+        "quality_score",
+        F.round((0.4 * length_term + 0.3 * stop_term + 0.3 * noise_term), 6),
+    )
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID: CJK-character share first, else the language
+    whose stopword list hits most (ties break in fixed lang order).
+
+    Scale: one pass of JVM regexps per row; for real corpora swap in a
+    fastText-style model via a Pandas UDF — this is the cheap first stage.
+    """
+    cjk = F.regexp_count(col, F.lit(r"[一-鿿]"))
+    scores = {lang: stopword_count(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*scores.values())
+    expr = F.when(cjk > 0, F.lit("zh"))
+    for lang in STOPWORDS:  # fixed iteration order = deterministic ties
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for exact-dup detection: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash64) so results are reproducible across engines and
+    languages; swap ``xxhash64`` in via ``fingerprint_fast`` for pure-Spark
+    pipelines where speed matters more than portability.
+    """
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_fast(col: Column) -> Column:
+    """xxhash64-based fingerprint — cheaper at scale, Spark-specific."""
+    return F.xxhash64(normalize_text(col))
