@@ -74,33 +74,40 @@ def run_job(
     if merged:
         df = merge_cdc(df)
 
-    target = cfg.output.export_target
-    if target == "file":
-        kind = "merged" if merged else cfg.output.save_into_file_type
-        path = output_path(
-            cfg.output.file_settings.path, job.table, job.fingerprint, job.manifest_timestamp
-        )
-        if merged:
-            path = f"{path}/merged"
-        n = df.count()
-        if kind == "csv":
-            write_csv(
-                df,
-                path,
-                header=cfg.output.file_settings.include_column_names,
-                single_file=cfg.output.file_settings.save_as_single_file,
+    # The frame is consumed twice (count + write); persist so the scan (+
+    # merge shuffle) runs once — reference pattern JdbcOutputWriter.scala:348.
+    # Without this every job reads its source twice: a 2x tax at scale.
+    df = df.persist()
+    try:
+        target = cfg.output.export_target
+        if target == "file":
+            kind = "merged" if merged else cfg.output.save_into_file_type
+            path = output_path(
+                cfg.output.file_settings.path, job.table, job.fingerprint, job.manifest_timestamp
             )
+            if merged:
+                path = f"{path}/merged"
+            n = df.count()
+            if kind == "csv":
+                write_csv(
+                    df,
+                    path,
+                    header=cfg.output.file_settings.include_column_names,
+                    single_file=cfg.output.file_settings.save_as_single_file,
+                )
+            else:
+                write_parquet(
+                    df, path, single_file=cfg.output.file_settings.save_as_single_file
+                )
+            savepoint = job.manifest_timestamp
         else:
-            write_parquet(
-                df, path, single_file=cfg.output.file_settings.save_as_single_file
-            )
-        savepoint = job.manifest_timestamp
-    else:
-        from cda_client_spark.sinks.jdbc import write_jdbc_raw
+            from cda_client_spark.sinks.jdbc import write_jdbc_raw
 
-        n = df.count()
-        write_jdbc_raw(df, cfg.output.jdbc_settings, job.table)
-        savepoint = job.max_folder_timestamp
+            n = df.count()
+            write_jdbc_raw(df, cfg.output.jdbc_settings, job.table)
+            savepoint = job.max_folder_timestamp
+    finally:
+        df.unpersist()
 
     savepoints.upsert(job.table, savepoint)
     return JobResult(job.table, job.fingerprint, n, savepoint)

@@ -156,17 +156,28 @@ def create_table_ddl(
     return f"CREATE TABLE {qualified} (\n  " + ",\n  ".join(cols) + "\n)"
 
 
+# Typelist table-name prefixes (JdbcOutputWriter.scala:648-650): the four
+# Guidewire product prefixes, all 5 chars including the underscore.
+TYPELIST_PREFIXES = ("pctl_", "cctl_", "bctl_", "abtl_")
+
+
 def primary_key_ddl(table: str, dialect: Dialect, merged: bool = False) -> str:
-    """PK DDL (W10, JdbcOutputWriter.scala:628-656)."""
+    """PK DDL (W10, JdbcOutputWriter.scala:628-656): named constraint
+    ``<table>_pk`` exactly as the reference emits (:634)."""
     pk = MERGED_PK if merged else RAW_PK
     cols = ", ".join(dialect.q(c) for c in pk)
-    return f"ALTER TABLE {dialect.q(table)} ADD PRIMARY KEY ({cols})"
+    return (
+        f"ALTER TABLE {dialect.q(table)} ADD CONSTRAINT "
+        f"{dialect.q(table + '_pk')} PRIMARY KEY ({cols})"
+    )
 
 
 def secondary_index_ddl(table: str, dialect: Dialect) -> str:
-    """Merged secondary index: typecode for `*tl_` typelist tables else
-    publicid (W10, JdbcOutputWriter.scala:657-665)."""
-    col = "typecode" if table.startswith(("tl_",)) or "tl_" in table[:4] else "publicid"
+    """Merged secondary index: typecode for typelist tables (pctl_/cctl_/
+    bctl_/abtl_ prefixes) else publicid (W10, JdbcOutputWriter.scala:648-665).
+    Typelist tables have no publicid column, so the prefix test must be
+    exact — a miss would emit a CREATE INDEX that fails at runtime."""
+    col = "typecode" if table.startswith(TYPELIST_PREFIXES) else "publicid"
     return f"CREATE INDEX {table}_{col}_idx ON {dialect.q(table)} ({dialect.q(col)})"
 
 

@@ -83,6 +83,30 @@ def test_tables_to_include_filter(spark, tmp_path):
     assert {r.table for r in report.results} == {"tsimple"}
 
 
+def test_run_job_persists_frame_across_count_and_write(spark, tmp_path, monkeypatch):
+    """count() + write must share one computation (persist — reference
+    pattern JdbcOutputWriter.scala:348); otherwise every job scans its
+    source twice."""
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = make_cfg(root, out)
+
+    import cda_client_spark.pipeline as pl
+
+    seen_levels = []
+    real_write = pl.write_parquet
+
+    def spy_write(df, path, single_file=False):
+        seen_levels.append(df.storageLevel.useMemory or df.storageLevel.useDisk)
+        return real_write(df, path, single_file=single_file)
+
+    monkeypatch.setattr(pl, "write_parquet", spy_write)
+    report = run(spark, cfg, max_parallel_jobs=1)
+    assert report.ok and seen_levels and all(seen_levels)
+
+
 def test_failed_job_does_not_advance_savepoint(spark, tmp_path, monkeypatch):
     root = tmp_path / "src"
     root.mkdir()

@@ -114,8 +114,14 @@ def test_pk_and_index_ddl():
         "t", POSTGRES
     )
     assert 'PRIMARY KEY ("id")' in primary_key_ddl("t", POSTGRES, merged=True)
-    assert '("typecode")' in secondary_index_ddl("tl_status", POSTGRES)
+    # named constraint exactly as the reference (JdbcOutputWriter.scala:634)
+    assert 'ADD CONSTRAINT "t_pk" PRIMARY KEY' in primary_key_ddl("t", POSTGRES)
+    # all four real typelist prefixes (JdbcOutputWriter.scala:648-650) get the
+    # typecode index; ordinary tables get publicid
+    for prefix in ("pctl_", "cctl_", "bctl_", "abtl_"):
+        assert '("typecode")' in secondary_index_ddl(f"{prefix}state", POSTGRES)
     assert '("publicid")' in secondary_index_ddl("taccount", POSTGRES)
+    assert '("publicid")' in secondary_index_ddl("tl_status", POSTGRES)  # not a GW prefix
 
 
 def test_alter_add_columns(spark):
