@@ -28,6 +28,12 @@ BENCH_QUERIES = [
     "latest_event_per_user",
     "sessionize_events",
     "cdc_merge_orders",
+    "doc_exact_dedup",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash_near_dups",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "emb_near_dup_pairs",
 ]
 
 

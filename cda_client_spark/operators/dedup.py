@@ -13,9 +13,9 @@ Scale design (the whole point of these at 100 TB):
 - **SimHash**: 64-bit signature per doc from word-hash sign sums; near-dup
   = signatures equal in all but <=k bits; banding over signature chunks
   gives the same bucket-join shape as MinHash.
-- **Embedding near-dup**: cosine via JVM array ops; all-pairs only within
-  LSH buckets (random-hyperplane signs), brute force kept for small sets /
-  verification.
+- **Embedding near-dup**: in ``operators/similarity.py`` — cosine via JVM
+  array ops; all-pairs only within LSH buckets (random-hyperplane signs),
+  brute force kept for small sets / verification.
 
 Hash choice: ``xxhash64`` (JVM, fastest) by default; ``md5`` variants exist
 where cross-engine reproducibility matters (the DuckDB oracles use md5 —
@@ -24,10 +24,109 @@ xxhash64 seeds/implementations aren't portable).
 
 from __future__ import annotations
 
+import hashlib
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from cda_client_spark.operators.text import ngrams, normalize_text
+from cda_client_spark.operators.text import ngrams, ngrams_sql, normalize_text
+
+logger = logging.getLogger(__name__)
+
+# MinHash affine rehashing (universal hashing): hash each gram ONCE, derive
+# the i-th MinHash as (a_i * h + b_i) mod P. Hashing a gram 16x with string
+# md5/xxhash is the naive construction and is 10-100x more work per row;
+# affine rehash is integer-only and reproducible in any engine.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+# Higher-order functions (transform/aggregate/zip_with) are NOT whole-stage
+# codegen in Spark — they evaluate interpreted, allocating per step. The
+# signature builders below therefore EXPLODE grams and aggregate with
+# codegen'd hash aggregates (map-side combine → shuffle is docs x a few
+# longs), instead of folding arrays per row. The Column-returning variants
+# (minhash_signature / simhash) are kept for scalar composition and agree
+# value-for-value, but the DataFrame variants are the hot path.
+
+
+def minhash_affine_constants(num_hashes: int, seed: str = "mh") -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, md5-derived like
+    similarity.hyperplane_weights: a_i odd 28-bit, b_i 32-bit — products
+    stay < 2^61, no bigint overflow in any engine."""
+    return [
+        (
+            int(hashlib.md5(f"{seed}:a:{i}".encode()).hexdigest()[:7], 16) | 1,
+            int(hashlib.md5(f"{seed}:b:{i}".encode()).hexdigest()[:8], 16),
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def gram_hash_expr(hash_fn: str, mask32: bool) -> Column:
+    """Hash of an exploded gram column named ``gram``: md5-derived (engine
+    portable, 32 or 60 bits) or xxhash64 (fast, Spark-only)."""
+    if hash_fn == "md5":
+        chars = 8 if mask32 else 15
+        return F.expr(f"cast(conv(substr(md5(gram), 1, {chars}), 16, 10) as bigint)")
+    h = F.xxhash64("gram")
+    return h.bitwiseAND(F.lit(4294967295)) if mask32 else h
+
+
+def gram_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    hash_fn: str = "xxhash64",
+    mask32: bool = True,
+) -> DataFrame:
+    """(id, h): one hash per (doc, gram). Documents with fewer words than
+    the shingle size produce no rows (they have no shingles to compare)."""
+    g = df.select(F.col(id_col), F.explode(ngrams(text_col, shingle)).alias("gram"))
+    return g.select(id_col, gram_hash_expr(hash_fn, mask32).alias("h"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle: int = 3,
+    hash_fn: str = "xxhash64",
+    seed: str = "mh",
+) -> DataFrame:
+    """(id, sig array<bigint>): codegen'd min-aggregates over the exploded
+    gram hashes — the hot-path MinHash (see module comment)."""
+    hs = gram_hashes(df, id_col, text_col, shingle, hash_fn, mask32=True)
+    consts = minhash_affine_constants(num_hashes, seed)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"m{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    agg = hs.groupBy(id_col).agg(*aggs)
+    return agg.select(id_col, F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def cap_buckets(buckets: DataFrame, key_cols: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket_size`` members before a
+    bucket self-join.
+
+    At 100 TB one degenerate bucket (empty docs, boilerplate) turns the
+    bucket equi-join quadratic — a single hot key can emit billions of
+    pairs. Capping bounds pairs per bucket at C(cap, 2). The window count
+    shuffles by the same (band, key) the join shuffles by, so the exchange
+    is reused. Dropped buckets are by definition near-identical content en
+    masse; callers that must not lose them should handle the oversized
+    buckets separately (e.g. exact-dedup them — they collide on the whole
+    signature band anyway).
+    """
+    w = Window.partitionBy(*key_cols)
+    return (
+        buckets.withColumn("_bucket_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_size") <= max_bucket_size)
+        .drop("_bucket_size")
+    )
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None, id_col: str = "doc_id") -> DataFrame:
@@ -49,22 +148,52 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None, id_col: str = "doc
 
 
 def minhash_signature(
-    text_col: str, num_hashes: int = 16, shingle: int = 3, hash_fn: str = "xxhash64"
+    text_col: str,
+    num_hashes: int = 16,
+    shingle: int = 3,
+    hash_fn: str = "xxhash64",
+    seed: str = "mh",
 ) -> Column:
-    """MinHash signature as array<string> (md5) or array<bigint> (xxhash64).
+    """MinHash signature as array<bigint>, scalar per row (no explode, no
+    shuffle) — same affine math as ``minhash_signatures``, for composing
+    into row-level expressions. Empty-gram docs get the P sentinel in every
+    slot. Prefer the DataFrame variant on large corpora (codegen)."""
+    if hash_fn == "md5":
+        h32 = "cast(conv(substr(md5(g), 1, 8), 16, 10) as bigint)"
+    else:
+        h32 = "xxhash64(g) & 4294967295"
+    grams = ngrams_sql(text_col, shingle)
+    consts = minhash_affine_constants(num_hashes, seed)
+    ab = ", ".join(
+        f"named_struct('a', cast({a} as bigint), 'b', cast({b} as bigint))" for a, b in consts
+    )
+    return F.expr(
+        f"aggregate(transform({grams}, g -> {h32}),"
+        f" transform(sequence(1, {num_hashes}), x -> cast({MINHASH_PRIME} as bigint)),"
+        f" (acc, h) -> zip_with(acc, array({ab}),"
+        f"   (m, ab) -> least(m, (ab.a * h + ab.b) % {MINHASH_PRIME})))"
+    )
 
-    Scalar per row: grams -> for each hash index i, min over grams of
-    hash(i || ':' || gram). No explode, no shuffle.
-    """
-    grams = ngrams(text_col, shingle)
-    sig = []
-    for i in range(num_hashes):
-        if hash_fn == "md5":
-            hashed = F.transform(grams, lambda g: F.md5(F.concat(F.lit(f"{i}:"), g)))
-        else:
-            hashed = F.transform(grams, lambda g: F.xxhash64(F.concat(F.lit(f"{i}:"), g)))
-        sig.append(F.array_min(hashed))
-    return F.array(*sig)
+
+def bucket_pairs(buckets: DataFrame, id_col: str, max_bucket_size: int | None) -> DataFrame:
+    """Self-join (id, band, key) bucket rows into distinct candidate pairs
+    (id_a < id_b), optionally capping hot buckets first (see
+    ``cap_buckets``). Shared shape for MinHash / SimHash / hyperplane LSH —
+    an equi-join on (band, key), never an all-pairs product."""
+    if max_bucket_size is not None:
+        logger.info("LSH bucket cap active: max_bucket_size=%d", max_bucket_size)
+        buckets = cap_buckets(buckets, ["band", "key"], max_bucket_size)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(
@@ -75,17 +204,19 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b that
     collide in at least one band.
 
     Only (id, band_id, band_sig) rows shuffle — ``bands`` small rows per
     doc, regardless of document size. The bucket equi-join produces pairs;
-    distinct() collapses multi-band collisions.
+    distinct() collapses multi-band collisions. ``max_bucket_size`` bounds
+    degenerate buckets (see ``cap_buckets``) — set it for any corpus that
+    may contain mass-duplicated boilerplate.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle, hash_fn)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle, hash_fn)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -98,17 +229,7 @@ def lsh_candidate_pairs(
     buckets = with_sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return bucket_pairs(buckets, id_col, max_bucket_size)
 
 
 def jaccard_pairs(
@@ -155,29 +276,75 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
-def simhash64(text_col: str, shingle: int = 2) -> Column:
-    """64-bit SimHash from shingle hashes: bit b of the signature is the
-    sign of sum over shingles of (+1 if bit b of xxhash64(shingle) else -1).
+def simhash(text_col: str, shingle: int = 2, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
+    """SimHash signature from shingle hashes: bit b of the signature is the
+    majority of bit b across all shingle hashes.
 
-    Scalar per row: aggregate over the gram array accumulating 64 counters
-    packed into... kept simple: one aggregate per bit over the hash array
-    (64 array scans of an in-memory array — still row-local, no shuffle).
+    ONE pass over the gram array (row-local, no shuffle): a single
+    ``aggregate`` carries a vector of per-bit counters
+    (``zip_with(acc, sequence(0, bits-1), ...)``) and a finish lambda packs
+    the majority bits into one bigint. All JVM-side, no UDF.
+
+    ``hash_fn='md5'`` derives a 60-bit hash from the md5 hex digest
+    (``conv(substr(md5(g),1,15),16,10)``) — reproducible in any engine with
+    md5 (the DuckDB oracle path); pass ``bits<=60`` with it. The default
+    xxhash64 is faster and uses all 64 bits (signed — hence the unsigned
+    shift below).
     """
-    hashes = F.transform(ngrams(text_col, shingle), lambda g: F.xxhash64(g))
-    bits = []
-    for b in range(64):
-        # sum of bit b over hashes, vs half the count → majority sign
-        ones = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("int"),
-        )
-        bit = (ones * 2 >= F.size(hashes)).cast("bigint")
-        bits.append(F.shiftleft(bit, b))
-    out = bits[0]
-    for x in bits[1:]:
-        out = out.bitwiseOR(x)
-    return out
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5-derived hashes carry 60 bits; pass bits<=60")
+        h = "cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)"
+    else:
+        h = "xxhash64(g)"
+    grams = ngrams_sql(text_col, shingle)
+    hashes = f"transform({grams}, g -> {h})"
+    idx = f"sequence(0, {bits - 1})"
+    return F.expr(
+        f"aggregate({hashes},"
+        f" transform({idx}, x -> cast(0 as bigint)),"
+        f" (acc, h) -> zip_with(acc, {idx}, (c, b) -> c + (shiftrightunsigned(h, b) & 1)),"
+        f" counts -> aggregate("
+        f"   zip_with(counts, {idx},"
+        f"     (c, b) -> if(size({grams}) > 0 and 2 * c >= size({grams}),"
+        f"               shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
+        f"   cast(0 as bigint), (a, x) -> a + x))"
+    )
+
+
+def simhash64(text_col: str, shingle: int = 2) -> Column:
+    """64-bit xxhash64 SimHash (the fast path; see ``simhash``)."""
+    return simhash(text_col, shingle, bits=64, hash_fn="xxhash64")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 2,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, sim bigint): the hot-path SimHash — exploded gram hashes into
+    ``bits`` codegen'd sum-aggregates (per-bit majority counters), packed
+    back into one signature. Integer sums are order-independent, so the
+    value is identical to the row-local ``simhash`` column. Docs with no
+    grams produce no row (cf. ``gram_hashes``)."""
+    if hash_fn == "md5" and bits > 60:
+        raise ValueError("md5-derived hashes carry 60 bits; pass bits<=60")
+    hs = gram_hashes(df, id_col, text_col, shingle, hash_fn, mask32=False)
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    agg = hs.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("bigint")
+    for b in range(bits):
+        bit = F.when(
+            F.col(f"c{b}") * 2 >= F.col("n"), F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sim = sim + bit
+    return agg.select(id_col, sim.alias("sim"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -193,15 +360,19 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     shingle: int = 2,
     bands: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: signatures within ``max_hamming`` bits.
 
-    Banding: split the 64-bit signature into ``bands`` chunks; by
+    Banding: split the ``bits``-wide signature into ``bands`` chunks; by
     pigeonhole, any pair within max_hamming < bands bits collides on at
-    least one chunk → bucket equi-join, then exact Hamming verify.
+    least one chunk → bucket equi-join (hot buckets capped, see
+    ``cap_buckets``), then exact Hamming verify.
     """
-    width = 64 // bands
-    sigs = df.select(F.col(id_col), simhash64(text_col, shingle).alias("sim"))
+    width = bits // bands
+    sigs = simhash_signatures(df, id_col, text_col, shingle, bits, hash_fn)
     chunk_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -214,6 +385,9 @@ def simhash_near_dup_pairs(
     buckets = sigs.select(id_col, "sim", F.explode(F.array(*chunk_cols)).alias("bk")).select(
         id_col, "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if max_bucket_size is not None:
+        logger.info("LSH bucket cap active: max_bucket_size=%d", max_bucket_size)
+        buckets = cap_buckets(buckets, ["band", "key"], max_bucket_size)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(

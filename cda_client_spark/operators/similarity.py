@@ -1,0 +1,251 @@
+"""Embedding similarity search: cosine top-k (ANN) and embedding near-dup.
+
+The reference engine has no similarity operators (its operator inventory is
+SURVEY.md §2 — CDC ETL only); these are the north-star LLM-data-pipeline
+extensions over ``array<float>`` embedding columns.
+
+Scale design (100 TB):
+
+- **Brute-force top-k**: corpus is streamed ONCE with the (small) query set
+  broadcast — a map-side nested loop, no shuffle of the corpus for scoring.
+  The final top-k *selection* is a window over |corpus| x |queries| scored
+  rows, so this is the verification baseline / small-query-set path.
+- **LSH top-k**: deterministic random-hyperplane sketches bucket both
+  sides; candidates come from a band-wise equi-join (never a cartesian
+  product), so scored rows ~ candidates, not |corpus| x |queries|.
+- **Near-dup pairs**: same banded bucket self-join shape as MinHash-LSH
+  (operators/dedup.py), with the hot-bucket cap.
+
+Engine parity (how the DuckDB oracle can match bit-for-bit): hyperplanes
+are md5-derived driver-side (no RNG). Spark evaluates dots/norms as
+``aggregate(zip_with(...))`` folds — compact expression trees (explicit
+4096-term sums blow up Catalyst plan memory) that accumulate strictly
+left-to-right from 0.0; the oracle SQL uses explicit left-to-right sums
+(``*_sql`` builders). IEEE gives ``0.0 + t1 == t1``, so both orderings
+round identically and the only divergence risk is exact round-half
+boundaries after ``round(x, 6)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cda_client_spark.operators.dedup import bucket_pairs
+
+
+def hyperplane_weights(num_planes: int, dim: int, seed: str = "hp") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5): weight (p, d)
+    is derived from md5(f"{seed}:{p}:{d}") — reproducible in any engine /
+    language with md5, no RNG state to ship."""
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16) / 2.0**60 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def dot_sql(a: str, b: str, dim: int, base: int = 0) -> str:
+    """Explicit left-to-right dot product of two array columns (SQL text,
+    oracle side). ``base`` is the engine's array index base (DuckDB 1)."""
+    return " + ".join(
+        f"cast({a}[{i + base}] as double) * cast({b}[{i + base}] as double)"
+        for i in range(dim)
+    )
+
+
+def norm_sql(a: str, dim: int, base: int = 0) -> str:
+    return f"sqrt({dot_sql(a, a, dim, base)})"
+
+
+def plane_dot_sql(vec: str, weights: list[float], base: int = 0) -> str:
+    """Explicit dot product of an array column with literal plane weights
+    (SQL text, oracle side)."""
+    return " + ".join(
+        f"cast({w!r} as double) * cast({vec}[{i + base}] as double)"
+        for i, w in enumerate(weights)
+    )
+
+
+def dot_col(a: str, b: str) -> Column:
+    """Spark-side dot product: one left-fold over the zipped arrays —
+    O(1) expression nodes regardless of dim, same fp result as the
+    explicit sum (0.0 + t1 == t1)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_col(a: str) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def plane_dot_col(vec: str, weights: list[float]) -> Column:
+    """Spark-side dot with literal weights: the weight array is a literal,
+    the fold is a loop — no 64-term expression tree per plane."""
+    lits = ", ".join(f"cast({w!r} as double)" for w in weights)
+    return F.expr(
+        f"aggregate(zip_with({vec}, array({lits}), (x, y) -> cast(x as double) * y),"
+        f" cast(0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def band_key_col(vec: str, weights: list[list[float]], band: int, bands: int) -> Column:
+    """Spark-side bucket key for one band (see ``band_key_sql``)."""
+    width = len(weights) // bands
+    key = F.lit(0)
+    for j in range(width):
+        sign = F.when(plane_dot_col(vec, weights[band * width + j]) >= 0, 1 << j).otherwise(0)
+        key = key + sign
+    return key
+
+
+def band_key_sql(vec: str, weights: list[list[float]], band: int, bands: int, base: int = 0) -> str:
+    """Bucket key for one band: the sign bits of this band's hyperplane dot
+    products packed into an integer (width = num_planes // bands)."""
+    width = len(weights) // bands
+    terms = [
+        f"(case when ({plane_dot_sql(vec, weights[band * width + j], base)}) >= 0"
+        f" then {1 << j} else 0 end)"
+        for j in range(width)
+    ]
+    return " + ".join(terms)
+
+
+def sketch_buckets(
+    df: DataFrame,
+    weights: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, key) bucket rows: ``bands`` rows per vector, computed
+    scalar per row (no shuffle until the bucket join)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            band_key_col(vec_col, weights, b, bands).cast("bigint").alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return df.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def _scored(round_digits: int) -> Column:
+    """cosine = dot / (norm_a * norm_b), rounded for engine parity."""
+    dot = dot_col("q_vec", "c_vec")
+    return F.round(dot / (F.col("q_norm") * F.col("c_norm")), round_digits)
+
+
+def _projections(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_col(vec_col).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_col(vec_col).alias("q_norm"),
+    )
+    return c, q
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    method: str = "bruteforce",
+    num_planes: int = 32,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    round_digits: int = 6,
+    exclude_self: bool = True,
+    seed: str = "hp",
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector.
+
+    ``method='bruteforce'``: exact — corpus scanned once, queries broadcast.
+    ``method='lsh'``: approximate — hyperplane-LSH candidates only (the
+    100 TB path: scored rows ~ bucket collisions, not |corpus| x |queries|).
+
+    Returns (query_id, neighbor_id, cos_sim, rnk) with rnk 1..k ordered by
+    (cos_sim desc, neighbor_id asc) — deterministic under ties.
+    """
+    c, q = _projections(corpus, queries, id_col, vec_col)
+    if method == "bruteforce":
+        pairs = c.crossJoin(F.broadcast(q))
+    elif method == "lsh":
+        weights = hyperplane_weights(num_planes, dim, seed)
+        cb = sketch_buckets(corpus, weights, bands, id_col, vec_col).withColumnRenamed(
+            id_col, "neighbor_id"
+        )
+        qb = sketch_buckets(queries, weights, bands, id_col, vec_col).withColumnRenamed(
+            id_col, "query_id"
+        )
+        if max_bucket_size is not None:
+            from cda_client_spark.operators.dedup import cap_buckets
+
+            cb = cap_buckets(cb, ["band", "key"], max_bucket_size)
+        cand = (
+            cb.join(F.broadcast(qb), ["band", "key"])
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        pairs = cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+    else:
+        raise ValueError(f"unknown method: {method}")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos_sim", _scored(round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 32,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+    round_digits: int = 6,
+    seed: str = "hp",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, candidates from
+    the banded hyperplane bucket self-join (same shape as MinHash-LSH;
+    never all-pairs). Returns (id_a, id_b, cos_sim)."""
+    weights = hyperplane_weights(num_planes, dim, seed)
+    buckets = sketch_buckets(df, weights, bands, id_col, vec_col)
+    pairs = bucket_pairs(buckets, id_col, max_bucket_size)
+    proj = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), norm_col(vec_col).alias("n")
+    )
+    a = proj.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("q_vec"), F.col("n").alias("q_norm")
+    )
+    b = proj.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("c_vec"), F.col("n").alias("c_norm")
+    )
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    out = joined.withColumn("cos_sim", _scored(round_digits))
+    return out.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")

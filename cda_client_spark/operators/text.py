@@ -2,8 +2,7 @@
 
 All hot-path expressions are Spark built-ins (JVM-side, whole-stage
 codegen) — no Python UDFs: at 100 TB a row-at-a-time Python UDF is a
-10-100x tax (see /opt/skills/guides/pyspark_guide.md), and none of these
-need one.
+10-100x tax, and none of these need one.
 
 The reference has no text operators (its one UDF is a struct stringifier,
 FileBasedOutputWriter.scala:170-187); these are the north-star extensions
@@ -43,23 +42,34 @@ def word_count(col: Column) -> Column:
     return F.size(words(col))
 
 
+def ngrams_sql(text_col: str, n: int = 3) -> str:
+    """SQL text for word n-grams (see ``ngrams``). The ``size >= n`` guard
+    matters: ``sequence(1, 0)`` in Spark DESCENDS to ``[1, 0]``, so an
+    unguarded expression emits bogus grams (and a slice(_, 0, _) error) for
+    documents with fewer than ``n`` words."""
+    w = f"split(lower({text_col}), '\\\\s+')"
+    return (
+        f"if(size({w}) >= {n},"
+        f" transform(sequence(1, size({w}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({w}, i, {n}))), array())"
+    )
+
+
 def ngrams(text_col: str, n: int = 3) -> Column:
     """Word n-grams of a string column as array<string> — pure SQL transform
     over the word array; stays scalar (no explode), so a row never
     amplifies. ``text_col`` is a column NAME (the expression is built in
-    SQL text so the lambda stays in Catalyst)."""
-    w = f"split(lower({text_col}), '\\\\s+')"
-    return F.expr(
-        f"transform(sequence(1, greatest(size({w}) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice({w}, i, {n})))"
-    )
+    SQL text so the lambda stays in Catalyst). Short documents (< n words)
+    yield an empty array."""
+    return F.expr(ngrams_sql(text_col, n))
 
 
 def ngrams_from_words(words_col: str, n: int = 3) -> Column:
     """Word n-grams from a pre-split array column named ``words_col``."""
     return F.expr(
-        f"transform(sequence(1, greatest(size({words_col}) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice({words_col}, i, {n})))"
+        f"if(size({words_col}) >= {n},"
+        f" transform(sequence(1, size({words_col}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({words_col}, i, {n}))), array())"
     )
 
 

@@ -576,3 +576,10 @@ ORACLE: dict[str, str] = {
     "cdc_merge_orders": CDC_MERGE_ORDERS_SQL,
     "cdc_op_counts": CDC_OP_COUNTS_SQL,
 }
+
+# LLM-data-pipeline queries (dedup / text / similarity) live in their own
+# module; merged here so the driver contract sees one registry.
+from cda_client_spark.queries_llm import ORACLE_LLM, SPARK_LLM  # noqa: E402
+
+SPARK.update(SPARK_LLM)
+ORACLE.update(ORACLE_LLM)

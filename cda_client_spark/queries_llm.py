@@ -1,0 +1,484 @@
+"""LLM-data-pipeline query catalog: dedup / text analysis / similarity
+search over the ``documents`` and ``embeddings`` tables, each with a DuckDB
+oracle (same contract as ``queries.py`` — see its determinism rules).
+
+Oracle strategy: every operator here is deterministic and md5-based where a
+hash is needed, so the FULL pipeline (MinHash signatures, LSH banding,
+SimHash bit-majorities, hyperplane sketches, cosine top-k) is replayed in
+portable SQL. Cross-engine fp parity comes from explicit left-to-right
+sums (operators/similarity.py builders) and ``round(x, 6)`` on every
+derived double.
+
+Where a natural corpus has no duplicates (the synthetic tables don't), the
+queries plant deterministic duplicates — exact dups as case/whitespace
+variants (exercising normalization), near-dups as appended tokens /
+scaled vectors — identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.dedup import (
+    MINHASH_PRIME,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_affine_constants,
+    simhash_near_dup_pairs,
+)
+from cda_client_spark.operators.similarity import (
+    ann_topk,
+    band_key_sql,
+    dot_sql,
+    embedding_near_dup_pairs,
+    hyperplane_weights,
+    norm_sql,
+)
+from cda_client_spark.operators.text import (
+    STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    word_count,
+)
+
+EMB_DIM = 64
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Planted-duplicate corpora (identical construction in Spark and SQL)
+# ---------------------------------------------------------------------------
+
+DOC_DUPS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, ' ' || upper(text) AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zz yy xx' AS text
+  FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted exact dups (case/whitespace variants, same
+    normalized form) + planted near-dups (three appended tokens)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper("text")).alias("text"),
+    )
+    near = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+EMB_DUPS_SQL = """
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x::DOUBLE * CAST(1.01 AS DOUBLE) AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+def _embs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted near-dups (scaled by 1.01 → cosine 1.0)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.01)).cast("float")
+        ).alias("embedding"),
+    )
+    return e.unionByName(dup)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup / fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the md5 fingerprint of normalized text: one
+    partial-combinable aggregation (shuffle volume = distinct docs); the
+    planted case/whitespace variants collapse onto their originals
+    (lowest doc_id wins, deterministic)."""
+    df = _docs_with_dups(spark, sf_dir).withColumn("fp", fingerprint(F.col("text")))
+    return exact_dedup(df, cols=["fp"], id_col="doc_id").select("doc_id", "fp", "n_dups")
+
+
+DOC_EXACT_DEDUP_SQL = f"""
+WITH corpus AS ({DOC_DUPS_SQL}),
+f AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM corpus)
+SELECT min(doc_id) AS doc_id, fp, count(*) AS n_dups FROM f GROUP BY fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text quality / language / token statistics
+# ---------------------------------------------------------------------------
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (all JVM built-ins)."""
+    scored = quality_score(t(spark, sf_dir, "documents"), "text")
+    return scored.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "quality_score",
+    )
+
+
+_STOP_EN = "|".join(STOPWORDS["en"])
+
+DOC_QUALITY_SQL = f"""
+WITH feat AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(regexp_split_to_array(lower(text), '\\s+')) AS n_words,
+    len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g')) AS n_punct,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+    len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b')) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_words, n_tokens,
+    (n_chars - (n_words - 1)) / greatest(n_words, 1) AS avg_word_len,
+    n_punct / greatest(n_chars, 1) AS punct_ratio,
+    n_digits / greatest(n_chars, 1) AS digit_ratio,
+    n_stop / greatest(n_words, 1) AS stopword_ratio,
+    n_words / CAST(100.0 AS DOUBLE) AS lt_raw
+  FROM feat)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(avg_word_len, 6) AS avg_word_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(digit_ratio, 6) AS digit_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(0.4 * least(lt_raw, 1.0) + 0.3 * least(stopword_ratio * 4, 1.0)
+        + 0.3 * greatest(1.0 - 4 * (punct_ratio + digit_ratio), 0.0), 6) AS quality_score
+FROM r
+"""
+
+
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID vs the labeled lang column (confusion counts)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lid", language_id(F.col("text")))
+        .groupBy("lang", "lid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n    ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b')) AS s_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = "\n       ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH s AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+    {score_cols}
+  FROM documents),
+l AS (SELECT lang,
+  CASE WHEN cjk > 0 THEN 'zh'
+       {whens}
+       ELSE 'und' END AS lid FROM s)
+SELECT lang, lid, count(*) AS n FROM l GROUP BY lang, lid
+"""
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token/word totals (map-side combinable aggregation)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(word_count(F.col("text"))).alias("total_words"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = f"""
+SELECT source,
+  CAST(SUM(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT) AS total_tokens,
+  CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+'))) AS BIGINT) AS total_words,
+  round(CAST(SUM(n_chars) AS BIGINT) / COUNT(*), 6) AS avg_chars,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH / Jaccard / SimHash near-dup detection
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE prefix: replay MinHash (md5-derived 32-bit gram hash +
+# affine rehash, 16 hashes, 3-shingles) + 4-band LSH banding + bucket
+# self-join, exactly as operators/dedup.py. Gram-less docs are dropped on
+# both sides (Spark explodes grams; here: len(grams) > 0).
+_MINHASH_SIG_LIST = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+    for a, b in minhash_affine_constants(16)
+)
+
+_MINHASH_PREFIX = f"""
+WITH corpus AS ({DOC_DUPS_SQL}),
+w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wds FROM corpus),
+g AS (SELECT doc_id, list_transform(range(1, greatest(len(wds) - 2, 0) + 1),
+        i -> array_to_string(wds[i:i+2], ' ')) AS grams FROM w),
+h AS (SELECT doc_id, list_transform(grams, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM g WHERE len(grams) > 0),
+sigs AS (SELECT doc_id, [{_MINHASH_SIG_LIST}] AS sig FROM h),
+b AS (SELECT doc_id, band, array_to_string(sig[band*4+1 : band*4+4], '|') AS key
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+                            AND a.doc_id < b2.doc_id)
+"""
+
+
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (md5 hashes — oracle-reproducible):
+    only (id, band, key) rows shuffle; pairs from the bucket equi-join."""
+    return lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir), num_hashes=16, bands=4, shingle=3, hash_fn="md5"
+    )
+
+
+DOC_MINHASH_SQL = _MINHASH_PREFIX + "SELECT id_a, id_b FROM pairs"
+
+
+def doc_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True n-gram Jaccard verification over the LSH candidates
+    (candidate-only — never all-pairs)."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    cands = lsh_candidate_pairs(corpus, num_hashes=16, bands=4, shingle=3, hash_fn="md5")
+    return jaccard_pairs(corpus, pairs=cands, shingle=3, threshold=0.4)
+
+
+DOC_JACCARD_LSH_SQL = _MINHASH_PREFIX + """,
+gd AS (SELECT doc_id, list_distinct(grams) AS dg FROM g),
+j AS (SELECT id_a, id_b,
+        round(len(list_intersect(a.dg, b2.dg))
+              / greatest(len(a.dg) + len(b2.dg) - len(list_intersect(a.dg, b2.dg)), 1),
+              6) AS jaccard
+      FROM pairs JOIN gd a ON pairs.id_a = a.doc_id
+                 JOIN gd b2 ON pairs.id_b = b2.doc_id)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.4
+"""
+
+
+def doc_jaccard_allpairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Jaccard on a small id-bounded sample — the documented
+    small-set/verification path of jaccard_pairs (O(n^2))."""
+    corpus = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id", "text")
+    return jaccard_pairs(corpus, pairs=None, shingle=3, threshold=0.01)
+
+
+DOC_JACCARD_ALLPAIRS_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wds FROM corpus),
+g AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(wds) - 2, 0) + 1),
+        i -> array_to_string(wds[i:i+2], ' '))) AS dg FROM w),
+j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.dg, b.dg))
+              / greatest(len(a.dg) + len(b.dg) - len(list_intersect(a.dg, b.dg)), 1),
+              6) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.01
+"""
+
+
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (md5-derived 60-bit signatures, 4-band
+    pigeonhole bucketing, exact Hamming verify)."""
+    out = simhash_near_dup_pairs(
+        _docs_with_dups(spark, sf_dir),
+        max_hamming=8,
+        shingle=2,
+        bands=4,
+        bits=60,
+        hash_fn="md5",
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+DOC_SIMHASH_SQL = f"""
+WITH corpus AS ({DOC_DUPS_SQL}),
+w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wds FROM corpus),
+g AS (SELECT doc_id, list_transform(range(1, greatest(len(wds) - 1, 0) + 1),
+        i -> array_to_string(wds[i:i+1], ' ')) AS grams FROM w),
+h AS (SELECT doc_id,
+        list_transform(grams, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs,
+        len(grams) AS n FROM g WHERE len(grams) > 0),
+sigs AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+        CASE WHEN n > 0 AND 2 * list_sum(list_transform(hs, h2 -> (h2 >> b) & 1)) >= n
+             THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sim FROM h),
+bk AS (SELECT doc_id, sim, band, (sim >> (band * 15)) & 32767 AS key
+       FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+        CAST(bit_count(xor(a.sim, b2.sim)) AS INTEGER) AS hamming
+      FROM bk a JOIN bk b2 ON a.band = b2.band AND a.key = b2.key
+                          AND a.doc_id < b2.doc_id)
+SELECT id_a, id_b, hamming FROM p WHERE hamming <= 8
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search (ANN) / embedding near-dup
+# ---------------------------------------------------------------------------
+
+_Q = "q.embedding"
+_C = "c.embedding"
+_COS = (
+    f"round(({dot_sql(_Q, _C, EMB_DIM, base=1)})"
+    f" / (({norm_sql(_Q, EMB_DIM, base=1)}) * ({norm_sql(_C, EMB_DIM, base=1)})), 6)"
+)
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (vec_id < 10): corpus streamed
+    once with the query set broadcast — the verification baseline."""
+    e = t(spark, sf_dir, "embeddings")
+    return ann_topk(e, e.filter(F.col("vec_id") < 10), dim=EMB_DIM, k=5, method="bruteforce")
+
+
+ANN_BRUTE_SQL = f"""
+WITH p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 10),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM p)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def _hyperplane_bucket_union_sql(source: str, bands: int, num_planes: int) -> str:
+    """UNION ALL of one SELECT per band computing the packed sign-bit key —
+    the same md5-derived hyperplanes as operators/similarity.py."""
+    weights = hyperplane_weights(num_planes, EMB_DIM)
+    selects = [
+        f"SELECT vec_id, {b} AS band, ({band_key_sql('embedding', weights, b, bands, base=1)}) AS key"
+        f" FROM {source}"
+        for b in range(bands)
+    ]
+    return "\n UNION ALL ".join(selects)
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (32 planes, 4 bands):
+    candidates from the band equi-join only — the 100 TB path (scored rows
+    ~ bucket collisions, not |corpus| x |queries|; no cartesian product)."""
+    e = t(spark, sf_dir, "embeddings")
+    return ann_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        dim=EMB_DIM,
+        k=5,
+        method="lsh",
+        num_planes=32,
+        bands=4,
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH b AS ({_hyperplane_bucket_union_sql("embeddings", 4, 32)}),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         FROM b c JOIN b q ON c.band = q.band AND c.key = q.key
+         WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+p AS (SELECT query_id, neighbor_id, {_COS} AS cos_sim
+      FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+      FROM p)
+SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.999) via the banded
+    hyperplane bucket self-join; planted scaled copies are the dups."""
+    return embedding_near_dup_pairs(
+        _embs_with_dups(spark, sf_dir),
+        dim=EMB_DIM,
+        threshold=0.999,
+        num_planes=32,
+        bands=4,
+    )
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH corpus AS ({EMB_DUPS_SQL}),
+b AS ({_hyperplane_bucket_union_sql("corpus", 4, 32)}),
+pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+                            AND a.vec_id < b2.vec_id),
+p AS (SELECT id_a, id_b, {_COS} AS cos_sim
+      FROM pairs JOIN corpus q ON q.vec_id = pairs.id_a
+                 JOIN corpus c ON c.vec_id = pairs.id_b)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.999
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry (merged into cda_client_spark.queries)
+# ---------------------------------------------------------------------------
+
+SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_quality_scores": doc_quality_scores,
+    "doc_language_id": doc_language_id,
+    "doc_token_stats": doc_token_stats,
+    "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_jaccard_lsh": doc_jaccard_lsh,
+    "doc_jaccard_allpairs_sample": doc_jaccard_allpairs_sample,
+    "doc_simhash_near_dups": doc_simhash_near_dups,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "emb_near_dup_pairs": emb_near_dup_pairs,
+}
+
+ORACLE_LLM: dict[str, str] = {
+    "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+    "doc_quality_scores": DOC_QUALITY_SQL,
+    "doc_language_id": _lang_id_sql(),
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_minhash_lsh_pairs": DOC_MINHASH_SQL,
+    "doc_jaccard_lsh": DOC_JACCARD_LSH_SQL,
+    "doc_jaccard_allpairs_sample": DOC_JACCARD_ALLPAIRS_SQL,
+    "doc_simhash_near_dups": DOC_SIMHASH_SQL,
+    "ann_topk_bruteforce": ANN_BRUTE_SQL,
+    "ann_topk_lsh": ANN_LSH_SQL,
+    "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+}

@@ -1,0 +1,150 @@
+"""Dedup-operator unit tests: planted duplicates with known expected pairs
+(the VERDICT r1 gap — these operators previously had zero coverage)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.dedup import (
+    bucket_pairs,
+    cap_buckets,
+    exact_dedup,
+    hamming64,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = BASE + " again"  # one appended word -> high jaccard
+OTHER = "completely different content about spark partitions and shuffle behavior"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_exact_dedup_lowest_id_wins(spark):
+    df = spark.createDataFrame(
+        [(5, "x", "b"), (2, "x", "a"), (9, "y", "c")],
+        "doc_id bigint, k string, v string",
+    )
+    out = {r["k"]: r for r in exact_dedup(df, cols=["k"], id_col="doc_id").collect()}
+    assert out["x"]["doc_id"] == 2 and out["x"]["n_dups"] == 2
+    assert out["x"]["v"] == "a"  # survivor's own payload, not an arbitrary row's
+    assert out["y"]["doc_id"] == 9 and out["y"]["n_dups"] == 1
+
+
+def test_minhash_signature_identity_and_length(corpus):
+    for hash_fn in ("xxhash64", "md5"):
+        sigs = {
+            r["doc_id"]: r["sig"]
+            for r in corpus.select(
+                "doc_id", minhash_signature("text", 16, 3, hash_fn).alias("sig")
+            ).collect()
+        }
+        assert all(len(s) == 16 for s in sigs.values())
+        assert sigs[1] == sigs[2]  # identical docs -> identical signatures
+        assert sigs[1] != sigs[4]
+        # near-dup shares most minhashes
+        shared = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+        assert shared >= 8
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_lsh_candidate_pairs_finds_planted(corpus, hash_fn):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(corpus, num_hashes=16, bands=4, shingle=3, hash_fn=hash_fn).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs and (2, 3) in pairs  # near-dup collides in >=1 band
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_pairs_all_and_candidates(corpus):
+    allp = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(corpus).collect()
+    }
+    assert allp[(1, 2)] == 1.0
+    assert 0.7 < allp[(1, 3)] < 1.0
+    assert allp[(1, 4)] == 0.0
+    cands = lsh_candidate_pairs(corpus, num_hashes=16, bands=4, shingle=3)
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(corpus, pairs=cands, threshold=0.5).collect()
+    }
+    assert verified[(1, 2)] == 1.0 and (1, 4) not in verified
+
+
+def test_simhash_properties(corpus):
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in corpus.select("doc_id", simhash64("text").alias("s")).collect()
+    }
+    assert sims[1] == sims[2]
+    ham = corpus.select(
+        hamming64(F.lit(sims[1]), F.lit(sims[3])).alias("h13"),
+        hamming64(F.lit(sims[1]), F.lit(sims[4])).alias("h14"),
+    ).collect()[0]
+    assert 0 <= ham["h13"] <= 12  # near-dup: few bits differ
+    assert ham["h14"] > ham["h13"]  # unrelated doc differs more
+
+
+def test_simhash_md5_is_60_bit_and_guarded(corpus):
+    vals = [
+        r["s"]
+        for r in corpus.select(simhash("text", 2, 60, "md5").alias("s")).collect()
+    ]
+    assert all(0 <= v < (1 << 60) for v in vals)
+    with pytest.raises(ValueError):
+        simhash("text", 2, 64, "md5")
+
+
+def test_simhash_empty_doc_signature_is_zero(spark):
+    df = spark.createDataFrame([(1, "word",)], "doc_id bigint, text string")
+    # one word, shingle=2 -> zero grams -> signature must be 0, not all-ones
+    v = df.select(simhash("text", 2, 60, "md5").alias("s")).collect()[0]["s"]
+    assert v == 0
+
+
+@pytest.mark.parametrize("hash_fn,bits", [("xxhash64", 64), ("md5", 60)])
+def test_simhash_near_dup_pairs_planted(corpus, hash_fn, bits):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            corpus, max_hamming=12, shingle=2, bands=4, bits=bits, hash_fn=hash_fn
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_cap_buckets_bounds_hot_bucket(spark):
+    # 20 identical docs (one degenerate bucket) + 2 distinct near-dups
+    rows = [(i, "spam " * 10) for i in range(20)]
+    rows += [(100, BASE), (101, BASE)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = lsh_candidate_pairs(df, num_hashes=16, bands=4, shingle=2).count()
+    assert uncapped >= 190 + 1  # C(20,2) quadratic blowup + the planted pair
+    capped = lsh_candidate_pairs(
+        df, num_hashes=16, bands=4, shingle=2, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got  # small buckets survive
+    assert not any(p[0] < 20 for p in got)  # hot bucket dropped entirely
+    # direct cap_buckets: surviving rows only from small buckets
+    b = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(5)] + [(10, 0, "cold"), (11, 0, "cold")],
+        "id bigint, band int, key string",
+    )
+    kept = cap_buckets(b, ["band", "key"], 3)
+    assert {r["key"] for r in kept.collect()} == {"cold"}
+    assert bucket_pairs(b, "id", 3).count() == 1

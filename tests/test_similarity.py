@@ -1,0 +1,128 @@
+"""Similarity-search unit tests: exact cosine ranks on hand-built vectors,
+LSH recall on planted duplicates, bucket-join shape assertions."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.similarity import (
+    ann_topk,
+    band_key_col,
+    band_key_sql,
+    dot_col,
+    dot_sql,
+    embedding_near_dup_pairs,
+    hyperplane_weights,
+    norm_col,
+    norm_sql,
+    sketch_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # 3-dim toy corpus with known geometry
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_dot_and_norm(vecs):
+    out = vecs.select(
+        dot_col("embedding", "embedding").alias("d"), norm_col("embedding").alias("n")
+    ).collect()
+    for r, expect in zip(out, [1.0, 0.82, 1.0, 1.0, 0.98]):
+        assert abs(r["d"] - expect) < 1e-6
+        assert abs(r["n"] - math.sqrt(expect)) < 1e-6
+
+
+def test_hyperplane_weights_deterministic():
+    a = hyperplane_weights(4, 8)
+    b = hyperplane_weights(4, 8)
+    assert a == b
+    assert all(-0.5 <= w < 0.5 for row in a for w in row)
+    assert hyperplane_weights(4, 8, seed="other") != a
+
+
+def test_ann_topk_bruteforce_exact_ranks(vecs):
+    q = vecs.filter(F.col("vec_id") == 0)
+    out = ann_topk(vecs, q, dim=3, k=4, method="bruteforce")
+    rows = sorted(out.collect(), key=lambda r: r["rnk"])
+    assert [r["neighbor_id"] for r in rows] == [1, 4, 2, 3]
+    assert rows[0]["cos_sim"] > 0.99
+    assert rows[-1]["cos_sim"] == -1.0
+
+
+def test_ann_topk_lsh_finds_identical(spark):
+    # 50 background vectors + a planted copy of the query
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    rows.append((100, list(rows[0][1])))  # exact copy of vec 0
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") == 0)
+    out = ann_topk(corpus, q, dim=16, k=3, method="lsh", num_planes=16, bands=4)
+    top = sorted(out.collect(), key=lambda r: r["rnk"])
+    assert top[0]["neighbor_id"] == 100 and top[0]["cos_sim"] == 1.0
+
+
+def test_sketch_buckets_shape_and_determinism(vecs):
+    w = hyperplane_weights(8, 3)
+    b = sketch_buckets(vecs, w, bands=2, id_col="vec_id", vec_col="embedding")
+    rows = b.collect()
+    assert len(rows) == 5 * 2  # bands rows per vector
+    assert {r["band"] for r in rows} == {0, 1}
+    # identical vectors sketch identically (0 vs its own re-read)
+    again = {(r["vec_id"], r["band"]): r["key"] for r in b.collect()}
+    assert all(again[(r["vec_id"], r["band"])] == r["key"] for r in rows)
+
+
+def test_band_key_col_matches_sql_builder(spark, vecs):
+    """The Spark fold and the oracle's explicit-sum SQL must agree."""
+    w = hyperplane_weights(8, 3)
+    spark_keys = vecs.select(
+        "vec_id", band_key_col("embedding", w, 0, 2).alias("k")
+    ).collect()
+    sql_keys = vecs.select(
+        "vec_id", F.expr(band_key_sql("embedding", w, 0, 2, base=0)).alias("k")
+    ).collect()
+    assert {r["vec_id"]: r["k"] for r in spark_keys} == {
+        r["vec_id"]: r["k"] for r in sql_keys
+    }
+
+
+def test_dot_sql_matches_dot_col(vecs):
+    a = vecs.select(F.expr(dot_sql("embedding", "embedding", 3, base=0)).alias("d")).collect()
+    b = vecs.select(dot_col("embedding", "embedding").alias("d")).collect()
+    assert [r["d"] for r in a] == [r["d"] for r in b]
+    n1 = vecs.select(F.expr(norm_sql("embedding", 3, base=0)).alias("n")).collect()
+    n2 = vecs.select(norm_col("embedding").alias("n")).collect()
+    assert [r["n"] for r in n1] == [r["n"] for r in n2]
+
+
+def test_embedding_near_dup_pairs_planted(spark):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    rows.append((200, [x * 1.01 for x in rows[5][1]]))  # scaled copy of 5
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(
+            df, dim=16, threshold=0.99, num_planes=16, bands=4
+        ).collect()
+    }
+    assert (5, 200) in out and out[(5, 200)] >= 0.999
+
+
+def test_ann_topk_rejects_unknown_method(vecs):
+    with pytest.raises(ValueError):
+        ann_topk(vecs, vecs, dim=3, method="nope")

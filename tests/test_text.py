@@ -1,0 +1,124 @@
+"""Text-operator unit tests (north-star text analysis; no reference
+equivalent — reference's only text op is the CSV stringifier UDF,
+FileBasedOutputWriter.scala:170-187)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.text import (
+    digit_ratio,
+    fingerprint,
+    fingerprint_fast,
+    language_id,
+    ngrams,
+    ngrams_from_words,
+    normalize_text,
+    punct_count,
+    quality_features,
+    quality_score,
+    stopword_count,
+    token_count,
+    word_count,
+    words,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog."),
+            (2, "el perro y el gato en la casa que de los"),
+            (3, "a b"),  # fewer words than shingle sizes
+            (4, "Numbers 123 456!! and, punctuation; marks?"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def per_id(docs, col):
+    return {r["doc_id"]: r["v"] for r in docs.select("doc_id", col.alias("v")).collect()}
+
+
+def test_words_and_counts(docs):
+    vals = per_id(docs, word_count(F.col("text")))
+    assert vals[1] == 9 and vals[3] == 2
+    w = per_id(docs, words(F.col("text")))
+    assert w[3] == ["a", "b"]
+
+
+def test_token_count_bpe_ish(docs):
+    # "a b" -> 2 tokens; sentence 1: 9 words + 1 period = 10
+    vals = per_id(docs, token_count(F.col("text")))
+    assert vals[3] == 2 and vals[1] == 10
+
+
+def test_ngrams_basic_and_short_doc(docs):
+    g = per_id(docs, ngrams("text", 3))
+    assert g[3] == []  # shorter than n -> empty, not bogus grams
+    assert g[1][0] == "the quick brown"
+    assert len(g[1]) == 9 - 2
+
+
+def test_ngrams_from_words(spark):
+    df = spark.createDataFrame([(["x", "y", "z"],)], "w array<string>")
+    out = df.select(ngrams_from_words("w", 2).alias("v")).collect()[0]["v"]
+    assert out == ["x y", "y z"]
+    short = spark.createDataFrame([(["x"],)], "w array<string>")
+    assert short.select(ngrams_from_words("w", 2).alias("v")).collect()[0]["v"] == []
+
+
+def test_punct_and_digit(docs):
+    p = per_id(docs, punct_count(F.col("text")))
+    assert p[4] == 5  # !! , ; ?
+    d = per_id(docs, digit_ratio(F.col("text")))
+    assert d[1] == 0.0 and d[4] > 0
+
+
+def test_stopword_count_languages(docs):
+    en = per_id(docs, stopword_count(F.col("text"), "en"))
+    assert en[1] == 2  # 'the' twice ('The' lowered + 'the')
+    es = per_id(docs, stopword_count(F.col("text"), "es"))
+    assert es[2] >= 5
+
+
+def test_quality_features_and_score(docs):
+    feat = quality_features(docs, "text")
+    cols = set(feat.columns)
+    assert {"n_words", "n_tokens", "avg_word_len", "punct_ratio", "stopword_ratio"} <= cols
+    scored = quality_score(docs, "text")
+    vals = {r["doc_id"]: r["quality_score"] for r in scored.collect()}
+    assert all(0.0 <= v <= 1.0 for v in vals.values())
+    # clean English prose with stopwords outranks digit/punct noise
+    assert vals[1] > vals[4]
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "el perro y el gato que en los arboles"),
+            (3, "le chat et les oiseaux dans un arbre"),
+            (4, "der hund ist nicht das problem und die katze"),
+            (5, "这是一个中文句子"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["v"] for r in df.select("doc_id", language_id(F.col("text")).alias("v")).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "zh"}
+
+
+def test_normalize_and_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   World "), (2, "hello world"), (3, "other")],
+        "doc_id bigint, text string",
+    )
+    norm = {r["doc_id"]: r["v"] for r in df.select("doc_id", normalize_text(F.col("text")).alias("v")).collect()}
+    assert norm[1] == norm[2] == "hello world"
+    for fp_fn in (fingerprint, fingerprint_fast):
+        fps = {r["doc_id"]: r["v"] for r in df.select("doc_id", fp_fn(F.col("text")).alias("v")).collect()}
+        assert fps[1] == fps[2] != fps[3]

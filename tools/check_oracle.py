@@ -1,0 +1,70 @@
+"""Local replica of the driver's correctness gate: run each queries() entry
+and its oracle_sql() side-by-side, compare rows + schema + order-insensitive
+value hash. Usage: python tools/check_oracle.py [sf_dir] [query ...]"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+from cda_client_spark import get_spark  # noqa: E402
+from cda_client_spark.queries import ORACLE, SPARK, TABLES  # noqa: E402
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures = 0
+    for name, fn in SPARK.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+            if name not in ORACLE:
+                print(f"{name}: rows={len(sdf)} (no oracle)")
+                continue
+            odf = con.execute(ORACLE[name]).df()
+            rows_ok = len(sdf) == len(odf)
+            schema_ok = sorted(sdf.columns) == sorted(odf.columns)
+            s, o = norm_frame(sdf), norm_frame(odf)
+            try:
+                pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+                hash_ok = True
+                detail = ""
+            except AssertionError as e:
+                hash_ok = False
+                detail = str(e).splitlines()[-1][:200]
+            status = "OK " if (rows_ok and schema_ok and hash_ok) else "FAIL"
+            if status == "FAIL":
+                failures += 1
+            print(
+                f"{status} {name}: spark={len(sdf)} duck={len(odf)}"
+                f" rows={rows_ok} schema={schema_ok} values={hash_ok} {detail}"
+            )
+            if not schema_ok:
+                print(f"     spark cols: {sorted(sdf.columns)}")
+                print(f"     duck  cols: {sorted(odf.columns)}")
+        except Exception as e:
+            failures += 1
+            print(f"ERR  {name}: {type(e).__name__}: {str(e)[:300]}")
+    print(f"failures: {failures}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
