@@ -1,0 +1,60 @@
+"""CLI entry point (X7, parity: CLIArgumentsProcessor.scala:12-43,
+CloudDataAccessClient.scala:13-27).
+
+    python -m cda_client_spark --configPath config.yaml [--tableName t1,t2]
+
+``--tableName`` overrides the config's tablesToInclude
+(TableReader.scala:149-153). Exit code 0 iff every planned job succeeded.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from cda_client_spark.config import load_config
+from cda_client_spark.pipeline import run
+from cda_client_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="cda_client_spark",
+        description="Incremental CDC copy: manifest-planned parquet micro-batches to file/JDBC targets",
+    )
+    ap.add_argument("--configPath", "-c", required=True, help="path to the YAML config file")
+    ap.add_argument(
+        "--tableName",
+        "-t",
+        default="",
+        help="comma list of tables to process (overrides config tablesToInclude)",
+    )
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s %(message)s")
+    cfg = load_config(args.configPath)
+    if args.tableName:
+        cfg.output.tables_to_include = tuple(
+            t.strip() for t in args.tableName.split(",") if t.strip()
+        )
+
+    from pyspark.sql import SparkSession
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(master=cfg.tuning.spark_master or None)
+    try:
+        report = run(spark, cfg)
+    finally:
+        if not preexisting:  # don't tear down a session we merely joined
+            spark.stop()
+
+    for r in report.results:
+        status = "ok" if r.ok else f"FAILED: {r.error}"
+        print(f"{r.table}/{r.fingerprint}: rows={r.rows_written} savepoint={r.savepoint} {status}")
+    print(f"{sum(r.ok for r in report.results)}/{len(report.results)} jobs succeeded")
+    return 0 if report.ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,6 +59,9 @@ class FileSettings:
     path: str = ""
     save_as_single_file: bool = False
     include_column_names: bool = True
+    # engine extension (the reference's saveMode is JDBC-only): file targets
+    # can materialize the raw change log, a merged snapshot, or both
+    save_mode: str = "raw"
 
 
 @dataclass
@@ -114,6 +117,11 @@ class ClientConfig:
                 )
             if not out.file_settings.path:
                 raise ConfigError("outputSettings.fileSettings.path is required for file target")
+            if out.file_settings.save_mode not in VALID_SAVE_MODES:
+                raise ConfigError(
+                    f"fileSettings.saveMode must be one of {sorted(VALID_SAVE_MODES)},"
+                    f" got {out.file_settings.save_mode!r}"
+                )
         else:
             j = out.jdbc_settings
             if not j.url:
@@ -161,6 +169,9 @@ def from_dict(raw: dict[str, Any]) -> ClientConfig:
                     _get(
                         raw, "outputSettings", "fileSettings", "includeColumnNames", default=True
                     )
+                ),
+                save_mode=_get(
+                    raw, "outputSettings", "fileSettings", "saveMode", default="raw"
                 ),
             ),
             jdbc_settings=JdbcSettings(

@@ -2,7 +2,9 @@
 
 One run = plan copy jobs from (manifest, savepoints) → per (table,
 fingerprint): single multi-path parquet scan → column management → raw
-and/or merged materialization → savepoint commit.
+and/or merged materialization (``saveMode``: raw | merged | rawandmerged,
+honored from config for both file and jdbc targets) → per-TABLE savepoint
+commit.
 
 Reference-divergences by design (SURVEY.md §7.4.7):
 
@@ -12,8 +14,13 @@ Reference-divergences by design (SURVEY.md §7.4.7):
   scheduler (the reference uses Scala parallel collections identically);
   on a real cluster the FAIR scheduler shares executors between jobs.
 - A failed table job is logged and skipped — other tables proceed
-  (TableReader.scala:190-207), and its savepoint is NOT advanced, so the
-  next run retries (at-least-once; file sinks are idempotent overwrites).
+  (TableReader.scala:190-207). A table's savepoint advances only when ALL
+  of its fingerprint jobs succeed (otherwise the failed fingerprint's
+  folders would never be replanned — the at-least-once guarantee).
+- Merged FILE output is a stable per-(table, fingerprint) snapshot: each
+  incremental run anchors the batch against the previous snapshot
+  (``apply_cdc``), writes to a staging dir and swaps it in — updates and
+  deletes whose inserts were consumed in earlier runs apply correctly.
 
 Savepoint value preserved exactly (TableReader.scala:334-343, §7.4.4):
 file targets checkpoint the MANIFEST timestamp; jdbc targets checkpoint the
@@ -26,15 +33,21 @@ import logging
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
-from cda_client_spark.config import ClientConfig
+from cda_client_spark.config import ClientConfig, ConfigError
 from cda_client_spark.metadata.manifest import filter_tables, read_manifest
 from cda_client_spark.metadata.planner import CopyJob, Lister, local_lister, plan_copy_jobs
 from cda_client_spark.metadata.savepoints import SavepointsStore
-from cda_client_spark.operators.cdc import merge_cdc
+from cda_client_spark.operators.cdc import apply_cdc, merge_cdc
 from cda_client_spark.operators.columns import manage_columns_for_target
-from cda_client_spark.sinks.files import output_path, write_csv, write_parquet
+from cda_client_spark.sinks.files import (
+    merged_snapshot_path,
+    output_path,
+    replace_dir,
+    write_csv,
+    write_parquet,
+)
 from cda_client_spark.sources.parquet import read_micro_batch
 
 logger = logging.getLogger(__name__)
@@ -59,57 +72,100 @@ class RunReport:
         return all(r.ok for r in self.results)
 
 
+def _resolve_mode(cfg: ClientConfig, merged_override: bool | None) -> str:
+    """raw | merged | rawandmerged — from config unless the legacy
+    ``merged`` kwarg forces it."""
+    if merged_override is not None:
+        return "merged" if merged_override else "raw"
+    if cfg.output.export_target == "file":
+        return cfg.output.file_settings.save_mode
+    return cfg.output.jdbc_settings.save_mode
+
+
+def _write_merged_file_snapshot(
+    spark: SparkSession, df: DataFrame, cfg: ClientConfig, job: CopyJob
+) -> int:
+    """Anchor the batch against the previous snapshot (if any), write the
+    new state to staging, swap it in. Returns the snapshot row count."""
+    path = merged_snapshot_path(cfg.output.file_settings.path, job.table, job.fingerprint)
+    try:
+        prev: DataFrame | None = spark.read.parquet(path)
+    except Exception:
+        prev = None
+    merged = merge_cdc(df) if prev is None else apply_cdc(prev, df)
+    merged = merged.persist()
+    try:
+        n = merged.count()
+        staging = f"{path}.staging"
+        write_parquet(merged, staging, single_file=cfg.output.file_settings.save_as_single_file)
+        replace_dir(staging, path)
+    finally:
+        merged.unpersist()
+    return n
+
+
 def run_job(
     spark: SparkSession,
     cfg: ClientConfig,
     job: CopyJob,
-    savepoints: SavepointsStore,
-    merged: bool = False,
+    mode: str = "raw",
+    jdbc_executor=None,
 ) -> JobResult:
-    """Execute one (table, fingerprint) copy job (X3, TableReader.scala:271-351)."""
+    """Execute one (table, fingerprint) copy job (X3, TableReader.scala:271-351).
+
+    Savepoints are NOT written here — the runner aggregates per table.
+    """
     batch = read_micro_batch(spark, job)
     df = manage_columns_for_target(
         batch.df, cfg.output.export_target, job.fingerprint, job.max_folder_timestamp
     )
-    if merged:
-        df = merge_cdc(df)
-
-    # The frame is consumed twice (count + write); persist so the scan (+
-    # merge shuffle) runs once — reference pattern JdbcOutputWriter.scala:348.
-    # Without this every job reads its source twice: a 2x tax at scale.
+    # The frame is consumed more than once (count + raw write + merged
+    # apply); persist so the scan runs once — reference pattern
+    # JdbcOutputWriter.scala:348. Without this every consumer re-reads.
     df = df.persist()
     try:
+        n = df.count()
         target = cfg.output.export_target
         if target == "file":
-            kind = "merged" if merged else cfg.output.save_into_file_type
-            path = output_path(
-                cfg.output.file_settings.path, job.table, job.fingerprint, job.manifest_timestamp
-            )
-            if merged:
-                path = f"{path}/merged"
-            n = df.count()
-            if kind == "csv":
-                write_csv(
-                    df,
-                    path,
-                    header=cfg.output.file_settings.include_column_names,
-                    single_file=cfg.output.file_settings.save_as_single_file,
-                )
-            else:
-                write_parquet(
-                    df, path, single_file=cfg.output.file_settings.save_as_single_file
-                )
+            fs = cfg.output.file_settings
+            if mode in ("raw", "rawandmerged"):
+                path = output_path(fs.path, job.table, job.fingerprint, job.manifest_timestamp)
+                if cfg.output.save_into_file_type == "csv":
+                    write_csv(
+                        df,
+                        path,
+                        header=fs.include_column_names,
+                        single_file=fs.save_as_single_file,
+                    )
+                else:
+                    write_parquet(df, path, single_file=fs.save_as_single_file)
+            if mode in ("merged", "rawandmerged"):
+                n = _write_merged_file_snapshot(spark, df, cfg, job)
             savepoint = job.manifest_timestamp
         else:
-            from cda_client_spark.sinks.jdbc import write_jdbc_raw
+            from cda_client_spark.sinks.jdbc import write_jdbc_merged, write_jdbc_raw
 
-            n = df.count()
-            write_jdbc_raw(df, cfg.output.jdbc_settings, job.table)
+            js = cfg.output.jdbc_settings
+            if mode in ("raw", "rawandmerged"):
+                write_jdbc_raw(df, js, job.table)
+            if mode in ("merged", "rawandmerged"):
+                if jdbc_executor is None:
+                    raise ConfigError(
+                        "jdbcSettings.saveMode includes 'merged': pass a jdbc_executor"
+                        " (callable running SQL statements in one transaction) to"
+                        " pipeline.run — this build has no embedded JDBC client"
+                    )
+                write_jdbc_merged(
+                    df,
+                    js,
+                    job.table,
+                    execute=jdbc_executor,
+                    apply_latest_updates_only=js.apply_latest_updates_only,
+                )
             savepoint = job.max_folder_timestamp
     finally:
         df.unpersist()
 
-    savepoints.upsert(job.table, savepoint)
     return JobResult(job.table, job.fingerprint, n, savepoint)
 
 
@@ -117,10 +173,13 @@ def run(
     spark: SparkSession,
     cfg: ClientConfig,
     lister: Lister = local_lister,
-    merged: bool = False,
+    merged: bool | None = None,
     max_parallel_jobs: int | None = None,
+    jdbc_executor=None,
 ) -> RunReport:
-    """Full incremental run (3.1 lifecycle): manifest → plan → execute → checkpoint."""
+    """Full incremental run (3.1 lifecycle): manifest → plan → execute →
+    per-table checkpoint. ``merged`` overrides the config saveMode (legacy
+    kwarg; prefer ``saveMode`` in the config)."""
     manifest = filter_tables(
         read_manifest(f"{cfg.source_path.rstrip('/')}/manifest.json"),
         cfg.output.tables_to_include,
@@ -128,12 +187,13 @@ def run(
     savepoints = SavepointsStore(cfg.savepoints_path)
     serialize_ddl = cfg.output.export_target in ("jdbc", "jdbc_v2")
     jobs = plan_copy_jobs(manifest, savepoints, lister, serialize_ddl=serialize_ddl)
+    mode = _resolve_mode(cfg, merged)
 
     report = RunReport()
 
     def _one(job: CopyJob) -> JobResult:
         try:
-            return run_job(spark, cfg, job, savepoints, merged=merged)
+            return run_job(spark, cfg, job, mode=mode, jdbc_executor=jdbc_executor)
         except Exception as e:  # per-job failure doesn't kill the run (X2)
             logger.exception("job failed: %s/%s", job.table, job.fingerprint)
             return JobResult(job.table, job.fingerprint, 0, -1, ok=False, error=str(e))
@@ -144,4 +204,21 @@ def run(
     else:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             report.results = list(pool.map(_one, jobs))
+
+    # Savepoint commit: a table advances only when EVERY fingerprint job for
+    # it succeeded; the committed value is the min across its jobs (all
+    # equal for file targets — the manifest timestamp).
+    by_table: dict[str, list[JobResult]] = {}
+    for r in report.results:
+        by_table.setdefault(r.table, []).append(r)
+    for table, results in by_table.items():
+        if all(r.ok for r in results):
+            savepoints.upsert(table, min(r.savepoint for r in results))
+        else:
+            logger.warning(
+                "savepoint NOT advanced for %s (%d/%d fingerprint jobs failed)",
+                table,
+                sum(not r.ok for r in results),
+                len(results),
+            )
     return report

@@ -46,6 +46,33 @@ def output_path(
     return "/".join(parts)
 
 
+def merged_snapshot_path(base: str, table: str, fingerprint: str) -> str:
+    """Stable path of the merged (last-state) snapshot — NO timestamp
+    segment: incremental runs read the previous snapshot here and replace
+    it (engine extension; the reference has no merged file target)."""
+    return output_path(base, table, fingerprint) + "/merged"
+
+
+def replace_dir(staging: str | Path, final: str | Path) -> None:
+    """Swap a freshly-written staging directory into place (local FS).
+
+    The merged snapshot is both input and output of an incremental apply,
+    so the new state is written alongside and renamed in — two cheap
+    renames, never a read-modify-write of live files. (Object stores get
+    this from their committers / table formats instead.)"""
+    import shutil
+
+    staging, final = Path(staging), Path(final)
+    old = final.with_name(final.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if final.exists():
+        final.rename(old)
+    staging.rename(final)
+    if old.exists():
+        shutil.rmtree(old)
+
+
 def flatten_structs_for_csv(df: DataFrame) -> DataFrame:
     """Replace every top-level struct column with its JSON string (P9).
 

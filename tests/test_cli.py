@@ -1,0 +1,56 @@
+"""CLI tests (X7, parity: CLIArgumentsProcessorTest.scala:16-49)."""
+
+import json
+
+import pytest
+import yaml
+
+from cda_client_spark.__main__ import main
+from tests.cdc_fixture import build_basic_tree
+
+
+@pytest.fixture()
+def config_file(tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = {
+        "sourceLocation": {"path": str(root)},
+        "savepointsLocation": str(out / "sp"),
+        "outputSettings": {
+            "exportTarget": "file",
+            "saveIntoFileType": "parquet",
+            "fileSettings": {"path": str(out / "files"), "saveMode": "rawandmerged"},
+        },
+        "performanceTuning": {"sparkMaster": "local[2]"},
+    }
+    p = tmp_path / "config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    return p, out
+
+
+def test_cli_full_run(spark, config_file, capsys):
+    p, out = config_file
+    rc = main(["-c", str(p)])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "tsimple/fpA" in stdout and "jobs succeeded" in stdout
+    assert (out / "files" / "tsimple" / "fpA" / "merged").exists()
+    assert (out / "files" / "tsimple" / "fpA" / "3000").exists()
+    sp = json.loads((out / "sp" / "savepoints.json").read_text())
+    assert sp == {"tsimple": "3000", "taccount": "3000"}
+
+
+def test_cli_table_filter_overrides_config(spark, config_file, capsys):
+    p, out = config_file
+    rc = main(["--configPath", str(p), "--tableName", "taccount"])
+    assert rc == 0
+    stdout = capsys.readouterr().out
+    assert "taccount" in stdout and "tsimple" not in stdout
+
+
+def test_cli_requires_config_path():
+    with pytest.raises(SystemExit) as e:
+        main([])
+    assert e.value.code == 2

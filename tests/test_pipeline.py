@@ -57,12 +57,149 @@ def test_full_run_merged(spark, tmp_path):
 
     report = run(spark, cfg, merged=True)
     assert report.ok
-    merged = spark.read.parquet(str(out / "files" / "tsimple" / "fpA" / "3000" / "merged"))
+    # merged snapshot lives at the STABLE path (no timestamp segment)
+    merged = spark.read.parquet(str(out / "files" / "tsimple" / "fpA" / "merged"))
     rows = {r["id"]: r for r in merged.collect()}
     # fixture story: insert 1,2 → update 1 → insert 3 → delete 2
     assert set(rows) == {1, 3}
     assert rows[1]["v"] == 1.5 and rows[1]["gwcbi___seqval_hex"] == seqval_hex(3)
     assert rows[3]["v"] == 3.0
+
+
+def test_incremental_merged_applies_updates_to_prior_snapshot(spark, tmp_path):
+    """Run 1 consumes the inserts; run 2's batch contains only an update and
+    a delete for keys inserted in run 1 — they must apply against the
+    previous snapshot, not vanish as orphans (ADVICE r1)."""
+    import json as _json
+
+    from tests.cdc_fixture import write_manifest
+
+    root = tmp_path / "src"
+    root.mkdir()
+    manifest = build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = make_cfg(root, out)
+    cfg.output.file_settings.save_mode = "merged"
+
+    # run 1: watermark 1000 → only folder 1000 (insert 1, 2)
+    m1 = _json.loads(_json.dumps(manifest))
+    m1["tsimple"]["lastSuccessfulWriteTimestamp"] = "1000"
+    del m1["taccount"]
+    write_manifest(root, m1)
+    assert run(spark, cfg).ok
+    snap = str(out / "files" / "tsimple" / "fpA" / "merged")
+    assert {r["id"] for r in spark.read.parquet(snap).collect()} == {1, 2}
+
+    # run 2: watermark 3000 → folders 2000 (update 1, insert 3) + 3000 (delete 2)
+    m2 = _json.loads(_json.dumps(manifest))
+    del m2["taccount"]
+    write_manifest(root, m2)
+    assert run(spark, cfg).ok
+    rows = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    assert set(rows) == {1, 3}  # update applied, delete applied, orphan none
+    assert rows[1]["v"] == 1.5 and rows[1]["gwcbi___seqval_hex"] == seqval_hex(3)
+
+
+def test_rawandmerged_file_mode_writes_both(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = make_cfg(root, out)
+    cfg.output.file_settings.save_mode = "rawandmerged"
+
+    assert run(spark, cfg).ok
+    raw = spark.read.parquet(str(out / "files" / "tsimple" / "fpA" / "3000"))
+    assert raw.count() == 5  # full change log
+    merged = spark.read.parquet(str(out / "files" / "tsimple" / "fpA" / "merged"))
+    assert {r["id"] for r in merged.collect()} == {1, 3}
+
+
+def test_savepoint_requires_all_fingerprints_of_table(spark, tmp_path, monkeypatch):
+    """taccount has 3 fingerprint jobs; if one fails the table's savepoint
+    must NOT advance (else that fingerprint's folders are never replanned)."""
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = make_cfg(root, out)
+
+    import cda_client_spark.pipeline as pl
+
+    real = pl.read_micro_batch
+
+    def boom(spark_, job, tolerant=False):
+        if job.table == "taccount" and job.fingerprint == "fp2":
+            raise RuntimeError("injected")
+        return real(spark_, job, tolerant)
+
+    monkeypatch.setattr(pl, "read_micro_batch", boom)
+    report = run(spark, cfg, max_parallel_jobs=1)
+    assert not report.ok
+    sp = SavepointsStore(out / "sp")
+    assert sp.get("taccount") is None  # fp1/fp3 succeeded but fp2 failed
+    assert sp.get("tsimple") == 3000
+
+
+def test_jdbc_merged_mode_stages_and_executes_statements(spark, tmp_path, monkeypatch):
+    """saveMode=merged on a jdbc target stages the merged frame + delete
+    keys and applies ONE upsert + ONE delete statement (set-based W7)."""
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "jdbc",
+                "tablesToInclude": "tsimple",
+                "jdbcSettings": {"url": "jdbc:postgresql://h/db", "saveMode": "merged"},
+            },
+        }
+    )
+
+    staged: list[tuple[str, str, int]] = []
+    executed: list[str] = []
+
+    import cda_client_spark.sinks.jdbc as jdbc
+
+    monkeypatch.setattr(
+        jdbc,
+        "write_jdbc_raw",
+        lambda df, settings, table, mode="append": staged.append((table, mode, df.count())),
+    )
+    report = run(spark, cfg, jdbc_executor=lambda stmts: executed.extend(stmts))
+    assert report.ok
+    assert ("tsimple_stage", "overwrite", 2) in staged  # merged survivors: ids 1, 3
+    assert ("tsimple_stage_deletes", "overwrite", 1) in staged  # id 2
+    assert len(executed) == 2
+    assert "ON CONFLICT" in executed[0] and "gwcbi___seqval_hex" in executed[0]
+    assert executed[1].startswith("DELETE FROM")
+
+
+def test_jdbc_merged_without_executor_fails_loudly(spark, tmp_path):
+    """No silent raw fallback: merged jdbc without an executor is an error."""
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "jdbc",
+                "tablesToInclude": "tsimple",
+                "jdbcSettings": {"url": "jdbc:postgresql://h/db", "saveMode": "merged"},
+            },
+        }
+    )
+    report = run(spark, cfg)
+    assert not report.ok
+    assert "jdbc_executor" in report.results[0].error
+    assert SavepointsStore(out / "sp").get("tsimple") is None
 
 
 def test_tables_to_include_filter(spark, tmp_path):
