@@ -53,6 +53,12 @@ from cda_client_spark.sources.parquet import read_micro_batch
 logger = logging.getLogger(__name__)
 
 
+class SchemaDriftBypass(RuntimeError):
+    """Raised when the target table's schema drifted non-additively: the
+    table is skipped and its savepoint NOT advanced (W11 bypass,
+    TableReader.scala:304-344)."""
+
+
 @dataclass
 class JobResult:
     table: str
@@ -82,12 +88,13 @@ def _resolve_mode(cfg: ClientConfig, merged_override: bool | None) -> str:
     return cfg.output.jdbc_settings.save_mode
 
 
-def _write_merged_file_snapshot(
-    spark: SparkSession, df: DataFrame, cfg: ClientConfig, job: CopyJob
+def apply_batch_to_snapshot(
+    spark: SparkSession, df: DataFrame, path: str, single_file: bool = False
 ) -> int:
-    """Anchor the batch against the previous snapshot (if any), write the
-    new state to staging, swap it in. Returns the snapshot row count."""
-    path = merged_snapshot_path(cfg.output.file_settings.path, job.table, job.fingerprint)
+    """Anchor a CDC batch against the previous merged snapshot at ``path``
+    (if any), write the new state to staging, swap it in. Returns the
+    snapshot row count. Shared by the batch runner and the streaming
+    runner's foreachBatch (streaming/runner.py)."""
     try:
         prev: DataFrame | None = spark.read.parquet(path)
     except Exception:
@@ -97,11 +104,20 @@ def _write_merged_file_snapshot(
     try:
         n = merged.count()
         staging = f"{path}.staging"
-        write_parquet(merged, staging, single_file=cfg.output.file_settings.save_as_single_file)
+        write_parquet(merged, staging, single_file=single_file)
         replace_dir(staging, path)
     finally:
         merged.unpersist()
     return n
+
+
+def _write_merged_file_snapshot(
+    spark: SparkSession, df: DataFrame, cfg: ClientConfig, job: CopyJob
+) -> int:
+    path = merged_snapshot_path(cfg.output.file_settings.path, job.table, job.fingerprint)
+    return apply_batch_to_snapshot(
+        spark, df, path, single_file=cfg.output.file_settings.save_as_single_file
+    )
 
 
 def run_job(
@@ -110,6 +126,7 @@ def run_job(
     job: CopyJob,
     mode: str = "raw",
     jdbc_executor=None,
+    schema_probe=None,
 ) -> JobResult:
     """Execute one (table, fingerprint) copy job (X3, TableReader.scala:271-351).
 
@@ -143,9 +160,34 @@ def run_job(
                 n = _write_merged_file_snapshot(spark, df, cfg, job)
             savepoint = job.manifest_timestamp
         else:
-            from cda_client_spark.sinks.jdbc import write_jdbc_merged, write_jdbc_raw
+            from cda_client_spark.sinks.jdbc import (
+                dialect_for_url,
+                reconcile_schema,
+                write_jdbc_merged,
+                write_jdbc_raw,
+            )
 
             js = cfg.output.jdbc_settings
+            if schema_probe is not None:
+                # S8+W11: probe target, create/evolve additively, bypass on
+                # non-additive drift (job fails → savepoint stays put)
+                rec = reconcile_schema(
+                    schema_probe(job.table),
+                    df.schema,
+                    job.table,
+                    dialect_for_url(js.url),
+                    merged=mode != "raw",
+                    large_text_fields=js.large_text_fields,
+                )
+                if rec.action == "bypass":
+                    raise SchemaDriftBypass(f"{job.table}: {rec.reason}")
+                if rec.statements:
+                    if jdbc_executor is None:
+                        raise ConfigError(
+                            "schema reconciliation produced DDL: pass a jdbc_executor"
+                            " to pipeline.run to apply it"
+                        )
+                    jdbc_executor(list(rec.statements))
             if mode in ("raw", "rawandmerged"):
                 write_jdbc_raw(df, js, job.table)
             if mode in ("merged", "rawandmerged"):
@@ -176,6 +218,7 @@ def run(
     merged: bool | None = None,
     max_parallel_jobs: int | None = None,
     jdbc_executor=None,
+    schema_probe=None,
 ) -> RunReport:
     """Full incremental run (3.1 lifecycle): manifest → plan → execute →
     per-table checkpoint. ``merged`` overrides the config saveMode (legacy
@@ -193,7 +236,9 @@ def run(
 
     def _one(job: CopyJob) -> JobResult:
         try:
-            return run_job(spark, cfg, job, mode=mode, jdbc_executor=jdbc_executor)
+            return run_job(
+                spark, cfg, job, mode=mode, jdbc_executor=jdbc_executor, schema_probe=schema_probe
+            )
         except Exception as e:  # per-job failure doesn't kill the run (X2)
             logger.exception("job failed: %s/%s", job.table, job.fingerprint)
             return JobResult(job.table, job.fingerprint, 0, -1, ok=False, error=str(e))

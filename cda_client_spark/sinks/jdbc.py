@@ -232,6 +232,100 @@ def delete_statement(table: str, dialect: Dialect, staging_table: str) -> str:
     )
 
 
+@dataclass(frozen=True)
+class SchemaReconciliation:
+    """Outcome of comparing the target table's schema to the batch's
+    (W11, JdbcOutputWriter.scala:146-279)."""
+
+    action: str  # create | none | alter | bypass
+    statements: tuple[str, ...] = ()
+    reason: str = ""
+
+
+def jdbc_schema_probe(spark, settings: JdbcSettings):
+    """S8 (JdbcOutputWriter.scala:183-195): fetch a target table's schema
+    with a zero-row query. Returns ``probe(table) -> StructType | None``
+    (None = table absent). Requires a reachable database + driver jar."""
+
+    def probe(table: str) -> StructType | None:
+        qualified = f"{settings.schema}.{table}" if settings.schema else table
+        try:
+            return (
+                spark.read.format("jdbc")
+                .option("url", settings.url)
+                .option("query", f"SELECT * FROM {qualified} WHERE 1=2")
+                .option("user", settings.user)
+                .option("password", settings.password)
+                .load()
+                .schema
+            )
+        except Exception:
+            return None
+
+    return probe
+
+
+def reconcile_schema(
+    target_schema: StructType | None,
+    batch_schema: StructType,
+    table: str,
+    dialect: Dialect,
+    merged: bool = False,
+    large_text_fields: tuple[str, ...] = (),
+) -> SchemaReconciliation:
+    """Decide how to reconcile target vs batch schema (W11):
+
+    - target absent → ``create`` (CREATE + PK + secondary index for merged);
+    - identical generated column DDL → ``none``;
+    - batch adds columns, everything else identical → ``alter`` (additive
+      ALTER ADD per new column, the reference's only allowed evolution);
+    - anything else (column missing from batch, type change) → ``bypass``:
+      the caller must SKIP the table and NOT advance its savepoint
+      (TableReader.scala:304-344). Never emits destructive DDL. The
+      reference applies additive ALTERs before detecting remaining drift
+      (:209-274); we bypass without altering — no DDL runs unless the whole
+      reconciliation is known-safe.
+
+    Comparison is on generated column-DDL text per column, mirroring the
+    reference's compare-the-CREATE-strings approach.
+    """
+    def coldefs(schema: StructType) -> dict[str, str]:
+        return {
+            f.name: sql_type(f.dataType, dialect, large_text=f.name in large_text_fields)
+            for f in schema.fields
+        }
+
+    if target_schema is None:
+        stmts = [
+            create_table_ddl(
+                batch_schema, table, dialect, merged=merged, large_text_fields=large_text_fields
+            ),
+            primary_key_ddl(table, dialect, merged=merged),
+        ]
+        if merged:
+            stmts.append(secondary_index_ddl(table, dialect))
+        return SchemaReconciliation("create", tuple(stmts))
+
+    target, batch = coldefs(target_schema), coldefs(batch_schema)
+    missing_from_batch = sorted(set(target) - set(batch))
+    if missing_from_batch:
+        return SchemaReconciliation(
+            "bypass", reason=f"target columns absent from batch: {missing_from_batch}"
+        )
+    changed = sorted(c for c in target if target[c] != batch[c])
+    if changed:
+        detail = {c: (target[c], batch[c]) for c in changed}
+        return SchemaReconciliation("bypass", reason=f"column type drift: {detail}")
+    new_cols = sorted(set(batch) - set(target))
+    if new_cols:
+        fields = [f for f in batch_schema.fields if f.name in new_cols]
+        return SchemaReconciliation(
+            "alter",
+            tuple(alter_add_columns_ddl(table, fields, dialect, large_text_fields)),
+        )
+    return SchemaReconciliation("none")
+
+
 def write_jdbc_merged(
     df: DataFrame,
     settings: JdbcSettings,

@@ -1,1 +1,13 @@
-"""cda_client_spark.streaming"""
+"""Structured Streaming mode: file-source incremental runner (runner.py)
+and the Kafka CDC source (kafka.py). See SURVEY.md §2.9 — the streaming
+checkpoint replaces savepoints for exactly-once folder consumption."""
+
+from cda_client_spark.streaming.kafka import kafka_cdc_stream, parse_cdc_envelope
+from cda_client_spark.streaming.runner import run_streaming, stream_table_fingerprint
+
+__all__ = [
+    "kafka_cdc_stream",
+    "parse_cdc_envelope",
+    "run_streaming",
+    "stream_table_fingerprint",
+]

@@ -1,0 +1,74 @@
+"""Kafka CDC source (north-star extension; the reference is S3-only).
+
+Two layers, split so the transformation is testable without a broker:
+
+- ``kafka_cdc_stream``: builds the ``readStream.format("kafka")`` frame.
+  Requires the spark-sql-kafka package on the classpath (not bundled in
+  this container — the call raises a clear error if absent at start()).
+- ``parse_cdc_envelope``: pure DataFrame transformation from the Kafka
+  wire schema (key/value binary + topic/partition/offset/timestamp) to CDC
+  rows — JSON value decoded against a caller-supplied payload schema, with
+  the Kafka offset mapped onto the engine's sequencing column so the
+  downstream merge (operators/cdc.py) works unchanged: offsets are
+  monotone per partition, and the fixed-width hex encoding preserves order
+  lexicographically, exactly like ``gwcbi___seqval_hex``.
+
+Scale notes: one Kafka partition maps to one Spark input partition;
+``maxOffsetsPerTrigger`` bounds micro-batch size; the merge's shuffle is
+keyed on the CDC id, not the Kafka partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cda_client_spark.operators.columns import OP_COL, SEQVAL_COL
+
+
+def kafka_cdc_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Raw Kafka stream frame (key, value, topic, partition, offset, ...)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    return reader.load()
+
+
+def parse_cdc_envelope(kafka_df: DataFrame, payload_schema: StructType) -> DataFrame:
+    """Kafka records → CDC rows the merge operators consume directly.
+
+    The JSON value must carry the payload columns plus an integer ``op``
+    (reference op codes: 0 initial, 1 delete, 2 insert, 4 update). The
+    engine's seqval is synthesized from (partition, offset) as fixed-width
+    hex — 4 hex chars of partition + 16 of offset — so lexicographic order
+    equals (partition, offset) order, the per-partition total order Kafka
+    guarantees (cross-partition order is undefined in Kafka; key your topic
+    by entity id if the merge must be globally ordered per id).
+    """
+    parsed = kafka_df.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("p"),
+        F.col("partition"),
+        F.col("offset"),
+    )
+    seq = F.concat(
+        F.lpad(F.upper(F.hex(F.col("partition"))), 4, "0"),
+        F.lpad(F.upper(F.hex(F.col("offset"))), 16, "0"),
+    )
+    payload_cols = [f"p.{f.name}" for f in payload_schema.fields if f.name != "op"]
+    return parsed.select(
+        *payload_cols,
+        F.col("p.op").alias(OP_COL),
+        seq.alias(SEQVAL_COL),
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming incremental runner (SURVEY.md §2.9 / build-plan
+phase 6).
+
+The reference "streams" by re-running a batch job with savepoints
+(TableReader.scala:334-343); Structured Streaming's file source subsumes
+that machinery wholesale: the checkpoint's file log replaces savepoints
+(S2), new-folder discovery replaces the S3 marker listing (S3), and
+``Trigger.AvailableNow`` gives the same drain-everything-then-stop shape.
+
+Per (table, fingerprint): ``readStream.parquet(<fp>/*)`` →
+``foreachBatch`` applying the micro-batch to the stable merged snapshot
+(same ``apply_cdc`` + staging-swap as the batch pipeline) — so a streaming
+run and an incremental batch run converge to the SAME merged state.
+
+Divergence (documented): the manifest high-water-mark filter (S7) is a
+batch-planner concept; the file source processes every folder present at
+trigger time. Publish folders atomically (write + rename) if uncommitted
+data may exist under the tree.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cda_client_spark.config import ClientConfig
+from cda_client_spark.metadata.manifest import filter_tables, read_manifest
+from cda_client_spark.operators.columns import manage_columns_for_target
+from cda_client_spark.pipeline import apply_batch_to_snapshot
+from cda_client_spark.sinks.files import merged_snapshot_path
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class StreamResult:
+    table: str
+    fingerprint: str
+    batches: int
+    ok: bool = True
+    error: str | None = None
+
+
+def stream_table_fingerprint(
+    spark: SparkSession,
+    cfg: ClientConfig,
+    table: str,
+    fingerprint: str,
+    checkpoint_dir: str,
+) -> StreamResult:
+    """Drain all unprocessed folders of one (table, fingerprint) into the
+    merged snapshot with one AvailableNow stream."""
+    src = f"{cfg.source_path.rstrip('/')}/{table}/{fingerprint}"
+    # file streams need an explicit schema: infer once, driver-side
+    schema = spark.read.parquet(f"{src}/*").schema
+    snapshot = merged_snapshot_path(cfg.output.file_settings.path, table, fingerprint)
+    single_file = cfg.output.file_settings.save_as_single_file
+    n_batches = 0
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        df = manage_columns_for_target(batch_df, "file", fingerprint, batch_id)
+        apply_batch_to_snapshot(spark, df, snapshot, single_file=single_file)
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{checkpoint_dir.rstrip('/')}/{table}/{fingerprint}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return StreamResult(table, fingerprint, n_batches)
+
+
+def run_streaming(
+    spark: SparkSession, cfg: ClientConfig, checkpoint_dir: str | None = None
+) -> list[StreamResult]:
+    """Streaming-mode run over every (table, fingerprint) in the manifest.
+
+    ``checkpoint_dir`` defaults to ``<savepointsLocation>/_checkpoints`` —
+    the streaming analog of savepoints.json (exactly-once folder
+    consumption across runs).
+    """
+    manifest = filter_tables(
+        read_manifest(f"{cfg.source_path.rstrip('/')}/manifest.json"),
+        cfg.output.tables_to_include,
+    )
+    ckpt = checkpoint_dir or f"{cfg.savepoints_path.rstrip('/')}/_checkpoints"
+    results: list[StreamResult] = []
+    for table, entry in sorted(manifest.items()):
+        for fingerprint in sorted(entry.schema_history):
+            try:
+                results.append(stream_table_fingerprint(spark, cfg, table, fingerprint, ckpt))
+            except Exception as e:
+                logger.exception("stream failed: %s/%s", table, fingerprint)
+                results.append(StreamResult(table, fingerprint, 0, ok=False, error=str(e)))
+    return results

@@ -1,0 +1,126 @@
+"""Schema-evolution runtime tests (S8 + W11): create / no-drift / additive
+alter / bypass, plus the pipeline wiring (bypass blocks the savepoint)."""
+
+from pyspark.sql.types import StructType
+
+from cda_client_spark.config import from_dict
+from cda_client_spark.metadata.savepoints import SavepointsStore
+from cda_client_spark.pipeline import run
+from cda_client_spark.sinks.jdbc import POSTGRES, reconcile_schema
+from tests.cdc_fixture import build_basic_tree
+
+
+def schema_of(spark, ddl: str) -> StructType:
+    return spark.createDataFrame([], ddl).schema
+
+
+def test_reconcile_create_when_absent(spark):
+    batch = schema_of(spark, "id bigint, gwcbi___seqval_hex string, v double")
+    rec = reconcile_schema(None, batch, "t1", POSTGRES, merged=True)
+    assert rec.action == "create" and len(rec.statements) == 3
+    assert rec.statements[0].startswith("CREATE TABLE")
+    assert 'ADD CONSTRAINT "t1_pk" PRIMARY KEY ("id")' in rec.statements[1]
+    assert rec.statements[2].startswith("CREATE INDEX")
+
+
+def test_reconcile_no_drift(spark):
+    s = schema_of(spark, "id bigint, v double")
+    assert reconcile_schema(s, s, "t", POSTGRES).action == "none"
+
+
+def test_reconcile_additive_alter(spark):
+    target = schema_of(spark, "id bigint, v double")
+    batch = schema_of(spark, "id bigint, v double, note string, extra int")
+    rec = reconcile_schema(target, batch, "t", POSTGRES)
+    assert rec.action == "alter"
+    assert rec.statements == (
+        'ALTER TABLE "t" ADD "extra" INTEGER',
+        'ALTER TABLE "t" ADD "note" VARCHAR(1333)',
+    )
+
+
+def test_reconcile_bypass_on_missing_column(spark):
+    target = schema_of(spark, "id bigint, v double, gone string")
+    batch = schema_of(spark, "id bigint, v double")
+    rec = reconcile_schema(target, batch, "t", POSTGRES)
+    assert rec.action == "bypass" and "gone" in rec.reason
+    assert rec.statements == ()  # never emits DDL on drift
+
+
+def test_reconcile_bypass_on_type_change(spark):
+    target = schema_of(spark, "id bigint, v double")
+    batch = schema_of(spark, "id bigint, v string")
+    rec = reconcile_schema(target, batch, "t", POSTGRES)
+    assert rec.action == "bypass" and "type drift" in rec.reason
+
+
+def _jdbc_cfg(root, out):
+    return from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "jdbc",
+                "tablesToInclude": "tsimple",
+                "jdbcSettings": {"url": "jdbc:postgresql://h/db"},
+            },
+        }
+    )
+
+
+def test_pipeline_creates_then_noops_then_bypasses(spark, tmp_path, monkeypatch):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = _jdbc_cfg(root, out)
+
+    import cda_client_spark.sinks.jdbc as jdbc
+
+    written = []
+    monkeypatch.setattr(
+        jdbc, "write_jdbc_raw", lambda df, s, t, mode="append": written.append(t)
+    )
+    executed: list[str] = []
+
+    # 1) absent target -> CREATE DDL executed, then write proceeds
+    report = run(
+        spark,
+        cfg,
+        jdbc_executor=lambda stmts: executed.extend(stmts),
+        schema_probe=lambda table: None,
+    )
+    assert report.ok and written == ["tsimple"]
+    assert any(s.startswith("CREATE TABLE") for s in executed)
+    assert SavepointsStore(out / "sp").get("tsimple") == 3000
+
+    # 2) target matches batch -> no DDL (probe echoes the written schema)
+    probe_schema = {}
+
+    def capture(df, s, t, mode="append"):
+        probe_schema[t] = df.schema
+        written.append(t)
+
+    monkeypatch.setattr(jdbc, "write_jdbc_raw", capture)
+    (out / "sp" / "savepoints.json").unlink()  # force replan
+    executed.clear()
+    report = run(spark, cfg, jdbc_executor=executed.extend, schema_probe=lambda t: None)
+    assert report.ok
+    (out / "sp" / "savepoints.json").unlink()
+    executed.clear()
+    report = run(
+        spark,
+        cfg,
+        jdbc_executor=executed.extend,
+        schema_probe=lambda t: probe_schema[t],
+    )
+    assert report.ok and executed == []
+
+    # 3) drifted target (extra column the batch lacks) -> bypass, job fails,
+    #    savepoint NOT advanced
+    (out / "sp" / "savepoints.json").unlink()
+    drifted = spark.createDataFrame([], "id bigint, vanished string").schema
+    report = run(spark, cfg, jdbc_executor=executed.extend, schema_probe=lambda t: drifted)
+    assert not report.ok
+    assert "vanished" in report.results[0].error
+    assert SavepointsStore(out / "sp").get("tsimple") is None

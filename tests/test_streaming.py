@@ -1,0 +1,102 @@
+"""Streaming-runner tests: two incremental AvailableNow triggers over a
+growing folder tree converge to the batch pipeline's merged state; Kafka
+envelope parsing is verified on a static frame (no broker needed)."""
+
+import pytest
+
+from cda_client_spark.config import from_dict
+from cda_client_spark.operators.cdc import merge_cdc
+from cda_client_spark.streaming.kafka import parse_cdc_envelope
+from cda_client_spark.streaming.runner import run_streaming
+from tests.cdc_fixture import build_basic_tree, cdc_batch, seqval_hex, write_folder, write_manifest
+
+
+def make_cfg(root, out):
+    return from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "file",
+                "tablesToInclude": "tsimple",
+                "fileSettings": {"path": str(out / "files"), "saveMode": "merged"},
+            },
+        }
+    )
+
+
+def test_streaming_two_triggers_match_batch_merge(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    manifest = build_basic_tree(root)
+    # start with only the first two folders; 3000 arrives later
+    import shutil
+
+    shutil.rmtree(root / "tsimple" / "fpA" / "3000")
+    shutil.rmtree(root / "tsimple" / "fpA" / "4000")
+    out = tmp_path / "out"
+    cfg = make_cfg(root, out)
+
+    res1 = run_streaming(spark, cfg)
+    assert all(r.ok for r in res1) and res1[0].batches == 1
+    snap = str(out / "files" / "tsimple" / "fpA" / "merged")
+    rows = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    assert set(rows) == {1, 2, 3} and rows[1]["v"] == 1.5
+
+    # trigger 2: the delete folder arrives; checkpoint must NOT reprocess old folders
+    write_folder(root, "tsimple", "fpA", 3000, cdc_batch([{"id": 2, "op": 1, "seq": 5}]))
+    res2 = run_streaming(spark, cfg)
+    assert all(r.ok for r in res2)
+    rows = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["v"] == 1.5 and rows[1]["gwcbi___seqval_hex"] == seqval_hex(3)
+
+    # final state equals the batch pipeline's one-shot merge over the same folders
+    batch_df = spark.read.parquet(str(root / "tsimple" / "fpA" / "*"))
+    expected = {
+        r["id"]: r
+        for r in merge_cdc(batch_df.drop("gwcbi___payload_junk")).collect()
+    }
+    assert set(expected) == set(rows)
+    for k in rows:
+        assert rows[k]["v"] == expected[k]["v"]
+        assert rows[k]["gwcbi___seqval_hex"] == expected[k]["gwcbi___seqval_hex"]
+
+    # trigger 3 with nothing new: no-op, state unchanged
+    res3 = run_streaming(spark, cfg)
+    assert all(r.ok for r in res3)
+    assert {r["id"] for r in spark.read.parquet(snap).collect()} == {1, 3}
+
+
+def test_parse_cdc_envelope_roundtrip(spark):
+    import json
+
+    payload_schema = spark.createDataFrame([], "id bigint, v double, op int").schema
+    records = [
+        (json.dumps({"id": 1, "v": 1.0, "op": 2}).encode(), 0, 7),
+        (json.dumps({"id": 1, "v": 1.5, "op": 4}).encode(), 0, 8),
+        (json.dumps({"id": 2, "v": 9.0, "op": 2}).encode(), 1, 3),
+    ]
+    kafka_like = spark.createDataFrame(
+        records, "value binary, partition int, offset long"
+    )
+    out = parse_cdc_envelope(kafka_like, payload_schema)
+    assert set(out.columns) == {"id", "v", "gwcbi___operation", "gwcbi___seqval_hex"}
+    rows = sorted(out.collect(), key=lambda r: r["gwcbi___seqval_hex"])
+    # seqval is (partition, offset) hex: partition 0 offset 7 sorts before partition 1
+    assert [r["id"] for r in rows] == [1, 1, 2]
+    merged = {r["id"]: r for r in merge_cdc(out).collect()}
+    assert merged[1]["v"] == 1.5 and merged[2]["v"] == 9.0
+
+
+def test_kafka_stream_builder_requires_package(spark):
+    """The builder itself must construct (config-time); only start() needs
+    the kafka package. If the package is absent we get the documented
+    analysis error, not a silent misconfiguration."""
+    from cda_client_spark.streaming.kafka import kafka_cdc_stream
+
+    try:
+        df = kafka_cdc_stream(spark, "localhost:9092", "t")
+        assert df.isStreaming
+    except Exception as e:
+        assert "kafka" in str(e).lower()
