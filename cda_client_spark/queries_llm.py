@@ -38,6 +38,7 @@ from cda_client_spark.operators.similarity import (
     hyperplane_weights,
     norm_sql,
 )
+from cda_client_spark.operators.multimodal import byte_histogram_features, media_stats
 from cda_client_spark.operators.text import (
     STOPWORDS,
     TOKEN_REGEX,
@@ -451,6 +452,58 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.999
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload) queries
+# ---------------------------------------------------------------------------
+
+
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the text re-encoded as an opaque binary payload — the
+    schema contract for media tables: (id, media binary, metadata...)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("media")
+    )
+
+
+def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source payload statistics, all JVM built-ins (octet_length/md5
+    on binary): the metadata pass that runs BEFORE any decode at scale."""
+    stats = media_stats(_media_frame(spark, sf_dir), "media")
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("media_md5").alias("n_distinct_payloads"),
+        F.round(F.sum("n_bytes") / F.count(F.lit(1)), 6).alias("avg_bytes"),
+    )
+
+
+# md5(VARCHAR) in DuckDB hashes the UTF-8 bytes — the same bytes Spark's
+# md5(encode(text, 'utf-8')) hashes, so the digests agree.
+MEDIA_BYTE_STATS_SQL = """
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads,
+  round(CAST(SUM(octet_length(text::BLOB)) AS BIGINT) / COUNT(*), 6) AS avg_bytes
+FROM documents GROUP BY source
+"""
+
+
+def media_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-histogram features over the binary payloads
+    (mapInPandas — the vectorized featurizer pattern). Not SQL-expressible
+    byte-level work → rows-only correctness check; the histogram math is
+    golden-tested in tests/test_multimodal.py."""
+    feats = byte_histogram_features(_media_frame(spark, sf_dir), "media", bins=16)
+    return feats.select(
+        "doc_id",
+        F.round(F.expr("aggregate(features, cast(0 as double), (a, x) -> a + x)"), 6).alias(
+            "feature_sum"
+        ),
+        F.expr("array_position(features, array_max(features))").alias("dominant_bin"),
+    )
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -467,6 +520,8 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "emb_near_dup_pairs": emb_near_dup_pairs,
+    "media_byte_stats": media_byte_stats,
+    "media_histogram_features": media_histogram_features,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -481,4 +536,7 @@ ORACLE_LLM: dict[str, str] = {
     "ann_topk_bruteforce": ANN_BRUTE_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "media_byte_stats": MEDIA_BYTE_STATS_SQL,
+    # media_histogram_features: mapInPandas byte-level work, not
+    # SQL-expressible -> rows-only check by design
 }

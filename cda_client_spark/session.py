@@ -30,6 +30,9 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.mergeSchema": "false",  # schema unions are explicit (planner-driven)
     # timestamps in testdata are naive; pin session TZ for determinism
     "spark.sql.session.timeZone": "UTC",
+    # the events table stores TIMESTAMP(NANOS), which the vectorized reader
+    # rejects unless read as long (queries.t rebuilds a micros timestamp)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",

@@ -197,3 +197,17 @@ def test_merge_matches_sequential_replay(spark, n_ids, ops_per_id):
 
     got = merged_dict(merge_cdc(make_batch(spark, rows)))
     assert got == expected
+
+
+def test_ordered_changes_global_transaction_order(spark):
+    """O1 (JdbcOutputWriter.scala:438-446): rows in ascending seqval order
+    for serial consumers; lexicographic order on the fixed-width hex equals
+    numeric order."""
+    from cda_client_spark.operators.cdc import ordered_changes
+
+    df = make_batch(
+        spark,
+        [(3, OP_UPDATE, 300, 3), (1, OP_INSERT, 1, 1), (2, OP_UPDATE, 17, 2)],
+    )
+    got = [r["gwcbi___seqval_hex"] for r in ordered_changes(df).collect()]
+    assert got == [seqval_hex(1), seqval_hex(17), seqval_hex(300)]

@@ -1,0 +1,68 @@
+"""Hadoop-FS lister + URI manifest tests: file:// exercises the same
+FileSystem API path that s3a:// takes on a cluster."""
+
+from cda_client_spark.config import from_dict
+from cda_client_spark.metadata.listers import hadoop_lister, read_manifest_uri
+from cda_client_spark.metadata.planner import discover_folders
+from cda_client_spark.pipeline import run
+from tests.cdc_fixture import build_basic_tree
+
+
+def test_hadoop_lister_lists_subdirs(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    lister = hadoop_lister(spark)
+    names = [n for n, _ in lister(f"file://{root}/tsimple/fpA")]
+    assert names == ["1000", "2000", "3000", "4000"]
+    assert list(lister(f"file://{root}/no/such/dir")) == []
+    # URIs round-trip: returned child uris are listable again
+    uris = dict(lister(f"file://{root}/tsimple"))
+    assert [n for n, _ in lister(uris["fpA"])] == ["1000", "2000", "3000", "4000"]
+
+
+def test_discover_folders_with_hadoop_lister(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    folders = discover_folders(
+        "tsimple",
+        "fpA",
+        f"file://{root}/tsimple",
+        savepoint=1000,
+        manifest_timestamp=3000,
+        lister=hadoop_lister(spark),
+    )
+    assert [f.timestamp for f in folders] == [2000, 3000]  # exclusive/inclusive bounds
+
+
+def test_read_manifest_uri(spark, tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    m = read_manifest_uri(spark, f"file://{root}/manifest.json")
+    assert set(m) == {"tsimple", "taccount"}
+    assert m["tsimple"].last_successful_write_timestamp == 3000
+
+
+def test_full_run_with_hadoop_lister(spark, tmp_path):
+    """End-to-end: plan + read through Hadoop-FS URIs (Spark reads the
+    file:// paths the lister returns)."""
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "file",
+                "fileSettings": {"path": str(out / "files")},
+            },
+        }
+    )
+    report = run(spark, cfg, lister=hadoop_lister(spark))
+    assert report.ok and len(report.results) == 4
+    raw = spark.read.parquet(str(out / "files" / "tsimple" / "fpA" / "3000"))
+    assert raw.count() == 5

@@ -1,0 +1,83 @@
+"""Multimodal operator tests: binary-column plumbing, Arrow batch shapes,
+and golden verification of the histogram math (the decode step is a
+documented deterministic fake — its plumbing is what's under test)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.multimodal import (
+    byte_histogram_features,
+    decode_images,
+    media_stats,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"hello world"),
+        (2, b"\x00\x01\x02\x03" * 64),
+        (3, b""),
+        (4, bytes(range(256))),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, media binary")
+
+
+def test_media_stats_matches_hashlib(media):
+    out = {r["doc_id"]: r for r in media_stats(media).collect()}
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["media_md5"] == hashlib.md5(b"hello world").hexdigest()
+    assert out[3]["n_bytes"] == 0
+    assert out[4]["n_bytes"] == 256
+
+
+def test_decode_images_schema_and_determinism(media):
+    out = decode_images(media)
+    assert out.schema["width"].dataType.simpleString() == "int"
+    a = {r["doc_id"]: (r["width"], r["height"]) for r in out.collect()}
+    b = {r["doc_id"]: (r["width"], r["height"]) for r in out.collect()}
+    assert a == b  # deterministic fake
+    assert set(a) == {1, 2, 3, 4}
+    assert all(w >= 16 and h >= 16 for w, h in a.values())
+
+
+def test_byte_histogram_features_golden(media):
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in byte_histogram_features(media, bins=16).collect()
+    }
+    assert all(len(v) == 16 for v in feats.values())
+    # doc 4 = all 256 byte values once -> perfectly uniform histogram
+    assert feats[4] == [0.0625] * 16
+    # doc 2 = bytes 0-3 only -> everything in bin 0
+    assert feats[2][0] == 1.0 and sum(feats[2][1:]) == 0.0
+    # empty payload -> zero vector, no NaN
+    assert feats[3] == [0.0] * 16
+    # normalized: sums to ~1 for non-empty
+    assert abs(sum(feats[1]) - 1.0) < 1e-6
+    with pytest.raises(ValueError):
+        byte_histogram_features(media, bins=17)
+
+
+def test_sample_frames_slicing(spark):
+    payload = bytes(range(256)) * 2  # 512 bytes = 8 frames of 64
+    df = spark.createDataFrame([(7, payload)], "doc_id bigint, media binary")
+    out = sample_frames(df, frame_size=64, every=4).collect()
+    assert [(r["doc_id"], r["frame_idx"]) for r in out] == [(7, 0), (7, 4)]
+    assert bytes(out[0]["frame"]) == payload[:64]
+    assert bytes(out[1]["frame"]) == payload[256:320]
+    assert all(len(r["frame"]) == 64 for r in out)
+
+
+def test_featurizer_preserves_partition_batching(spark):
+    """mapInPandas must see Arrow batches per partition — no collect, no
+    repartition to 1."""
+    df = spark.createDataFrame(
+        [(i, bytes([i % 256]) * 10) for i in range(100)], "doc_id bigint, media binary"
+    ).repartition(8)
+    out = byte_histogram_features(df)
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 100
