@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "running_total_per_user",
     "latest_event_per_user",
     "sessionize_events",
+    "asof_click_before_purchase",
+    "range_click_error_pairs",
     "cdc_merge_orders",
     "doc_exact_dedup",
     "doc_minhash_lsh_pairs",

@@ -1,0 +1,148 @@
+"""Time-series join operators Spark lacks as built-ins: as-of join and
+bucketed time-range join (north-star extensions; the reference implements
+no Spark-side joins at all — SURVEY.md §2.3).
+
+Scale design:
+
+- **As-of join** is NOT implemented as a per-row range probe (quadratic)
+  nor a join+filter+argmax (joins every candidate pair). It is the
+  union-and-carry formulation: tag both sides, sort within each key
+  partition by (ts, side), and carry the latest right-side payload forward
+  with ``last(ignorenulls)`` — ONE shuffle of |left| + |right| rows, one
+  per-partition sort, zero row amplification. This is the classic
+  Flink/kdb-style merge formulation expressed in Spark windows.
+- **Range join** equi-joins on (key, time bucket) with the right side
+  exploded to adjacent buckets, so candidate pairs are bounded by bucket
+  co-residency instead of |left| x |right| per key; the exact range
+  predicate filters after. Bucket width should be ~the range width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (backward as-of; ``strict`` makes it ``<``)
+    within the same ``key``.
+
+    Output: all left columns + the right ``value_cols`` (null when no
+    earlier right row exists) + ``asof_ts`` (the matched right timestamp).
+    Right columns are prefixed only if they collide with left names.
+
+    Ties: right rows sharing (key, right_ts) are carried in
+    ``right_tiebreak`` order (the LAST one wins); without a tiebreak,
+    pre-deduplicate the right side (the DuckDB ASOF JOIN oracle in the
+    query catalog does exactly that, so both engines are deterministic).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    # tag: right rows sort BEFORE left rows at equal ts (non-strict) so a
+    # same-timestamp right row is visible to the left row; strict flips it
+    right_tag, left_tag = (0, 1) if not strict else (1, 0)
+    tb = (
+        [F.col(right_tiebreak).alias("__tb")]
+        if right_tiebreak is not None
+        else []
+    )
+    tb_null = (
+        [F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("__tb")]
+        if right_tiebreak is not None
+        else []
+    )
+    rsel = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(right_tag).alias("__side"),
+        F.col(right_ts).alias("__asof_ts"),
+        *tb,
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    lsel = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(left_tag).alias("__side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__asof_ts"),
+        *tb_null,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    unioned = rsel.unionByName(lsel, allowMissingColumns=True)
+    order = [F.col("__ts"), F.col("__side")]
+    if right_tiebreak is not None:
+        order.append(F.col("__tb").asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__asof_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__carried_{c}")
+            for c in value_cols
+        ],
+    )
+    out_left = [F.col(f"__l_{c}").alias(c) for c in left.columns]
+    out_right = [
+        F.col(f"__carried_{c}").alias(c if c not in left.columns else f"right_{c}")
+        for c in value_cols
+    ]
+    return carried.filter(F.col("__side") == left_tag).select(*out_left, *out_right, "asof_ts")
+
+
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+    bucket_us: int | None = None,
+) -> DataFrame:
+    """Pairs (left, right) within the same ``key`` where
+    ``right_ts - left_ts`` ∈ [lower_us, upper_us] (microsecond offsets,
+    either sign).
+
+    The equi-join key is (key, time bucket); the right side explodes to
+    every bucket its admissible window overlaps, so a pair is found in
+    exactly the bucket containing the left timestamp and candidates stay
+    proportional to true matches (bucket width defaults to the window
+    span). Output: all left columns + right columns suffixed ``_r`` on
+    collision.
+    """
+    span = upper_us - lower_us
+    bucket = bucket_us or max(span, 1)
+    lb = left.withColumn("__bucket", (F.unix_micros(F.col(left_ts)) / bucket).cast("bigint"))
+    # right row r is admissible for left rows with ts in
+    # [r.ts - upper_us, r.ts - lower_us] → explode r to that bucket range
+    r_lo = ((F.unix_micros(F.col(right_ts)) - upper_us) / bucket).cast("bigint")
+    r_hi = ((F.unix_micros(F.col(right_ts)) - lower_us) / bucket).cast("bigint")
+    rb = right.withColumn("__bucket", F.explode(F.sequence(r_lo, r_hi)))
+    renames = {c: f"{c}_r" for c in right.columns if c in left.columns}
+    for old, new in renames.items():
+        rb = rb.withColumnRenamed(old, new)
+    rkey = renames.get(key, key)
+    rts = renames.get(right_ts, right_ts)
+    joined = lb.join(rb, (lb[key] == rb[rkey]) & (lb["__bucket"] == rb["__bucket"]))
+    delta = F.unix_micros(F.col(rts)) - F.unix_micros(F.col(left_ts))
+    return (
+        joined.filter((delta >= lower_us) & (delta <= upper_us))
+        .drop("__bucket")
+        .drop(rkey)
+    )

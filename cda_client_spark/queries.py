@@ -418,6 +418,114 @@ FROM events GROUP BY user_id
 """
 
 
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): for each purchase, the latest click
+    by the same user at or before it. Union-and-carry formulation — one
+    shuffle of |purchases| + |clicks|, no row amplification. Oracle: DuckDB
+    native ASOF LEFT JOIN."""
+    from pyspark.sql.window import Window
+
+    from cda_client_spark.operators.joins import as_of_join
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)  # dedupe same-instant clicks: max event_id
+        .select(
+            "user_id",
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    out = as_of_join(
+        purchases, clicks, "user_id", "ts", "cts", value_cols=["click_id", "click_value"]
+    )
+    return out.select("user_id", "event_id", "click_id", "click_value", "asof_ts")
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value FROM (
+    SELECT user_id, ts, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click') WHERE rn = 1),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_id, c.click_id, c.click_value, c.ts AS asof_ts
+FROM p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+def range_click_error_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed time-range join (operators/joins.py): (click, error) pairs
+    by the same user with the error 0-6h after the click — candidates come
+    from (user, time-bucket) equi-join co-residency, never |L| x |R| per
+    user."""
+    from cda_client_spark.operators.joins import time_range_join
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("ets")
+    )
+    out = time_range_join(
+        clicks, errors, "user_id", "cts", "ets", lower_us=0, upper_us=21_600_000_000
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        F.expr("(unix_micros(ets) - unix_micros(cts)) div 1000000").alias("delta_sec"),
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT l.user_id, l.event_id AS click_id, r.event_id AS error_id,
+       (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS delta_sec
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'click' AND r.event_type = 'error'
+  AND epoch_us(r.ts) - epoch_us(l.ts) BETWEEN 0 AND 21600000000
+"""
+
+
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc time-bucketed aggregation (scalar date function surface)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month"))
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+MONTHLY_REVENUE_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^2 combinations; rollup's sibling)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,10))), 4) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the props column."""
     e = t(spark, sf_dir, "events")
@@ -557,6 +665,10 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": sessionize_events,
     "event_type_pivot": event_type_pivot,
     "json_props_extract": json_props_extract,
+    "asof_click_before_purchase": asof_click_before_purchase,
+    "range_click_error_pairs": range_click_error_pairs,
+    "monthly_revenue": monthly_revenue,
+    "cube_lineitem_flags": cube_lineitem_flags,
     "cdc_merge_orders": cdc_merge_orders,
     "cdc_op_counts": cdc_op_counts,
 }
@@ -577,6 +689,10 @@ ORACLE: dict[str, str] = {
     "sessionize_events": SESSIONIZE_SQL,
     "event_type_pivot": EVENT_TYPE_PIVOT_SQL,
     "json_props_extract": JSON_PROPS_SQL,
+    "asof_click_before_purchase": ASOF_SQL,
+    "range_click_error_pairs": RANGE_JOIN_SQL,
+    "monthly_revenue": MONTHLY_REVENUE_SQL,
+    "cube_lineitem_flags": CUBE_SQL,
     "cdc_merge_orders": CDC_MERGE_ORDERS_SQL,
     "cdc_op_counts": CDC_OP_COUNTS_SQL,
 }

@@ -1,0 +1,126 @@
+"""As-of / range join operator tests: hand-built timelines with known
+matches, tie semantics, and a brute-force replay oracle."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.joins import as_of_join, time_range_join
+
+
+def ts(sec: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, ts, price) — the right side of the classic trades-asof-quotes
+    rows = [
+        ("A", ts(10), 1.0),
+        ("A", ts(20), 2.0),
+        ("A", ts(30), 3.0),
+        ("B", ts(15), 10.0),
+    ]
+    return spark.createDataFrame(rows, "sym string, qts timestamp, price double")
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("A", ts(5), 100),   # before any quote -> null
+        ("A", ts(20), 101),  # equal ts -> matches the 20s quote (non-strict)
+        ("A", ts(25), 102),  # between -> 20s quote
+        ("A", ts(99), 103),  # after all -> 30s quote
+        ("B", ts(14), 104),  # before B's only quote -> null
+        ("C", ts(50), 105),  # key with no quotes -> null
+    ]
+    return spark.createDataFrame(rows, "sym string, tts timestamp, qty int")
+
+
+def test_as_of_join_backward(trades, quotes):
+    out = {
+        r["qty"]: (r["price"], r["asof_ts"])
+        for r in as_of_join(trades, quotes, "sym", "tts", "qts").collect()
+    }
+    assert len(out) == 6  # every left row survives (left-join semantics)
+    assert out[100] == (None, None)
+    assert out[101] == (2.0, ts(20))  # non-strict: same-ts quote visible
+    assert out[102] == (2.0, ts(20))
+    assert out[103] == (3.0, ts(30))
+    assert out[104] == (None, None)
+    assert out[105] == (None, None)
+
+
+def test_as_of_join_strict(trades, quotes):
+    out = {
+        r["qty"]: r["price"]
+        for r in as_of_join(trades, quotes, "sym", "tts", "qts", strict=True).collect()
+    }
+    assert out[101] == 1.0  # strict: same-ts quote NOT visible -> 10s quote
+
+
+def test_as_of_join_tiebreak(spark, trades):
+    dup = spark.createDataFrame(
+        [("A", ts(20), 2.0, 1), ("A", ts(20), 9.9, 2)],
+        "sym string, qts timestamp, price double, seq int",
+    )
+    out = {
+        r["qty"]: r["price"]
+        for r in as_of_join(
+            trades, dup, "sym", "tts", "qts", value_cols=["price"], right_tiebreak="seq"
+        ).collect()
+    }
+    assert out[101] == 9.9  # highest tiebreak wins deterministically
+
+
+def test_as_of_join_no_row_amplification(trades, quotes):
+    assert as_of_join(trades, quotes, "sym", "tts", "qts").count() == trades.count()
+
+
+def test_time_range_join_window(spark):
+    left = spark.createDataFrame(
+        [("u1", ts(0), "c1"), ("u1", ts(100), "c2"), ("u2", ts(0), "c3")],
+        "user string, lts timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", ts(30), "e1"),   # 30s after c1 -> pair with c1 only
+            ("u1", ts(130), "e2"),  # 130s after c1 (out of 60s), 30s after c2
+            ("u1", ts(400), "e3"),  # out of range of everything
+            ("u2", ts(59), "e4"),   # within 60s of c3
+            ("u3", ts(10), "e5"),   # key never matches
+        ],
+        "user string, rts timestamp, rid string",
+    )
+    out = {
+        (r["lid"], r["rid"])
+        for r in time_range_join(
+            left, right, "user", "lts", "rts", lower_us=0, upper_us=60_000_000
+        ).collect()
+    }
+    assert out == {("c1", "e1"), ("c2", "e2"), ("c3", "e4")}
+
+
+def test_time_range_join_matches_bruteforce(spark):
+    """Random timelines: bucketized equi-join == brute-force filter join."""
+    import random
+
+    rnd = random.Random(11)
+    lrows = [(f"u{rnd.randint(0, 5)}", ts(rnd.randint(0, 1000)), i) for i in range(80)]
+    rrows = [(f"u{rnd.randint(0, 5)}", ts(rnd.randint(0, 1000)), i) for i in range(80)]
+    left = spark.createDataFrame(lrows, "user string, lts timestamp, lid int")
+    right = spark.createDataFrame(rrows, "user string, rts timestamp, rid int")
+    got = {
+        (r["lid"], r["rid"])
+        for r in time_range_join(
+            left, right, "user", "lts", "rts", lower_us=-30_000_000, upper_us=45_000_000
+        ).collect()
+    }
+    expected = {
+        (li, ri)
+        for (lu, lt, li) in lrows
+        for (ru, rt, ri) in rrows
+        if lu == ru and -30 <= (rt - lt).total_seconds() <= 45
+    }
+    assert got == expected

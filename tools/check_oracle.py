@@ -18,6 +18,9 @@ from cda_client_spark.queries import ORACLE, SPARK, TABLES  # noqa: E402
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:  # unify datetime precision (ns vs us artifacts)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
