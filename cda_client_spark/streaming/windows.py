@@ -1,0 +1,140 @@
+"""Streaming windowed aggregation + custom stateful operators (SURVEY.md
+§2.9 engine gaps: the reference has no watermarks, windows, or state).
+
+- ``windowed_event_counts``: tumbling event-time window + watermark — the
+  canonical late-data-tolerant streaming aggregate. The same expression
+  works on a batch frame (window() is an ordinary grouping column), which
+  is how the tests cross-check streaming vs batch results.
+- ``stateful_sessionize``: gap-based sessionization as a CUSTOM stateful
+  operator via ``applyInPandasWithState`` — the escape hatch for semantics
+  built-ins can't express (session windows with per-group state machines,
+  arbitrary timeout logic). State is one small tuple per key; timeouts are
+  event-time based, so the watermark both admits late data and closes idle
+  sessions.
+
+Scale notes: state lives in the state store partitioned by group key —
+shuffle is by key once per batch; keep the state row small (three scalars
+here). Skewed keys skew the state store exactly like a groupBy.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_sec: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based sessions as a stateful streaming operator: a session closes
+    when no event arrives for ``gap_sec`` (event time). Emits one row per
+    CLOSED session; open sessions close when the watermark passes their
+    timeout (EventTimeTimeout)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        gap_us = gap_sec * 1_000_000
+        closed: list[tuple[int, int, int, int]] = []
+        (user_id,) = key
+
+        if state.hasTimedOut:
+            if state.exists:
+                start_us, last_us, n = state.get
+                closed.append((user_id, start_us, last_us, n))
+                state.remove()
+        else:
+            ts_list: list[int] = []
+            for pdf in pdfs:
+                ts_list.extend(
+                    int(v.value) // 1000 for v in pd.to_datetime(pdf[ts_col])
+                )
+            ts_list.sort()
+            if state.exists:
+                start_us, last_us, n = state.get
+            else:
+                start_us, last_us, n = None, None, 0
+            for us in ts_list:
+                if start_us is None:
+                    start_us, last_us, n = us, us, 1
+                elif us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = us, us, 1
+                else:
+                    last_us, n = us, n + 1
+            state.update((start_us, last_us, n))
+            state.setTimeoutTimestamp((last_us + gap_us) // 1000)  # millis
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    stream = events.withWatermark(ts_col, watermark)
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,118 @@
+"""Streaming windowed-agg + stateful-sessionize tests: AvailableNow file
+streams cross-checked against the identical batch computation."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cda_client_spark.streaming.windows import stateful_sessionize, windowed_event_counts
+
+
+def ts(minutes: float) -> dt.datetime:
+    return dt.datetime(2024, 3, 1) + dt.timedelta(minutes=minutes)
+
+
+EVENTS_SCHEMA = "user_id bigint, event_type string, ts timestamp"
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    rows = [
+        (1, "click", ts(0)),
+        (1, "click", ts(10)),
+        (1, "view", ts(70)),
+        (2, "click", ts(5)),
+        (2, "error", ts(200)),
+    ]
+    path = str(tmp_path / "events")
+    spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(path)
+    return path
+
+
+def drain(stream_df, spark, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(batch).collect()
+    }
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got_df = drain(windowed_event_counts(stream), spark, "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): r["n"] for r in got_df.collect()
+    }
+    # append-mode only emits FINALIZED windows (watermark-passed); with
+    # AvailableNow the final watermark is max_ts - 2h, so verify emitted
+    # windows agree with batch and none are bogus
+    assert set(got).issubset(set(expected))
+    assert all(expected[k] == v for k, v in got.items())
+    # batch path computes all windows (user1 clicks at 0,10 + user2 at 5)
+    assert expected[(ts(0), "click")] == 3
+    assert expected[(ts(60), "view")] == 1
+
+
+def test_stateful_sessionize_closes_sessions_on_watermark(spark, tmp_path):
+    """Two triggers over a growing folder: the second batch's later events
+    advance the watermark past the first sessions' gap timeout, closing
+    them exactly once with correct bounds."""
+    path = tmp_path / "sessevents"
+    path.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, EVENTS_SCHEMA).write.parquet(str(path / name))
+
+    def trigger():
+        # foreachBatch sink: supports checkpoint recovery across restarts
+        # (the memory sink doesn't)
+        collected = []
+        stream = spark.readStream.schema(EVENTS_SCHEMA).option(
+            "pathGlobFilter", "*.parquet"
+        ).parquet(str(path / "*"))
+        sessions = stateful_sessionize(stream, gap_sec=3600)
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return collected
+
+    # batch 1: user 1 has events 0,10,70min (one session, gap 60min never
+    # exceeded within-batch: 10->70 is 60min exactly, not > gap)
+    write_batch(
+        [(1, "click", ts(0)), (1, "click", ts(10)), (1, "view", ts(70))], "b1"
+    )
+    out1 = trigger()
+    assert out1 == []  # watermark hasn't passed any timeout yet
+
+    # batch 2: much later events close user 1's session via timeout and
+    # start a new one; user 2 appears and stays open
+    write_batch([(1, "click", ts(600)), (2, "click", ts(610))], "b2")
+    out2 = trigger()
+    closed = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in out2}
+    assert (1, ts(0), ts(70), 3) in closed
+    assert len(closed) == 1  # user 2's session still open
+
+    # batch 3: far-future event closes everything still open
+    write_batch([(9, "click", ts(5000))], "b3")
+    out3 = trigger()
+    closed3 = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in out3}
+    assert (1, ts(600), ts(600), 1) in closed3
+    assert (2, ts(610), ts(610), 1) in closed3
