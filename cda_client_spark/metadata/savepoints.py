@@ -52,3 +52,44 @@ class SavepointsStore:
         # the reference serializes values as strings; keep that on-disk shape
         tmp.write_text(json.dumps({t: str(ts) for t, ts in self._data.items()}, indent=2))
         os.replace(tmp, self._path)
+
+
+class UriSavepointsStore(SavepointsStore):
+    """Savepoints over any Hadoop-FS URI (s3a://, hdfs://, file://) — the
+    reference's S3 savepoints path (SavepointsProcessor.scala: putObject on
+    save). Same interface; writes are a single whole-file put, which is the
+    reference's S3 semantics too (last-writer-wins, no rename)."""
+
+    def __init__(self, spark, dir_uri: str):
+        self._spark = spark
+        self._uri = f"{dir_uri.rstrip('/')}/{SAVEPOINTS_FILENAME}"
+        self._lock = threading.Lock()
+        self._data = {}
+        text = self._read_text()
+        if text:
+            self._data = {t: int(ts) for t, ts in json.loads(text).items()}
+
+    def _fs_path(self):
+        jvm = self._spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self._uri)
+        return path.getFileSystem(self._spark._jsc.hadoopConfiguration()), path
+
+    def _read_text(self) -> str:
+        fs, path = self._fs_path()
+        if not fs.exists(path):
+            return ""
+        stream = fs.open(path)
+        try:
+            return self._spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def _flush(self) -> None:
+        fs, path = self._fs_path()
+        out = fs.create(path, True)  # overwrite put
+        try:
+            out.write(
+                json.dumps({t: str(ts) for t, ts in self._data.items()}, indent=2).encode()
+            )
+        finally:
+            out.close()

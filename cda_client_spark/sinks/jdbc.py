@@ -366,11 +366,44 @@ def write_jdbc_merged(
     )
 
 
+def raw_dedup_insert_statement(schema: StructType, table: str, dialect: Dialect, staging_table: str) -> str:
+    """Idempotent raw apply: insert staged rows, skipping rows whose PK
+    (id, seqval, operation) already landed — makes at-least-once replay
+    safe (the reference's raw path violates its PK on replay, SURVEY.md
+    §7.4.6; W12's two-connection transaction existed to avoid this)."""
+    cols = sorted(f.name for f in schema.fields)
+    collist = ", ".join(dialect.q(c) for c in cols)
+    pk = ", ".join(dialect.q(c) for c in RAW_PK)
+    if dialect is POSTGRES:
+        return (
+            f"INSERT INTO {dialect.q(table)} ({collist})\n"
+            f"SELECT {collist} FROM {dialect.q(staging_table)}\n"
+            f"ON CONFLICT ({pk}) DO NOTHING"
+        )
+    svals = ", ".join(f"s.{dialect.q(c)}" for c in cols)
+    on = " AND ".join(f"t.{dialect.q(c)} = s.{dialect.q(c)}" for c in RAW_PK)
+    return (
+        f"MERGE INTO {dialect.q(table)} t USING {dialect.q(staging_table)} s ON ({on})\n"
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({svals})"
+    )
+
+
+def write_jdbc_raw_idempotent(df: DataFrame, settings: JdbcSettings, table: str, execute) -> None:
+    """Replay-safe raw append: stage with the distributed writer, then ONE
+    set-based dedup-insert (see ``raw_dedup_insert_statement``). Use when a
+    failed run may re-read folders (at-least-once) and the target keeps the
+    reference's raw PK."""
+    staging = f"{table}_raw_stage"
+    write_jdbc_raw(df, settings, staging, mode="overwrite")
+    execute([raw_dedup_insert_statement(df.schema, table, dialect_for_url(settings.url), staging)])
+
+
 def write_jdbc_raw(df: DataFrame, settings: JdbcSettings, table: str, mode: str = "append") -> None:
     """Distributed raw append (W8, SparkJDBCWriter.scala:42-105).
 
     Executors write in parallel with prepared-statement batches of
     ``batch_size`` — the scale path. Requires a reachable database.
+    NOT replay-safe against the raw PK — see ``write_jdbc_raw_idempotent``.
     """
     qualified = f"{settings.schema}.{table}" if settings.schema else table
     (

@@ -66,3 +66,16 @@ def test_full_run_with_hadoop_lister(spark, tmp_path):
     assert report.ok and len(report.results) == 4
     raw = spark.read.parquet(str(out / "files" / "tsimple" / "fpA" / "3000"))
     assert raw.count() == 5
+
+
+def test_uri_savepoints_store_roundtrip(spark, tmp_path):
+    from cda_client_spark.metadata.savepoints import UriSavepointsStore
+
+    uri = f"file://{tmp_path}/sp"
+    store = UriSavepointsStore(spark, uri)
+    assert store.get("t1") is None
+    store.upsert("t1", 3000)
+    store.upsert("t2", 1500)
+    # fresh instance reads back what was written
+    again = UriSavepointsStore(spark, uri)
+    assert again.get("t1") == 3000 and again.as_dict() == {"t1": 3000, "t2": 1500}

@@ -136,3 +136,35 @@ def test_upsert_statement_has_seqval_guard(spark):
     assert "ON CONFLICT" in pg and '"gwcbi___seqval_hex" < EXCLUDED' in pg
     ms = upsert_statement(df.schema, "t", SQLSERVER, "t_stage")
     assert "MERGE INTO" in ms and 't."gwcbi___seqval_hex" < s."gwcbi___seqval_hex"' in ms
+
+
+def test_raw_dedup_insert_statement(spark):
+    from cda_client_spark.sinks.jdbc import raw_dedup_insert_statement
+
+    df = spark.createDataFrame(
+        [(1, "A", 2, 1.0)],
+        "id bigint, gwcbi___seqval_hex string, gwcbi___operation int, v double",
+    )
+    pg = raw_dedup_insert_statement(df.schema, "t", POSTGRES, "t_raw_stage")
+    assert 'ON CONFLICT ("id", "gwcbi___seqval_hex", "gwcbi___operation") DO NOTHING' in pg
+    ms = raw_dedup_insert_statement(df.schema, "t", SQLSERVER, "t_raw_stage")
+    assert "MERGE INTO" in ms and "WHEN NOT MATCHED THEN INSERT" in ms
+    assert "WHEN MATCHED" not in ms  # never updates — replay skips, not rewrites
+
+
+def test_write_jdbc_raw_idempotent_flow(spark, monkeypatch):
+    import cda_client_spark.sinks.jdbc as jdbc
+    from cda_client_spark.config import JdbcSettings
+
+    staged, executed = [], []
+    monkeypatch.setattr(
+        jdbc, "write_jdbc_raw", lambda df, s, t, mode="append": staged.append((t, mode))
+    )
+    df = spark.createDataFrame(
+        [(1, "A", 2)], "id bigint, gwcbi___seqval_hex string, gwcbi___operation int"
+    )
+    jdbc.write_jdbc_raw_idempotent(
+        df, JdbcSettings(url="jdbc:postgresql://h/db"), "t", execute=executed.extend
+    )
+    assert staged == [("t_raw_stage", "overwrite")]
+    assert len(executed) == 1 and "DO NOTHING" in executed[0]
