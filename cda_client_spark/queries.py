@@ -282,6 +282,88 @@ SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders WHERE o_totalprice 
 """
 
 
+def brand_sizes_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set operation (§2.7 engine gap: the reference has none)."""
+    p = t(spark, sf_dir, "part")
+    cheap = p.filter(F.col("p_retailprice") < 950).select("p_brand", "p_size")
+    pricey = p.filter(F.col("p_retailprice") >= 950).select("p_brand", "p_size")
+    return cheap.intersect(pricey)
+
+
+BRAND_INTERSECT_SQL = """
+SELECT p_brand, p_size FROM part WHERE p_retailprice < 950
+INTERSECT
+SELECT p_brand, p_size FROM part WHERE p_retailprice >= 950
+"""
+
+
+def brand_sizes_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set operation."""
+    p = t(spark, sf_dir, "part")
+    cheap = p.filter(F.col("p_retailprice") < 950).select("p_brand", "p_size")
+    pricey = p.filter(F.col("p_retailprice") >= 950).select("p_brand", "p_size")
+    return cheap.subtract(pricey)  # EXCEPT DISTINCT, like the SQL
+
+
+BRAND_EXCEPT_SQL = """
+SELECT p_brand, p_size FROM part WHERE p_retailprice < 950
+EXCEPT
+SELECT p_brand, p_size FROM part WHERE p_retailprice >= 950
+"""
+
+
+def median_order_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation definition)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+MEDIAN_SQL = """
+SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+  COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (§2.8): split/explode/trim/upper/substring/
+    replace/length over part names, aggregated per token."""
+    p = t(spark, sf_dir, "part")
+    tok = p.select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("raw"), F.col("p_retailprice")
+    ).select(
+        F.upper(F.trim(F.col("raw"))).alias("token"),
+        F.substring(F.col("raw"), 1, 3).alias("prefix"),
+        F.length(F.col("raw")).alias("tok_len"),
+        "p_retailprice",
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("tok_len").alias("max_len"),
+        F.min("prefix").alias("min_prefix"),
+        dsum(F.col("p_retailprice")).alias("price_sum"),
+    )
+
+
+PART_NAME_TOKENS_SQL = """
+WITH tok AS (
+  SELECT upper(trim(u.raw)) AS token, substring(u.raw, 1, 3) AS prefix,
+         length(u.raw) AS tok_len, p_retailprice
+  FROM (SELECT unnest(string_split(p_name, ' ')) AS raw, p_retailprice FROM part) u)
+SELECT token, COUNT(*) AS n, CAST(MAX(tok_len) AS INTEGER) AS max_len,
+  MIN(prefix) AS min_prefix,
+  CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS price_sum
+FROM tok GROUP BY token
+"""
+
+
 # ---------------------------------------------------------------------------
 # Window / event-stream queries
 # ---------------------------------------------------------------------------
@@ -659,6 +741,10 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_lineitem_flags": rollup_lineitem_flags,
     "distinct_brand_sizes": distinct_brand_sizes,
     "union_orders_extremes": union_orders_extremes,
+    "brand_sizes_intersect": brand_sizes_intersect,
+    "brand_sizes_except": brand_sizes_except,
+    "median_order_by_priority": median_order_by_priority,
+    "part_name_tokens": part_name_tokens,
     "window_rank_orders": window_rank_orders,
     "running_total_per_user": running_total_per_user,
     "latest_event_per_user": latest_event_per_user,
@@ -683,6 +769,10 @@ ORACLE: dict[str, str] = {
     "rollup_lineitem_flags": ROLLUP_SQL,
     "distinct_brand_sizes": DISTINCT_BRAND_SIZES_SQL,
     "union_orders_extremes": UNION_ORDERS_SQL,
+    "brand_sizes_intersect": BRAND_INTERSECT_SQL,
+    "brand_sizes_except": BRAND_EXCEPT_SQL,
+    "median_order_by_priority": MEDIAN_SQL,
+    "part_name_tokens": PART_NAME_TOKENS_SQL,
     "window_rank_orders": WINDOW_RANK_SQL,
     "running_total_per_user": RUNNING_TOTAL_SQL,
     "latest_event_per_user": LATEST_EVENT_SQL,
