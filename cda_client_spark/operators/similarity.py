@@ -219,6 +219,71 @@ def ann_topk(
     )
 
 
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    round_digits: int = 6,
+    exclude_self: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means partitions the corpus into
+    ``nlist`` cells; each query probes its ``nprobe`` nearest cells and
+    scores only those members.
+
+    The 100 TB shape: training samples the corpus (Spark ML KMeans),
+    assignment is one model pass, and the probe is an equi-join on the
+    cell id — scored rows ~ corpus * nprobe / nlist per query. Cell
+    ranking uses ||c||^2 - 2 q.c (argmin euclidean, monotone equivalent),
+    computed JVM-side against literal centroids.
+
+    Approximate and engine-specific (KMeans isn't replayable in SQL), so
+    correctness is recall-tested against the brute-force path rather than
+    oracle-matched.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(fc)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(fc).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cluster")
+    )
+    c, q = _projections(corpus, queries, id_col, vec_col)
+    c = c.join(assigned, "neighbor_id")
+    probe_structs = [
+        F.struct(
+            (F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col("q_vec", cent)).alias(
+                "score"
+            ),
+            F.lit(j).alias("cluster"),
+        )
+        for j, cent in enumerate(centroids)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+    q = q.withColumn("pr", F.explode(probes)).select(
+        "query_id", "q_vec", "q_norm", F.col("pr.cluster").alias("cluster")
+    )
+    pairs = c.join(F.broadcast(q), "cluster")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos_sim", _scored(round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

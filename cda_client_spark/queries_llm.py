@@ -32,6 +32,7 @@ from cda_client_spark.operators.dedup import (
 )
 from cda_client_spark.operators.similarity import (
     ann_topk,
+    ann_topk_ivf as _ann_topk_ivf_op,
     band_key_sql,
     dot_sql,
     embedding_near_dup_pairs,
@@ -427,6 +428,16 @@ SELECT query_id, neighbor_id, cos_sim, rnk FROM r WHERE rnk <= 5
 """
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans cells + nprobe probing): the third ANN strategy —
+    engine-specific training, so rows-only driver check; recall is
+    pytest-verified against brute force (tests/test_similarity.py)."""
+    e = t(spark, sf_dir, "embeddings")
+    return _ann_topk_ivf_op(
+        e, e.filter(F.col("vec_id") < 10), dim=EMB_DIM, k=5, nlist=16, nprobe=4
+    )
+
+
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.999) via the banded
     hyperplane bucket self-join; planted scaled copies are the dups."""
@@ -519,6 +530,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash_near_dups": doc_simhash_near_dups,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "media_byte_stats": media_byte_stats,
     "media_histogram_features": media_histogram_features,
