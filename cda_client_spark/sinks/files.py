@@ -116,6 +116,20 @@ def schema_yaml(df: DataFrame) -> str:
 
 
 def write_schema_yaml(df: DataFrame, dir_path: str) -> None:
+    """Write the schema sidecar — local paths directly, remote URIs via the
+    Hadoop FS of the frame's session (parity: S3OutputWriter.scala:50-55
+    putObject)."""
+    if "://" in dir_path:
+        spark = df.sparkSession
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{dir_path.rstrip('/')}/{SCHEMA_FILENAME}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(p, True)
+        try:
+            out.write(schema_yaml(df).encode())
+        finally:
+            out.close()
+        return
     p = Path(dir_path)
     p.mkdir(parents=True, exist_ok=True)
     (p / SCHEMA_FILENAME).write_text(schema_yaml(df))
@@ -133,7 +147,7 @@ def write_csv(
     flat = flatten_structs_for_csv(df)
     out = flat.coalesce(1) if single_file else flat
     out.write.option("header", str(header).lower()).mode("overwrite").csv(path)
-    if with_schema_yaml and not path.startswith(("s3a://", "s3://", "hdfs://")):
+    if with_schema_yaml:
         write_schema_yaml(df, path)
 
 
@@ -143,5 +157,5 @@ def write_parquet(
     """Parquet sink (W3, FileBasedOutputWriter.scala:120-132)."""
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").parquet(path)
-    if with_schema_yaml and not path.startswith(("s3a://", "s3://", "hdfs://")):
+    if with_schema_yaml:
         write_schema_yaml(df, path)

@@ -79,3 +79,18 @@ def test_uri_savepoints_store_roundtrip(spark, tmp_path):
     # fresh instance reads back what was written
     again = UriSavepointsStore(spark, uri)
     assert again.get("t1") == 3000 and again.as_dict() == {"t1": 3000, "t2": 1500}
+
+
+def test_write_parquet_schema_yaml_over_uri(spark, tmp_path):
+    """W4 remote path: sidecar written through the Hadoop FS (file:// here,
+    s3a:// on a cluster)."""
+    import yaml as _yaml
+
+    from cda_client_spark.sinks.files import write_parquet
+
+    df = spark.createDataFrame([(1, "a")], "c1 int, c2 string")
+    uri = f"file://{tmp_path}/uriout"
+    write_parquet(df, uri)
+    entries = _yaml.safe_load((tmp_path / "uriout" / "_schema.yaml").read_text())
+    assert [e["name"] for e in entries] == ["c1", "c2"]
+    assert spark.read.parquet(uri).count() == 1

@@ -18,9 +18,13 @@ from cda_client_spark.queries import ORACLE, SPARK, TABLES  # noqa: E402
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    import datetime as _dt
+
     for c in df.columns:  # unify datetime precision (ns vs us artifacts)
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object and df[c].map(lambda v: isinstance(v, _dt.date)).any():
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
