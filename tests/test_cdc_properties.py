@@ -1,0 +1,60 @@
+"""Property-based CDC invariants (hypothesis): the merge must be
+batch-split invariant — applying a change stream in ANY incremental
+partitioning yields the same final state as one big merge. This is the
+exactly-once-per-folder guarantee re-expressed as an algebraic law."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cda_client_spark.operators.cdc import OP_DELETE, OP_INSERT, OP_UPDATE, apply_cdc, merge_cdc
+from tests.cdc_fixture import seqval_hex
+
+# a change stream: per-row (id in small space, op, payload); seq = position
+ops = st.sampled_from([OP_INSERT, OP_UPDATE, OP_DELETE])
+rows = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=6), ops, st.integers(0, 99)),
+    min_size=1,
+    max_size=24,
+)
+cuts = st.lists(st.integers(min_value=1, max_value=23), max_size=3)
+
+
+def frame(spark, numbered):
+    data = [(i, op, seqval_hex(seq), float(v)) for seq, (i, op, v) in numbered]
+    return spark.createDataFrame(
+        data, "id bigint, gwcbi___operation int, gwcbi___seqval_hex string, v double"
+    )
+
+
+def state(df):
+    return {r["id"]: (r["gwcbi___seqval_hex"], r["v"]) for r in df.collect()}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(stream=rows, cut_points=cuts)
+def test_merge_is_batch_split_invariant(spark, stream, cut_points):
+    numbered = list(enumerate(stream, start=1))
+    whole = state(merge_cdc(frame(spark, numbered)))
+
+    bounds = sorted({c for c in cut_points if c < len(numbered)})
+    pieces, prev = [], 0
+    for b in [*bounds, len(numbered)]:
+        if numbered[prev:b]:
+            pieces.append(numbered[prev:b])
+        prev = b
+
+    snapshot = merge_cdc(frame(spark, pieces[0]))
+    for piece in pieces[1:]:
+        snapshot = apply_cdc(snapshot, frame(spark, piece))
+    assert state(snapshot) == whole
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(stream=rows)
+def test_merge_is_idempotent_under_replay(spark, stream):
+    """Re-applying an already-applied batch (at-least-once replay) must not
+    change the state: every op in the replay is stale or redundant."""
+    numbered = list(enumerate(stream, start=1))
+    once = merge_cdc(frame(spark, numbered))
+    replayed = apply_cdc(once, frame(spark, numbered))
+    assert state(replayed) == state(once)

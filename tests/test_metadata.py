@@ -115,3 +115,36 @@ def test_plan_copy_jobs_serialize_ddl_one_fingerprint(tree):
     # fp2 eligible but has no unread folders (its only folder is 2000 <= sp);
     # earliest WITH data is fp3 (F4 #4 + S5 probe semantics)
     assert [(j.table, j.fingerprint) for j in jobs] == [("taccount", "fp3")]
+
+
+def test_planner_property_folder_selection(tmp_path):
+    """Property (hypothesis): planned folders == the filter formula
+    savepoint < ts <= watermark, sorted, for random folder sets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cda_client_spark.metadata.planner import discover_folders
+
+    @settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        folders=st.sets(st.integers(min_value=1, max_value=50), max_size=12),
+        savepoint=st.one_of(st.none(), st.integers(min_value=0, max_value=55)),
+        watermark=st.integers(min_value=0, max_value=55),
+    )
+    def check(folders, savepoint, watermark):
+        def lister(uri):
+            for ts in sorted(folders):
+                yield str(ts), f"{uri}/{ts}"
+
+        got = [
+            f.timestamp
+            for f in discover_folders("t", "fp", "/base", savepoint, watermark, lister)
+        ]
+        expected = sorted(
+            ts
+            for ts in folders
+            if (savepoint is None or ts > savepoint) and ts <= watermark
+        )
+        assert got == expected
+
+    check()

@@ -267,3 +267,29 @@ def test_failed_job_does_not_advance_savepoint(spark, tmp_path, monkeypatch):
     sp = SavepointsStore(out / "sp")
     assert sp.get("tsimple") is None  # failed table retries next run
     assert sp.get("taccount") == 3000  # others proceeded (X2)
+
+
+def test_snapshot_swap_recovers_from_stale_staging_and_old_dirs(spark, tmp_path):
+    """A crash can leave `.staging` / `.old` dirs behind; the next apply
+    must overwrite them and still swap atomically."""
+    from cda_client_spark.pipeline import apply_batch_to_snapshot
+    from tests.cdc_fixture import seqval_hex as sq
+
+    snap = str(tmp_path / "snap")
+    (tmp_path / "snap.staging").mkdir()  # stale staging from a crashed run
+    (tmp_path / "snap.staging" / "junk").write_text("x")
+    (tmp_path / "snap.old").mkdir()      # stale backup too
+
+    df = spark.createDataFrame(
+        [(1, 2, sq(1), 1.0)], "id bigint, gwcbi___operation int, gwcbi___seqval_hex string, v double"
+    )
+    n = apply_batch_to_snapshot(spark, df, snap)
+    assert n == 1
+    assert {r["id"] for r in spark.read.parquet(snap).collect()} == {1}
+    # second apply over the now-existing snapshot also survives stale dirs
+    (tmp_path / "snap.old").mkdir(exist_ok=True)
+    df2 = spark.createDataFrame(
+        [(2, 2, sq(2), 2.0)], "id bigint, gwcbi___operation int, gwcbi___seqval_hex string, v double"
+    )
+    assert apply_batch_to_snapshot(spark, df2, snap) == 2
+    assert {r["id"] for r in spark.read.parquet(snap).collect()} == {1, 2}

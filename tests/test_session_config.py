@@ -60,3 +60,21 @@ def test_config_jdbc_requires_url():
     raw["outputSettings"]["jdbcSettings"] = {"url": "jdbc:postgresql://x/db", "saveMode": "merged"}
     cfg = from_dict(raw)
     assert cfg.output.jdbc_settings.save_mode == "merged"
+
+
+def test_invalid_file_save_mode_rejected():
+    import pytest
+
+    from cda_client_spark.config import ConfigError, from_dict
+
+    with pytest.raises(ConfigError, match="fileSettings.saveMode"):
+        from_dict(
+            {
+                "sourceLocation": {"path": "/src"},
+                "savepointsLocation": "/sp",
+                "outputSettings": {
+                    "exportTarget": "file",
+                    "fileSettings": {"path": "/out", "saveMode": "bogus"},
+                },
+            }
+        )
