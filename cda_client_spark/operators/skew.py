@@ -1,0 +1,49 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join handling (enabled in session.py) splits oversized
+sort-merge partitions automatically — prefer it. Explicit salting remains
+necessary when (a) a hot KEY (not just a hot partition) dominates a
+shuffle-hash join and the other side is too big to broadcast outright but
+small enough to replicate, or (b) a deterministic, planner-independent
+spread is required.
+
+``salted_join`` replicates the small side ``salt``× (explode over the salt
+domain) and scatters the big side's hot keys uniformly across the salt
+values, so the join key becomes (key, salt) and no single reducer owns a
+hot key's full row set. Join RESULTS are identical to the plain join for
+equi-joins — the salt only changes physical placement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot side salted and the small side replicated.
+
+    Cost model: small side shuffles salt× its size; big side's per-key row
+    sets split into ``salt`` reducers. Worth it iff one key's rows exceed
+    what a single task should own (~ partition target size); otherwise use
+    the plain join and let AQE handle partition-level skew.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = [c for c in big.columns if c in small.columns and c not in keys]
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns on both sides: {overlap}")
+    # deterministic-enough spread: row identity within the partition; the
+    # join result does not depend on which salt a row lands on
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return big_s.join(small_s, [*keys, "__salt"], how).drop("__salt")

@@ -56,6 +56,33 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Built-in session windows (``F.session_window``): per-key dynamic
+    windows that merge events within ``gap`` of each other. The declarative
+    sibling of ``stateful_sessionize`` — use this when per-session output is
+    a plain aggregate; drop to the stateful operator for custom state
+    machines. Works on batch and streaming frames alike."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("sess"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 SESSION_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),

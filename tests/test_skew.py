@@ -1,0 +1,72 @@
+"""Salted-join equivalence + shape tests, and built-in session windows vs
+the lag-based batch sessionization."""
+
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    import random
+
+    rnd = random.Random(5)
+    # hot key: 500 of 600 rows share key 0
+    big_rows = [(0 if i < 500 else rnd.randint(1, 20), i) for i in range(600)]
+    big = spark.createDataFrame(big_rows, "k bigint, payload bigint")
+    small = spark.createDataFrame([(i, f"v{i}") for i in range(21)], "k bigint, label string")
+
+    plain = {(r["k"], r["payload"], r["label"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["k"], r["payload"], r["label"])
+        for r in salted_join(big, small, "k", salt=4).collect()
+    }
+    assert salted == plain and len(plain) == 600
+
+    left = {
+        (r["k"], r["payload"], r["label"])
+        for r in salted_join(big, small.filter("k > 10"), "k", salt=4, how="left").collect()
+    }
+    plain_left = {
+        (r["k"], r["payload"], r["label"])
+        for r in big.join(small.filter("k > 10"), "k", "left").collect()
+    }
+    assert left == plain_left
+
+
+def test_salted_join_key_includes_salt(spark):
+    big = spark.createDataFrame([(1, 2)], "k bigint, p bigint")
+    small = spark.createDataFrame([(1, "x")], "k bigint, label string")
+    out = salted_join(big, small, "k", salt=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # the physical join key carries the salt
+    assert "__salt" not in out.columns
+
+
+def test_salted_join_rejects_ambiguous_columns(spark):
+    a = spark.createDataFrame([(1, 2)], "k bigint, v bigint")
+    b = spark.createDataFrame([(1, 3)], "k bigint, v bigint")
+    import pytest
+
+    with pytest.raises(ValueError, match="ambiguous"):
+        salted_join(a, b, "k")
+
+
+def test_session_window_counts_matches_lag_based(spark):
+    """Built-in session_window session counts per user == the lag-based
+    formulation (sessionize_events) on real event data."""
+    from cda_client_spark.queries import sessionize_events, t
+    from cda_client_spark.streaming.windows import session_window_counts
+
+    sf = "/root/testdata/sf0.001"
+    lag_based = {
+        r["user_id"]: r["n_sessions"] for r in sessionize_events(spark, sf).collect()
+    }
+    sessions = session_window_counts(t(spark, sf, "events"), gap="1 hour")
+    built_in = {
+        r["user_id"]: r["n"]
+        for r in sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert built_in == lag_based
+    # event totals conserved across sessions
+    total = sessions.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
+    assert total == t(spark, sf, "events").count()
