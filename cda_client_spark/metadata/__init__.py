@@ -1,1 +1,3 @@
-"""cda_client_spark.metadata"""
+"""Metadata layer (driver-side, no data movement): manifest catalog,
+savepoint stores (local + Hadoop-FS URI), incremental folder planner, and
+remote listers."""

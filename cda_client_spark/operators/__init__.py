@@ -1,1 +1,43 @@
-"""cda_client_spark.operators"""
+"""Operator library: CDC merge, column management, dedup (exact / MinHash /
+SimHash / Jaccard / LSH), embedding similarity (ANN brute-force / LSH /
+IVF, near-dup), text analysis, time-series joins (as-of, range), skew
+tools, multimodal binary processing."""
+
+from cda_client_spark.operators.cdc import apply_cdc, latest_changes, merge_cdc
+from cda_client_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+    simhash_signatures,
+)
+from cda_client_spark.operators.joins import as_of_join, time_range_join
+from cda_client_spark.operators.similarity import (
+    ann_topk,
+    ann_topk_ivf,
+    embedding_near_dup_pairs,
+)
+from cda_client_spark.operators.skew import salted_join
+from cda_client_spark.operators.text import fingerprint, language_id, quality_score
+
+__all__ = [
+    "apply_cdc",
+    "latest_changes",
+    "merge_cdc",
+    "exact_dedup",
+    "jaccard_pairs",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "simhash_near_dup_pairs",
+    "simhash_signatures",
+    "as_of_join",
+    "time_range_join",
+    "ann_topk",
+    "ann_topk_ivf",
+    "embedding_near_dup_pairs",
+    "salted_join",
+    "fingerprint",
+    "language_id",
+    "quality_score",
+]

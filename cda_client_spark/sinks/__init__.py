@@ -1,1 +1,3 @@
-"""cda_client_spark.sinks"""
+"""Sinks: CSV/Parquet + schema.yaml sidecars and merged-snapshot swap
+(files.py); JDBC distributed raw, idempotent raw, set-based merged apply,
+DDL/PK/index generation and schema evolution (jdbc.py)."""

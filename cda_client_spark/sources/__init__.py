@@ -1,1 +1,2 @@
-"""cda_client_spark.sources"""
+"""Sources: multi-path parquet micro-batch scan (parquet.py) — one scan
+per (table, fingerprint) covering all planned timestamp folders."""

@@ -211,3 +211,20 @@ def test_ordered_changes_global_transaction_order(spark):
     )
     got = [r["gwcbi___seqval_hex"] for r in ordered_changes(df).collect()]
     assert got == [seqval_hex(1), seqval_hex(17), seqval_hex(300)]
+
+
+def test_union_by_name_schema_tolerant(spark):
+    """U1/U2 fallback: differing schemas align by name, missing columns
+    become null; column order follows the first frame."""
+    from cda_client_spark.operators.cdc import union_by_name
+
+    a = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    b = spark.createDataFrame([("y", 2, 9.5)], "v string, id bigint, extra double")
+    out = union_by_name([a, b])
+    assert out.columns == ["id", "v", "extra"]
+    rows = {r["id"]: (r["v"], r["extra"]) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9.5)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        union_by_name([])

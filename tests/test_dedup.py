@@ -148,3 +148,24 @@ def test_cap_buckets_bounds_hot_bucket(spark):
     kept = cap_buckets(b, ["band", "key"], 3)
     assert {r["key"] for r in kept.collect()} == {"cold"}
     assert bucket_pairs(b, "id", 3).count() == 1
+
+
+def test_minhash_column_and_dataframe_variants_agree(corpus):
+    """The row-local Column signature and the explode+codegen DataFrame
+    signature compute the same affine MinHash values."""
+    from cda_client_spark.operators.dedup import minhash_signature, minhash_signatures
+
+    for hash_fn in ("md5", "xxhash64"):
+        col_sigs = {
+            r["doc_id"]: r["sig"]
+            for r in corpus.select(
+                "doc_id", minhash_signature("text", 16, 3, hash_fn).alias("sig")
+            ).collect()
+        }
+        df_sigs = {
+            r["doc_id"]: r["sig"]
+            for r in minhash_signatures(
+                corpus, num_hashes=16, shingle=3, hash_fn=hash_fn
+            ).collect()
+        }
+        assert df_sigs == col_sigs

@@ -148,3 +148,31 @@ def test_planner_property_folder_selection(tmp_path):
         assert got == expected
 
     check()
+
+
+def test_read_folders_single_scan_and_union_fallback(spark, tmp_path):
+    """S6/U2: multi-path read equals the unionByName fallback on
+    same-schema folders; the fallback also tolerates schema drift."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cda_client_spark.sources.parquet import read_folders, read_folders_union
+
+    d1, d2 = tmp_path / "1000", tmp_path / "2000"
+    d1.mkdir(), d2.mkdir()
+    pq.write_table(pa.table({"id": [1, 2], "v": [1.0, 2.0]}), d1 / "p.parquet")
+    pq.write_table(pa.table({"id": [3], "v": [3.0]}), d2 / "p.parquet")
+    paths = [str(d1), str(d2)]
+    one_scan = {r["id"] for r in read_folders(spark, paths).collect()}
+    fallback = {r["id"] for r in read_folders_union(spark, paths).collect()}
+    assert one_scan == fallback == {1, 2, 3}
+    # drifted folder: extra column only in the fallback path
+    d3 = tmp_path / "3000"
+    d3.mkdir()
+    pq.write_table(pa.table({"id": [4], "v": [4.0], "extra": ["e"]}), d3 / "p.parquet")
+    drifted = read_folders_union(spark, [*paths, str(d3)])
+    assert "extra" in drifted.columns and drifted.count() == 4
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_folders(spark, [])
