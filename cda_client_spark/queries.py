@@ -728,6 +728,195 @@ FROM batch
 
 
 # ---------------------------------------------------------------------------
+# Subqueries / grouping sets / map type / distinct aggregates
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + global aggregate.
+
+    Scale: every predicate pushes to the parquet scan (min/max row-group
+    skipping on shipdate); the aggregate is one partial/final pair —
+    shuffle volume is one row per input partition.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS, written as SQL so Catalyst's
+    RewritePredicateSubquery decorrelates it into a left semi join.
+
+    Scale: the subquery side is filtered (quantity) before the semi join;
+    both sides shuffle on orderkey, or broadcast under AQE when small.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q4_orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("q4_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM q4_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM q4_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: orders 1.5x above their customer's
+    average order value; Catalyst decorrelates both subqueries into one
+    aggregate joined back on o_custkey.
+
+    Cross-engine determinism: the average is never divided out — the
+    comparison is ``price * n > 1.5 * sum`` with the sum made
+    order-independent (decimal, round 4, back to double), so both engines
+    evaluate identical IEEE operations.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("oaca_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM oaca_orders o
+        WHERE o_totalprice *
+              (SELECT COUNT(*) FROM oaca_orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > 1.5 *
+              (SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE)
+               FROM oaca_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE o_totalprice *
+      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    > 1.5 *
+      (SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))), 4) AS DOUBLE)
+       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((flag,status),(flag),()) — finer-grained than
+    rollup/cube (both are special cases). Spark expands to a single Expand
+    node feeding ONE aggregate: the input is scanned once, not once per
+    set.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def order_line_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY §1.2 flags MapType as unhandled by the
+    reference): per-order map linenumber→price built from a sorted entry
+    list, then map lookups/cardinality/values — all JVM built-ins.
+
+    Scale: one groupBy(orderkey) aggregation; each map is row-local and
+    bounded by its order's line count (7 in TPC-H), never shuffled as a
+    whole-table structure.
+    """
+    entries = F.sort_array(
+        F.collect_list(F.struct(F.col("l_linenumber"), F.col("price")))
+    )
+    per_line = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("price"))
+    )
+    return (
+        per_line.groupBy("l_orderkey")
+        .agg(F.map_from_entries(entries).alias("m"))
+        .select(
+            "l_orderkey",
+            F.cardinality("m").cast("bigint").alias("n_lines"),
+            F.element_at("m", F.lit(1)).alias("line1_price"),
+            F.array_max(F.map_values("m")).alias("max_price"),
+        )
+    )
+
+
+ORDER_LINE_MAPS_SQL = """
+SELECT l_orderkey,
+  CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_lines,
+  MAX(CASE WHEN l_linenumber = 1 THEN l_extendedprice END) AS line1_price,
+  MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc + COUNT(DISTINCT): Spark plans a two-phase distinct
+    aggregate — partial de-dup map-side, one shuffle on the hour key.
+    """
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+HOURLY_ACTIVE_USERS_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  COUNT(*) AS n_events
+FROM events GROUP BY date_trunc('hour', ts)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -757,6 +946,12 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_lineitem_flags": cube_lineitem_flags,
     "cdc_merge_orders": cdc_merge_orders,
     "cdc_op_counts": cdc_op_counts,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "orders_above_customer_avg": orders_above_customer_avg,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "order_line_maps": order_line_maps,
+    "hourly_active_users": hourly_active_users,
 }
 
 ORACLE: dict[str, str] = {
@@ -785,6 +980,12 @@ ORACLE: dict[str, str] = {
     "cube_lineitem_flags": CUBE_SQL,
     "cdc_merge_orders": CDC_MERGE_ORDERS_SQL,
     "cdc_op_counts": CDC_OP_COUNTS_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q4_order_priority": Q4_SQL,
+    "orders_above_customer_avg": ORDERS_ABOVE_AVG_SQL,
+    "grouping_sets_revenue": GROUPING_SETS_SQL,
+    "order_line_maps": ORDER_LINE_MAPS_SQL,
+    "hourly_active_users": HOURLY_ACTIVE_USERS_SQL,
 }
 
 # LLM-data-pipeline queries (dedup / text / similarity) live in their own
