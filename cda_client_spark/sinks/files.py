@@ -159,3 +159,56 @@ def write_parquet(
     out.write.mode("overwrite").parquet(path)
     if with_schema_yaml:
         write_schema_yaml(df, path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    with_schema_yaml: bool = True,
+) -> None:
+    """Hive-style partitioned parquet (``path/col=value/``) — the layout
+    that makes Catalyst partition pruning work: a filter on a partition
+    column prunes whole directories at planning time (PartitionFilters in
+    the scan node), so a day-scoped query over a 100 TB multi-year table
+    reads only that day's files.
+
+    The reference's equivalent is its manual timestamp-folder layout
+    (TableReader.scala:425-433) pruned by driver code; encoding the
+    partition key in the path hands the same pruning to the optimizer.
+    Choose low-cardinality keys (date, table, fingerprint) — one directory
+    and >=1 file per value; a high-cardinality key produces millions of
+    tiny files.
+    """
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    if with_schema_yaml:
+        write_schema_yaml(df, path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed parquet table (``CLUSTERED BY ... INTO n BUCKETS``): rows
+    are hash-distributed into a fixed number of files per partition, and
+    Spark records the bucketing spec in the catalog. A join or aggregation
+    on the bucket columns between tables with the same bucket count then
+    needs NO shuffle — each task reads matching bucket files from both
+    sides. At 100 TB this turns the dominant cost of a repeated
+    fact-to-fact join (two full-table exchanges) into a local merge; the
+    price is paid once at write time.
+
+    ``path`` makes it an external table (data at ``path``, spec in the
+    catalog). Bucketed writes must go through ``saveAsTable`` — the spec
+    lives in the catalog, plain ``.parquet(path)`` cannot carry it.
+    """
+    w = df.write.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.mode("overwrite").format("parquet").saveAsTable(table_name)

@@ -1,0 +1,101 @@
+"""Storage-layout scale techniques: partition pruning and bucketed
+(shuffle-free) joins, asserted at the physical-plan level — the point of
+these layouts IS the plan shape, not the row values."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cda_client_spark.sinks.files import (
+    write_bucketed_table,
+    write_parquet_partitioned,
+)
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_parquet_partitioned(orders, out, ["order_year"])
+
+    back = spark.read.parquet(out)
+    years = [r[0] for r in back.select("order_year").distinct().collect()]
+    assert len(years) > 1, "need >1 partition for pruning to mean anything"
+
+    pruned = back.filter(F.col("order_year") == years[0])
+    # the filter lands in the scan's PartitionFilters (directory-level
+    # pruning at listing time), not as a row-level parquet filter
+    plan = plan_str(pruned)
+    part_filters = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert f"= {years[0]}" in part_filters
+
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert back.count() == total
+    n_year = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.year("o_orderdate") == years[0]
+    ).count()
+    assert pruned.count() == n_year
+
+
+def test_partitioned_write_roundtrip_values(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_rt")
+    write_parquet_partitioned(orders, out, ["order_year"])
+    back = spark.read.parquet(out)
+    a = {tuple(r) for r in orders.select("o_orderkey", "order_year").collect()}
+    b = {tuple(r) for r in back.select("o_orderkey", "order_year").collect()}
+    assert a == b
+
+
+@pytest.fixture
+def no_broadcast(spark):
+    """Force a non-broadcast join so the bucket/shuffle distinction shows."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path, no_broadcast):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed_table(
+        orders, "t_orders_b", ["o_orderkey"], 4, path=str(tmp_path / "ob")
+    )
+    write_bucketed_table(
+        lineitem, "t_lineitem_b", ["l_orderkey"], 4, path=str(tmp_path / "lb")
+    )
+    try:
+        o, l = spark.table("t_orders_b"), spark.table("t_lineitem_b")
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        plan = plan_str(joined)
+        assert "SortMergeJoin" in plan
+        # both sides arrive pre-hashed into matching buckets: no exchange
+        # anywhere below the join — the 100 TB win this layout buys
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange hashpartitioning" not in join_part
+
+        # same join from plain (unbucketed) parquet shuffles both sides
+        plain = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert "Exchange hashpartitioning" in plan_str(plain)
+
+        expected = (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, expected))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
