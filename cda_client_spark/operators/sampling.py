@@ -1,0 +1,107 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+``df.sample`` / ``sampleBy`` seed the RNG per partition, so membership
+changes whenever partitioning changes (repartition, AQE, cluster size) —
+unacceptable for train/val/test splits that must stay stable for the life
+of a corpus and be reproducible by other engines. These operators hash a
+stable id instead: membership is a pure function of the row, portable to
+any engine with md5 (the DuckDB oracles replay it), and a narrow
+projection — no shuffle, no RNG, no state.
+
+Scale: each operator is one scalar expression per row (md5 of a short id
+string) plus an optional filter — fully codegen'd, pushes through scans,
+and trivially parallel at 100 TB. The bucket count (1e6) bounds the split
+granularity error at 1e-4 % of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_BUCKETS = 1_000_000
+
+
+def hash_bucket(col: Column, num_buckets: int = NUM_BUCKETS, seed: str = "split") -> Column:
+    """Deterministic bucket in [0, num_buckets): first 32 bits of
+    md5(seed:id). Engine-portable: DuckDB equivalent is
+    ``('0x' || substr(md5('seed:' || id), 1, 8))::BIGINT % n``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return h % num_buckets
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: str = "sample") -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id-hash. Unlike
+    ``df.sample`` the result is identical across runs, partitionings and
+    engines, and consecutive calls with the same seed are nested
+    (fraction=0.1 ⊂ fraction=0.2)."""
+    return df.filter(hash_bucket(F.col(id_col), NUM_BUCKETS, seed) < round(fraction * NUM_BUCKETS))
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, upper_bucket_bound) pairs with cumulative normalized weights —
+    shared by the Column builder and the SQL oracle so both engines use the
+    exact same integer cutoffs."""
+    total = sum(weights.values())
+    out, acc = [], 0.0
+    for name, w in weights.items():
+        acc += w / total
+        out.append((name, round(acc * NUM_BUCKETS)))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+    col_name: str = "split",
+) -> DataFrame:
+    """Label every row with a split name ('train'/'val'/...) in proportion
+    to ``weights``, deterministically by id-hash (see module docstring)."""
+    b = hash_bucket(F.col(id_col), NUM_BUCKETS, seed)
+    cuts = split_thresholds(weights)
+    expr = None
+    for name, bound in cuts[:-1]:
+        cond = b < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(cuts[-1][0])
+    return df.withColumn(col_name, last if expr is None else expr.otherwise(last))
+
+
+def split_case_sql(id_col: str, weights: dict[str, float], seed: str = "split") -> str:
+    """DuckDB CASE expression matching ``hash_split`` value-for-value."""
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {NUM_BUCKETS})"
+    )
+    cuts = split_thresholds(weights)
+    whens = " ".join(f"WHEN {bucket} < {bound} THEN '{name}'" for name, bound in cuts[:-1])
+    return f"CASE {whens} ELSE '{cuts[-1][0]}' END"
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` without the RNG):
+    keep ``fractions[stratum]`` of each stratum by id-hash. Rebalances
+    skewed corpora (e.g. downsample the dominant language) reproducibly."""
+    b = hash_bucket(F.col(id_col), NUM_BUCKETS, seed)
+    bound = None
+    for value, frac in fractions.items():
+        cut = F.lit(round(frac * NUM_BUCKETS))
+        cond = F.col(strata_col) == value
+        bound = F.when(cond, cut) if bound is None else bound.when(cond, cut)
+    bound = (
+        F.lit(round(default_fraction * NUM_BUCKETS))
+        if bound is None
+        else bound.otherwise(round(default_fraction * NUM_BUCKETS))
+    )
+    return df.filter(b < bound)

@@ -40,6 +40,7 @@ from cda_client_spark.operators.similarity import (
     norm_sql,
 )
 from cda_client_spark.operators.multimodal import byte_histogram_features, media_stats
+from cda_client_spark.operators.sampling import hash_split, split_case_sql
 from cda_client_spark.operators.text import (
     STOPWORDS,
     TOKEN_REGEX,
@@ -516,6 +517,59 @@ def media_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
+# Deterministic splits / corpus curation (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def doc_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by doc_id hash — stable
+    across runs, partitionings, and engines (no RNG; see
+    operators/sampling.py). Aggregated per split for the gate."""
+    d = hash_split(t(spark, sf_dir, "documents"), "doc_id", _SPLIT_WEIGHTS)
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+
+
+DOC_SPLIT_SQL = f"""
+SELECT {split_case_sql("doc_id", _SPLIT_WEIGHTS)} AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def doc_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the north-star pipeline composed from
+    the engine's own operators: quality filter → exact dedup (lowest id
+    wins) → deterministic split. Every stage is a narrow projection or one
+    aggregation; nothing leaves the JVM.
+    """
+    scored = quality_score(t(spark, sf_dir, "documents"), "text")
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.5) & F.col("n_words").between(5, 5000)
+    ).withColumn("fp", fingerprint(F.col("text")))
+    deduped = exact_dedup(kept.select("doc_id", "fp"), cols=["fp"], id_col="doc_id")
+    out = hash_split(deduped, "doc_id", _SPLIT_WEIGHTS, seed="corpus")
+    return out.select("doc_id", "n_dups", "split")
+
+
+DOC_CORPUS_SQL = f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+kept AS (
+  SELECT d.doc_id, md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality_score >= 0.5 AND q.n_words BETWEEN 5 AND 5000),
+dd AS (SELECT min(doc_id) AS doc_id, COUNT(*) AS n_dups FROM kept GROUP BY fp)
+SELECT doc_id, n_dups, {split_case_sql("doc_id", _SPLIT_WEIGHTS, seed="corpus")} AS split
+FROM dd
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
 
@@ -534,6 +588,8 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "media_byte_stats": media_byte_stats,
     "media_histogram_features": media_histogram_features,
+    "doc_train_val_split": doc_train_val_split,
+    "doc_training_corpus": doc_training_corpus,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -551,4 +607,6 @@ ORACLE_LLM: dict[str, str] = {
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     # media_histogram_features: mapInPandas byte-level work, not
     # SQL-expressible -> rows-only check by design
+    "doc_train_val_split": DOC_SPLIT_SQL,
+    "doc_training_corpus": DOC_CORPUS_SQL,
 }

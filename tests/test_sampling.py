@@ -1,0 +1,70 @@
+"""Deterministic sampling/split operators: stability, nesting, proportions."""
+
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.sampling import (
+    NUM_BUCKETS,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    split_thresholds,
+    stratified_hash_sample,
+)
+
+
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def ids(df):
+    return {r[0] for r in df.select("doc_id").collect()}
+
+
+def test_hash_sample_is_partitioning_invariant(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    s1 = ids(hash_sample(d, "doc_id", 0.3))
+    s2 = ids(hash_sample(d.repartition(7, "lang"), "doc_id", 0.3))
+    assert s1 == s2 and s1
+
+
+def test_hash_sample_fractions_nest(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    s10, s30 = ids(hash_sample(d, "doc_id", 0.1)), ids(hash_sample(d, "doc_id", 0.3))
+    assert s10 <= s30
+    n = d.count()
+    assert abs(len(s30) / n - 0.3) < 0.15  # small-n tolerance
+
+
+def test_hash_split_partitions_everything_once(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.2})
+    counts = dict(out.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val"}
+    assert sum(counts.values()) == d.count()
+    assert counts["train"] > counts.get("val", 0)
+
+
+def test_split_thresholds_normalize_and_cover():
+    cuts = split_thresholds({"a": 2, "b": 1, "c": 1})
+    assert cuts == [("a", 500000), ("b", 750000), ("c", NUM_BUCKETS)]
+
+
+def test_hash_bucket_range(spark, sf_dir):
+    d = docs(spark, sf_dir).select(hash_bucket(F.col("doc_id"), 100).alias("b"))
+    mn, mx = d.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= mn and mx < 100
+
+
+def test_stratified_hash_sample(spark, sf_dir):
+    d = docs(spark, sf_dir)
+    langs = [r[0] for r in d.select("lang").distinct().collect()]
+    keep_all, keep_none = langs[0], langs[1]
+    out = stratified_hash_sample(
+        d, "doc_id", "lang", {keep_all: 1.0, keep_none: 0.0}, default_fraction=0.5
+    )
+    got = dict(out.groupBy("lang").count().collect())
+    orig = dict(d.groupBy("lang").count().collect())
+    assert got[keep_all] == orig[keep_all]
+    assert keep_none not in got
+    for lang in langs[2:]:
+        assert 0 < got.get(lang, 0) < orig[lang]
