@@ -108,8 +108,20 @@ def merge_cdc(
 ) -> DataFrame:
     """Collapse a CDC change batch to the merged (last-state) snapshot.
 
-    Per key: absent if any delete; absent if no anchor (orphan updates
-    no-op); else the highest-seqval row among anchor + applicable updates.
+    Sequence-ordered semantics, so the result is batch-split invariant
+    (tests/test_cdc_properties.py): per key, the row survives iff its last
+    anchor (insert/initial) outranks its last delete by seqval — a later
+    insert resurrects a deleted key — and orphan updates (no anchor in
+    scope) are no-ops. The payload is the highest-seqval non-delete row;
+    that row always postdates the last delete whenever the key survives, so
+    one aggregation suffices (no second pass conditioned on the delete).
+
+    Divergence by design from the reference, which executes all deletes
+    last within a batch transaction (JdbcOutputWriter.scala:342-497), so
+    delete-then-reinsert inside one micro-batch drops the key there —
+    making the outcome depend on where batch boundaries fall. A
+    transactional CDC source only emits delete-before-insert for an id on
+    key reuse; seqval order is the faithful replay of that.
 
     Output: one row per surviving key, payload columns + ``seq_col``
     retained (the merged table keeps seqval for future incremental applies,
@@ -121,10 +133,13 @@ def merge_cdc(
     agg = batch_df.groupBy(key).agg(
         # delete rows must never supply the payload: exclude them from the max
         F.max(F.when(~op.eqNullSafe(OP_DELETE), F.struct(*packed_fields))).alias("latest"),
-        F.max(op.isin(*ANCHOR_OPS).cast("int")).alias("__has_anchor"),
-        F.max((op == OP_DELETE).cast("int")).alias("__has_delete"),
+        F.max(F.when(op.isin(*ANCHOR_OPS), F.col(seq_col))).alias("__last_anchor"),
+        F.max(F.when(op == OP_DELETE, F.col(seq_col))).alias("__last_delete"),
     )
-    survivors = agg.filter((F.col("__has_anchor") == 1) & (F.col("__has_delete") == 0))
+    # null __last_anchor (orphan updates only) fails the comparison too
+    survivors = agg.filter(
+        F.col("__last_anchor") > F.coalesce(F.col("__last_delete"), F.lit(""))
+    )
     out_cols = [F.col(key), F.col(f"latest.{seq_col}").alias(seq_col)] + [
         F.col(f"latest.{c}").alias(c) for c in others
     ]

@@ -690,15 +690,21 @@ WITH batch AS (
   UNION ALL
   SELECT o_orderkey, 1, lpad(upper(to_hex(o_orderkey * 10 + 2)), 16, '0'), 0.0
   FROM orders WHERE o_orderkey % 7 = 0
-), flagged AS (
+), stats AS (
+  -- sequence-ordered survival: last anchor must outrank last delete
+  -- (a later insert resurrects the key; orphan updates never anchor)
+  SELECT id,
+         MAX(CASE WHEN op IN (0, 2) THEN seqval END) AS last_anchor,
+         MAX(CASE WHEN op = 1 THEN seqval END) AS last_delete
+  FROM batch GROUP BY id
+), ranked AS (
   SELECT id, seqval, totalprice,
-         ROW_NUMBER() OVER (PARTITION BY id ORDER BY seqval DESC) AS rn,
-         MAX(CASE WHEN op IN (0, 2) THEN 1 ELSE 0 END) OVER (PARTITION BY id) AS has_anchor,
-         MAX(CASE WHEN op = 1 THEN 1 ELSE 0 END) OVER (PARTITION BY id) AS has_delete
-  FROM batch
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY seqval DESC) AS rn
+  FROM batch WHERE op <> 1
 )
-SELECT id, seqval AS gwcbi___seqval_hex, totalprice
-FROM flagged WHERE rn = 1 AND has_anchor = 1 AND has_delete = 0
+SELECT r.id, r.seqval AS gwcbi___seqval_hex, r.totalprice
+FROM ranked r JOIN stats s ON r.id = s.id
+WHERE r.rn = 1 AND s.last_anchor > coalesce(s.last_delete, '')
 """
 
 

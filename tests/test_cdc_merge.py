@@ -92,10 +92,18 @@ def test_merge_delete_of_never_inserted_id_noop(spark):
     assert set(merged_dict(merge_cdc(df))) == {1}
 
 
-def test_merge_delete_wins_even_over_newer_insert(spark):
-    # the reference applies deletes LAST with WHERE id=? only — a delete
-    # anywhere in the batch removes the id (SURVEY §7.4.2 apply order)
+def test_merge_is_sequence_ordered_around_deletes(spark):
+    # seqval order decides, so the merge is batch-split invariant
+    # (tests/test_cdc_properties.py): an insert AFTER the delete
+    # resurrects the key (key reuse) ...
     df = make_batch(spark, [(5, OP_DELETE, 1, 0), (5, OP_INSERT, 9, 50)])
+    assert merged_dict(merge_cdc(df)) == {5: (seqval_hex(9), 50.0)}
+    # ... while a delete AFTER the insert removes it, and a post-delete
+    # orphan update cannot resurrect
+    df = make_batch(
+        spark,
+        [(5, OP_INSERT, 1, 50), (5, OP_DELETE, 2, 0), (5, OP_UPDATE, 3, 60)],
+    )
     assert merged_dict(merge_cdc(df)) == {}
 
 
