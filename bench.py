@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "range_click_error_pairs",
     "cdc_merge_orders",
     "doc_exact_dedup",
+    "doc_training_corpus",
     "doc_minhash_lsh_pairs",
     "doc_simhash_near_dups",
     "ann_topk_bruteforce",
