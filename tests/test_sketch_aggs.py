@@ -1,0 +1,43 @@
+"""Sketch aggregates (SURVEY §2.4 engine-gap list): approx_count_distinct
+(HyperLogLog++) and approx_percentile. No DuckDB oracle — sketch outputs are
+engine-specific by construction — so these assert tolerance against the
+exact answer computed in the same engine. At 100 TB the sketches are the
+only affordable form: fixed-size state, map-side combinable, one narrow
+shuffle regardless of cardinality."""
+
+from pyspark.sql import functions as F
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact, approx = e.agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(approx - exact) <= max(3 * 0.02 * exact, 1)
+
+
+def test_approx_count_distinct_grouped(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    joined = (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert abs(r["approx"] - r["exact"]) <= max(3 * 0.02 * r["exact"], 1)
+
+
+def test_approx_percentile_brackets_exact_median(spark, sf_dir):
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = l.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+        F.median("l_extendedprice").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 1000)").alias("iqr"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert row["iqr"][0] <= row["approx"] <= row["iqr"][1]
