@@ -922,6 +922,41 @@ FROM events GROUP BY date_trunc('hour', ts)
 """
 
 
+def sliding_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAMES: per-customer sliding sum over the last 4 orders (ROWS
+    BETWEEN 3 PRECEDING AND CURRENT ROW) plus lag. Orders sort by orderkey
+    (unique) so frames are deterministic; the sliding sum is decimal-exact.
+
+    Scale: one shuffle on o_custkey + per-partition sort — the frame is
+    evaluated incrementally over the sorted run, no per-row re-scan.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    frame = w.rowsBetween(-3, 0)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(frame), 4)
+        .cast("double")
+        .alias("last4_total"),
+        F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
+    )
+
+
+SLIDING_ORDER_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS last4_total,
+  COALESCE(LAG(o_totalprice, 1) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderkey), 0.0) AS prev_price
+FROM orders WHERE o_custkey % 50 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -958,6 +993,7 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets_revenue": grouping_sets_revenue,
     "order_line_maps": order_line_maps,
     "hourly_active_users": hourly_active_users,
+    "sliding_order_totals": sliding_order_totals,
 }
 
 ORACLE: dict[str, str] = {
@@ -992,6 +1028,7 @@ ORACLE: dict[str, str] = {
     "grouping_sets_revenue": GROUPING_SETS_SQL,
     "order_line_maps": ORDER_LINE_MAPS_SQL,
     "hourly_active_users": HOURLY_ACTIVE_USERS_SQL,
+    "sliding_order_totals": SLIDING_ORDER_TOTALS_SQL,
 }
 
 # LLM-data-pipeline queries (dedup / text / similarity) live in their own
