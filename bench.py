@@ -6,12 +6,20 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a cheap full-result action
 (``df.write.format("noop")``) so sink cost doesn't dominate and nothing
 collects to the driver.
+
+Measurement protocol (r2 postmortem: single-shot timings drifted up to 65%
+between rounds with zero code changes — session interleave, GC and
+codegen-cache pressure): each query runs ``SPARK_GRAFT_REPS`` times
+(default 3) and reports the MEDIAN; the first rep of each query absorbs
+its own codegen/compile cost, the median discards one-off GC pauses. Set
+SPARK_GRAFT_REPS=1 for the old behavior.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,11 +60,15 @@ def main() -> None:
     # not session spin-up
     SPARK["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        start = time.perf_counter()
-        SPARK[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        samples = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            SPARK[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(samples), 3)
 
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])

@@ -25,6 +25,10 @@ Config shape (sample.config.yaml in the reference):
         applyLatestUpdatesOnly: true
         batchSize: 5000
         largeTextFields: "note.body"
+        mergedTableSuffix: _merged  # merged table name when sharing this connection
+      jdbcSettingsMerged:           # optional separate merged connection
+        url: jdbc:postgresql://...  # (reference parity: jdbcConnectionMerged);
+        schema: merged              # when present, merged table keeps the raw name
     savepointsLocation: /out/savepoints
     performanceTuning:
       numberOfJobsInParallelMaxCount: 8
@@ -74,6 +78,11 @@ class JdbcSettings:
     apply_latest_updates_only: bool = True
     batch_size: int = 5000
     large_text_fields: tuple[str, ...] = ()
+    # merged-target table name suffix when raw and merged share ONE
+    # connection (the reference instead requires separate connections for
+    # raw vs merged — jdbcConnectionRaw/jdbcConnectionMerged; with a single
+    # jdbcSettings block the names must differ or the two sinks collide)
+    merged_table_suffix: str = "_merged"
 
 
 @dataclass
@@ -83,6 +92,20 @@ class OutputSettings:
     tables_to_include: tuple[str, ...] = ()
     file_settings: FileSettings = field(default_factory=FileSettings)
     jdbc_settings: JdbcSettings = field(default_factory=JdbcSettings)
+    # optional separate merged-target connection (reference parity:
+    # jdbcConnectionMerged); when set, the merged table keeps the raw name
+    # (no suffix) and is reconciled against this connection's schema
+    jdbc_settings_merged: JdbcSettings | None = None
+
+    def merged_jdbc_settings(self) -> JdbcSettings:
+        return self.jdbc_settings_merged or self.jdbc_settings
+
+    def merged_suffix(self) -> str:
+        """Suffix for the merged table name: none when merged has its own
+        connection block, ``merged_table_suffix`` otherwise."""
+        return "" if self.jdbc_settings_merged is not None else (
+            self.jdbc_settings.merged_table_suffix
+        )
 
 
 @dataclass
@@ -133,6 +156,21 @@ class ClientConfig:
                 )
             if j.batch_size <= 0:
                 raise ConfigError("jdbcSettings.batchSize must be positive")
+            jm = out.jdbc_settings_merged
+            if jm is not None and not jm.url:
+                raise ConfigError(
+                    "outputSettings.jdbcSettingsMerged.url is required when the block is present"
+                )
+            if (
+                j.save_mode == "rawandmerged"
+                and jm is None
+                and not j.merged_table_suffix
+            ):
+                raise ConfigError(
+                    "jdbcSettings.saveMode=rawandmerged with one connection needs a"
+                    " non-empty mergedTableSuffix (or a jdbcSettingsMerged block):"
+                    " raw and merged would write the same table"
+                )
         if self.tuning.number_of_jobs_in_parallel < 0:
             raise ConfigError("performanceTuning.numberOfJobsInParallelMaxCount must be >= 0")
         return self
@@ -147,10 +185,25 @@ def _get(d: dict[str, Any], *path: str, default: Any = None) -> Any:
     return cur
 
 
+def _jdbc_from(block: dict[str, Any]) -> JdbcSettings:
+    ltf = _get(block, "largeTextFields", default="") or ""
+    return JdbcSettings(
+        url=_get(block, "url", default="") or "",
+        schema=_get(block, "schema", default="") or "",
+        user=_get(block, "user", default="") or "",
+        password=_get(block, "password", default="") or "",
+        save_mode=_get(block, "saveMode", default="raw"),
+        apply_latest_updates_only=bool(_get(block, "applyLatestUpdatesOnly", default=True)),
+        batch_size=int(_get(block, "batchSize", default=5000)),
+        large_text_fields=tuple(t.strip() for t in str(ltf).split(",") if t.strip()),
+        merged_table_suffix=str(_get(block, "mergedTableSuffix", default="_merged")),
+    )
+
+
 def from_dict(raw: dict[str, Any]) -> ClientConfig:
     """Build + validate a ClientConfig from a parsed YAML/JSON dict."""
-    ltf = _get(raw, "outputSettings", "jdbcSettings", "largeTextFields", default="") or ""
     tables = _get(raw, "outputSettings", "tablesToInclude", default="") or ""
+    jm_block = _get(raw, "outputSettings", "jdbcSettingsMerged", default=None)
     cfg = ClientConfig(
         source_path=_get(raw, "sourceLocation", "path", default="") or "",
         savepoints_path=_get(raw, "savepointsLocation", default="") or "",
@@ -174,28 +227,8 @@ def from_dict(raw: dict[str, Any]) -> ClientConfig:
                     raw, "outputSettings", "fileSettings", "saveMode", default="raw"
                 ),
             ),
-            jdbc_settings=JdbcSettings(
-                url=_get(raw, "outputSettings", "jdbcSettings", "url", default="") or "",
-                schema=_get(raw, "outputSettings", "jdbcSettings", "schema", default="") or "",
-                user=_get(raw, "outputSettings", "jdbcSettings", "user", default="") or "",
-                password=_get(raw, "outputSettings", "jdbcSettings", "password", default="") or "",
-                save_mode=_get(raw, "outputSettings", "jdbcSettings", "saveMode", default="raw"),
-                apply_latest_updates_only=bool(
-                    _get(
-                        raw,
-                        "outputSettings",
-                        "jdbcSettings",
-                        "applyLatestUpdatesOnly",
-                        default=True,
-                    )
-                ),
-                batch_size=int(
-                    _get(raw, "outputSettings", "jdbcSettings", "batchSize", default=5000)
-                ),
-                large_text_fields=tuple(
-                    t.strip() for t in str(ltf).split(",") if t.strip()
-                ),
-            ),
+            jdbc_settings=_jdbc_from(_get(raw, "outputSettings", "jdbcSettings", default={}) or {}),
+            jdbc_settings_merged=_jdbc_from(jm_block) if isinstance(jm_block, dict) else None,
         ),
         tuning=PerformanceTuning(
             number_of_jobs_in_parallel=int(

@@ -34,6 +34,13 @@ def salted_join(
     what a single task should own (~ partition target size); otherwise use
     the plain join and let AQE handle partition-level skew.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        # right/full/small-side-semi shapes would emit unmatched SMALL-side
+        # rows once per salt replica — results would differ from the plain join
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} (big side preserved); got how={how!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     overlap = [c for c in big.columns if c in small.columns and c not in keys]
     if overlap:

@@ -88,17 +88,27 @@ def _resolve_mode(cfg: ClientConfig, merged_override: bool | None) -> str:
     return cfg.output.jdbc_settings.save_mode
 
 
+def snapshot_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works for local paths and s3a/hdfs URIs).
+    First-run detection must be an explicit existence test — treating ANY
+    read exception as 'no previous snapshot' would silently replace all
+    previously merged state on a transient FS/permission error."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def apply_batch_to_snapshot(
     spark: SparkSession, df: DataFrame, path: str, single_file: bool = False
 ) -> int:
     """Anchor a CDC batch against the previous merged snapshot at ``path``
     (if any), write the new state to staging, swap it in. Returns the
     snapshot row count. Shared by the batch runner and the streaming
-    runner's foreachBatch (streaming/runner.py)."""
-    try:
-        prev: DataFrame | None = spark.read.parquet(path)
-    except Exception:
-        prev = None
+    runner's foreachBatch (streaming/runner.py). A genuine read error on an
+    EXISTING snapshot propagates — the job fails and the savepoint/
+    checkpoint is not advanced (at-least-once replay repairs it)."""
+    prev: DataFrame | None = spark.read.parquet(path) if snapshot_exists(spark, path) else None
     merged = merge_cdc(df) if prev is None else apply_cdc(prev, df)
     merged = merged.persist()
     try:
@@ -120,6 +130,88 @@ def _write_merged_file_snapshot(
     )
 
 
+def _run_jdbc_job(
+    df: DataFrame,
+    cfg: ClientConfig,
+    job: CopyJob,
+    mode: str,
+    n: int,
+    jdbc_executor=None,
+    schema_probe=None,
+    jdbc_stage=None,
+) -> int:
+    """JDBC half of a copy job. All statements the job needs — DDL, the
+    idempotent raw insert, the merged upsert + delete — are collected and
+    applied in ONE ``jdbc_executor`` call (one transaction): a crash never
+    leaves raw ahead of merged (the reference's two-connection atomicity,
+    JdbcOutputWriter.scala:65-139, collapsed to single-transaction apply).
+
+    Raw and merged get DISTINCT targets: merged goes to its own settings
+    block when configured (reference's jdbcConnectionMerged) else to
+    ``<table><mergedTableSuffix>`` on the shared connection; each target is
+    reconciled against its OWN write schema (raw batch vs merged upsert
+    frame). Raw routes through the replay-safe dedup-insert whenever an
+    executor is available — ``run`` is at-least-once, and plain append
+    would duplicate rows on replay; the plain distributed append remains
+    the no-executor raw-only path.
+    """
+    from cda_client_spark.sinks import jdbc as J
+
+    js = cfg.output.jdbc_settings
+    mjs = cfg.output.merged_jdbc_settings()
+    mtable = J.merged_table_name(job.table, cfg.output.merged_suffix())
+    statements: list[str] = []
+
+    merged_df = None
+    if mode in ("merged", "rawandmerged"):
+        merged_df = J.merged_upsert_frame(df)
+
+    if schema_probe is not None:
+        # S8+W11: probe each target, create/evolve additively, bypass on
+        # non-additive drift (job fails → savepoint stays put)
+        plan = []
+        if mode in ("raw", "rawandmerged"):
+            plan.append((job.table, df.schema, js, False))
+        if merged_df is not None:
+            plan.append((mtable, merged_df.schema, mjs, True))
+        for table, schema, settings, is_merged in plan:
+            rec = J.reconcile_schema(
+                schema_probe(table),
+                schema,
+                table,
+                J.dialect_for_url(settings.url),
+                merged=is_merged,
+                large_text_fields=settings.large_text_fields,
+            )
+            if rec.action == "bypass":
+                raise SchemaDriftBypass(f"{table}: {rec.reason}")
+            statements.extend(rec.statements)
+
+    if mode in ("raw", "rawandmerged"):
+        if jdbc_executor is not None:
+            statements.extend(J.stage_jdbc_raw_idempotent(df, js, job.table, stage=jdbc_stage))
+        elif statements:
+            raise ConfigError(
+                "schema reconciliation produced DDL: pass a jdbc_executor"
+                " to pipeline.run to apply it"
+            )
+        else:
+            J.write_jdbc_raw(df, js, job.table)
+    if merged_df is not None:
+        if jdbc_executor is None:
+            raise ConfigError(
+                "jdbcSettings.saveMode includes 'merged': pass a jdbc_executor"
+                " (callable running SQL statements in one transaction) to"
+                " pipeline.run — this build has no embedded JDBC client"
+            )
+        statements.extend(
+            J.stage_jdbc_merged(df, mjs, mtable, stage=jdbc_stage, merged=merged_df)
+        )
+    if statements:
+        jdbc_executor(statements)
+    return n
+
+
 def run_job(
     spark: SparkSession,
     cfg: ClientConfig,
@@ -127,6 +219,7 @@ def run_job(
     mode: str = "raw",
     jdbc_executor=None,
     schema_probe=None,
+    jdbc_stage=None,
 ) -> JobResult:
     """Execute one (table, fingerprint) copy job (X3, TableReader.scala:271-351).
 
@@ -160,50 +253,16 @@ def run_job(
                 n = _write_merged_file_snapshot(spark, df, cfg, job)
             savepoint = job.manifest_timestamp
         else:
-            from cda_client_spark.sinks.jdbc import (
-                dialect_for_url,
-                reconcile_schema,
-                write_jdbc_merged,
-                write_jdbc_raw,
+            n = _run_jdbc_job(
+                df,
+                cfg,
+                job,
+                mode,
+                n,
+                jdbc_executor=jdbc_executor,
+                schema_probe=schema_probe,
+                jdbc_stage=jdbc_stage,
             )
-
-            js = cfg.output.jdbc_settings
-            if schema_probe is not None:
-                # S8+W11: probe target, create/evolve additively, bypass on
-                # non-additive drift (job fails → savepoint stays put)
-                rec = reconcile_schema(
-                    schema_probe(job.table),
-                    df.schema,
-                    job.table,
-                    dialect_for_url(js.url),
-                    merged=mode != "raw",
-                    large_text_fields=js.large_text_fields,
-                )
-                if rec.action == "bypass":
-                    raise SchemaDriftBypass(f"{job.table}: {rec.reason}")
-                if rec.statements:
-                    if jdbc_executor is None:
-                        raise ConfigError(
-                            "schema reconciliation produced DDL: pass a jdbc_executor"
-                            " to pipeline.run to apply it"
-                        )
-                    jdbc_executor(list(rec.statements))
-            if mode in ("raw", "rawandmerged"):
-                write_jdbc_raw(df, js, job.table)
-            if mode in ("merged", "rawandmerged"):
-                if jdbc_executor is None:
-                    raise ConfigError(
-                        "jdbcSettings.saveMode includes 'merged': pass a jdbc_executor"
-                        " (callable running SQL statements in one transaction) to"
-                        " pipeline.run — this build has no embedded JDBC client"
-                    )
-                write_jdbc_merged(
-                    df,
-                    js,
-                    job.table,
-                    execute=jdbc_executor,
-                    apply_latest_updates_only=js.apply_latest_updates_only,
-                )
             savepoint = job.max_folder_timestamp
     finally:
         df.unpersist()
@@ -219,6 +278,7 @@ def run(
     max_parallel_jobs: int | None = None,
     jdbc_executor=None,
     schema_probe=None,
+    jdbc_stage=None,
 ) -> RunReport:
     """Full incremental run (3.1 lifecycle): manifest → plan → execute →
     per-table checkpoint. ``merged`` overrides the config saveMode (legacy
@@ -237,7 +297,13 @@ def run(
     def _one(job: CopyJob) -> JobResult:
         try:
             return run_job(
-                spark, cfg, job, mode=mode, jdbc_executor=jdbc_executor, schema_probe=schema_probe
+                spark,
+                cfg,
+                job,
+                mode=mode,
+                jdbc_executor=jdbc_executor,
+                schema_probe=schema_probe,
+                jdbc_stage=jdbc_stage,
             )
         except Exception as e:  # per-job failure doesn't kill the run (X2)
             logger.exception("job failed: %s/%s", job.table, job.fingerprint)

@@ -48,9 +48,11 @@ from pyspark.sql.types import (
 
 from cda_client_spark.config import JdbcSettings
 
-# NOT NULL key columns (JdbcOutputWriter.scala:542-547)
+# NOT NULL key columns (JdbcOutputWriter.scala:542-547). The merged table
+# format drops every gwcbi___*/gwcdac__* column except seqval
+# (JdbcOutputWriter.scala:351-360), so its NOT NULL set has no op column.
 RAW_NOT_NULL = ("id", "gwcbi___operation", "gwcbi___seqval_hex")
-MERGED_NOT_NULL = RAW_NOT_NULL + ("publicid", "retired", "typecode")
+MERGED_NOT_NULL = ("id", "gwcbi___seqval_hex", "publicid", "retired", "typecode")
 
 RAW_PK = ("id", "gwcbi___seqval_hex", "gwcbi___operation")
 MERGED_PK = ("id",)
@@ -224,11 +226,42 @@ def upsert_statement(
     )
 
 
-def delete_statement(table: str, dialect: Dialect, staging_table: str) -> str:
-    """Set-based delete apply (replaces J2's per-row DELETE loop)."""
+def update_statement(
+    schema: StructType, table: str, dialect: Dialect, staging_table: str
+) -> str:
+    """Set-based UPDATE-only apply for batch-orphan updates (ids with no
+    anchor in the batch): updates an EXISTING target row when newer, and is
+    a no-op when the id is absent — exactly the reference's ``UPDATE ...
+    WHERE id=? AND seqval<?`` (JdbcOutputWriter.scala:409-468); an upsert
+    here would wrongly INSERT orphan updates."""
+    cols = sorted(f.name for f in schema.fields)
+    guard = '"gwcbi___seqval_hex"'
+    if dialect is POSTGRES:
+        sets = ", ".join(f"{dialect.q(c)} = s.{dialect.q(c)}" for c in cols if c != "id")
+        return (
+            f"UPDATE {dialect.q(table)} SET {sets}\n"
+            f"FROM {dialect.q(staging_table)} s\n"
+            f'WHERE {dialect.q(table)}."id" = s."id"'
+            f" AND {dialect.q(table)}.{guard} < s.{guard}"
+        )
+    sets = ", ".join(f"t.{dialect.q(c)} = s.{dialect.q(c)}" for c in cols if c != "id")
     return (
-        f'DELETE FROM {dialect.q(table)} WHERE "id" IN '
-        f'(SELECT "id" FROM {dialect.q(staging_table)})'
+        f"MERGE INTO {dialect.q(table)} t USING {dialect.q(staging_table)} s"
+        f' ON (t."id" = s."id")\n'
+        f"WHEN MATCHED AND t.{guard} < s.{guard} THEN UPDATE SET {sets}"
+    )
+
+
+def delete_statement(table: str, dialect: Dialect, staging_table: str) -> str:
+    """Set-based delete apply (replaces J2's per-row DELETE loop). The
+    staged frame carries (id, seqval-of-the-delete) and the delete is
+    seqval-guarded, so a stale delete can never kill a target row that a
+    newer anchor already rewrote — keeps the JDBC target equal to the
+    file-merged ``apply_cdc`` snapshot for out-of-order feeds."""
+    return (
+        f"DELETE FROM {dialect.q(table)} WHERE EXISTS ("
+        f'SELECT 1 FROM {dialect.q(staging_table)} s WHERE s."id" = {dialect.q(table)}."id"'
+        f' AND {dialect.q(table)}."gwcbi___seqval_hex" < s."gwcbi___seqval_hex")'
     )
 
 
@@ -326,44 +359,162 @@ def reconcile_schema(
     return SchemaReconciliation("none")
 
 
+def merged_table_name(table: str, suffix: str = "_merged") -> str:
+    """Merged target table for ``table``. The reference keeps raw and merged
+    in SEPARATE connections/schemas under the same table name
+    (JdbcOutputWriter.scala jdbcConnectionRaw vs jdbcConnectionMerged); when
+    both land on ONE connection (single ``jdbcSettings`` block) the names
+    must differ or the raw change-log append and the merged upsert collide
+    in one table. Callers pass ``suffix=""`` only when the merged target has
+    its own settings block (``jdbcSettingsMerged``)."""
+    return f"{table}{suffix}"
+
+
+def merged_upsert_frame(df: DataFrame) -> DataFrame:
+    """The frame the merged target actually stores: ``merge_cdc`` last-state
+    with every gwcbi___*/gwcdac__* column dropped EXCEPT seqval — the
+    reference's merged table format (JdbcOutputWriter.scala:351-360; seqval
+    survives to guard future incremental upserts). This is also the schema
+    the merged target must be reconciled/created against — reconciling with
+    the raw batch schema would CREATE op/provenance columns the upsert
+    never supplies (NOT NULL violations on a real DB)."""
+    from cda_client_spark.operators.cdc import merge_cdc
+    from cda_client_spark.operators.columns import drop_cdc_metadata
+
+    return drop_cdc_metadata(merge_cdc(df), keep_seqval=True)
+
+
+def split_cdc_apply(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split a CDC batch into the three set-based apply inputs — ONE
+    aggregation (the same sequence-ordered struct-max as ``merge_cdc``),
+    three cheap filters over it:
+
+    - **upserts**: ids whose last in-batch anchor (insert/initial) outranks
+      their last delete — payload is the latest non-delete row; applied
+      insert-or-update with the seqval guard. Delete-then-reinsert keys
+      land HERE (they survive the batch — deleting every id that ever saw
+      op=1 would diverge from ``merge_cdc`` on the same batch).
+    - **updates**: ids with NO anchor and NO delete in the batch (bare
+      update runs). These are legitimate in incremental batches (the
+      anchor insert landed in an earlier run) and must reach the target as
+      UPDATE-only — an upsert would insert batch-orphans the file-merged
+      path treats as no-ops, and dropping them (what ``merge_cdc`` alone
+      would do) silently loses real updates.
+    - **deletes**: ids whose last delete outranks their last anchor, as
+      (id, seqval-of-delete) for the guarded delete.
+
+    Payload frames are in the merged table format (op + provenance dropped,
+    seqval kept — JdbcOutputWriter.scala:351-360).
+    """
+    agg, others = _cdc_apply_agg(df)
+    return _cdc_apply_frames(agg, others)
+
+
+def _cdc_apply_agg(df: DataFrame):
+    """The one aggregation behind ``split_cdc_apply`` (same sequence-ordered
+    struct-max as ``merge_cdc``); returns (agg_frame, payload_columns)."""
+    from cda_client_spark.operators.cdc import ANCHOR_OPS, OP_DELETE
+    from cda_client_spark.operators.columns import OP_COL, SEQVAL_COL
+    from pyspark.sql import functions as F
+
+    key, seq_col, op = "id", SEQVAL_COL, F.col(OP_COL)
+    others = [c for c in df.columns if c not in (key, seq_col)]
+    packed = [F.col(seq_col), *[F.col(c) for c in others]]
+    agg = df.groupBy(key).agg(
+        F.max(F.when(~op.eqNullSafe(OP_DELETE), F.struct(*packed))).alias("latest"),
+        F.max(F.when(op.isin(*ANCHOR_OPS), F.col(seq_col))).alias("__a"),
+        F.max(F.when(op == OP_DELETE, F.col(seq_col))).alias("__d"),
+    )
+    return agg, others
+
+
+def _cdc_apply_frames(agg: DataFrame, others: list[str]):
+    from cda_client_spark.operators.columns import SEQVAL_COL, drop_cdc_metadata
+    from pyspark.sql import functions as F
+
+    key, seq_col = "id", SEQVAL_COL
+
+    def payload(frame: DataFrame) -> DataFrame:
+        cols = [F.col(key), F.col(f"latest.{seq_col}").alias(seq_col)] + [
+            F.col(f"latest.{c}").alias(c) for c in others
+        ]
+        return drop_cdc_metadata(frame.select(*cols), keep_seqval=True)
+
+    upserts = payload(agg.filter(F.col("__a") > F.coalesce(F.col("__d"), F.lit(""))))
+    updates = payload(
+        agg.filter(F.col("__a").isNull() & F.col("__d").isNull() & F.col("latest").isNotNull())
+    )
+    dels = agg.filter(F.col("__d") > F.coalesce(F.col("__a"), F.lit(""))).select(
+        F.col(key), F.col("__d").alias(seq_col)
+    )
+    return upserts, updates, dels
+
+
+def stage_jdbc_merged(
+    df: DataFrame,
+    settings: JdbcSettings,
+    table: str,
+    stage=None,
+    merged: DataFrame | None = None,
+) -> list[str]:
+    """Stage a CDC batch's merged apply; return the statements (in order)
+    that complete it. Set-based (W7/J1/J2 re-expressed — replaces
+    JdbcOutputWriter.scala:342-497's per-row loop):
+
+    1. split the batch with ONE Spark aggregation (``split_cdc_apply``);
+    2. stage the three frames with ``stage(frame, staging_table)``
+       (default: the distributed raw writer, overwrite mode);
+    3. return seqval-guarded upsert + update-only + guarded delete, in the
+       reference's insert→update→delete apply order.
+
+    ``merged`` (the precomputed ``merged_upsert_frame``) is accepted for
+    schema reuse by callers; the staged upsert frame is identical to it.
+    """
+    if stage is None:
+        def stage(frame: DataFrame, staging_table: str) -> None:
+            write_jdbc_raw(frame, settings, staging_table, mode="overwrite")
+
+    dialect = dialect_for_url(settings.url)
+    staging = f"{table}_stage"
+    staging_upd = f"{table}_stage_updates"
+    staging_del = f"{table}_stage_deletes"
+    # the three staged frames share one aggregation — persist it so the
+    # shuffle runs once, not once per staging write
+    agg, others = _cdc_apply_agg(df)
+    agg = agg.persist()
+    try:
+        upserts, updates, dels = _cdc_apply_frames(agg, others)
+        stage(upserts, staging)
+        stage(updates, staging_upd)
+        stage(dels, staging_del)
+    finally:
+        agg.unpersist()
+    return [
+        upsert_statement(upserts.schema, table, dialect, staging),
+        update_statement(updates.schema, table, dialect, staging_upd),
+        delete_statement(table, dialect, staging_del),
+    ]
+
+
 def write_jdbc_merged(
     df: DataFrame,
     settings: JdbcSettings,
     table: str,
     execute,
     apply_latest_updates_only: bool = True,
+    stage=None,
 ) -> None:
-    """Merged (CDC apply) JDBC sink, set-based (W7/J1/J2 re-expressed —
-    replaces JdbcOutputWriter.scala:342-497's per-row loop):
+    """Merged (CDC apply) JDBC sink: ``stage_jdbc_merged`` + one ``execute``
+    — a caller-supplied ``callable(list[str])`` that runs statements in ONE
+    transaction (the reference's two-connection atomicity, W12, collapses
+    to single-transaction statement apply). ``applyLatestUpdatesOnly`` does
+    not change the result (latest-only and apply-in-order converge —
+    operators/cdc.py docstring), only the legacy row-loop it replaced.
 
-    1. collapse the batch to last-state with ONE Spark aggregation
-       (``merge_cdc``; latest-only and apply-in-order converge to the same
-       state — operators/cdc.py docstring — so ``applyLatestUpdatesOnly``
-       does not change the result, only the legacy row-loop it replaced);
-    2. stage the merged frame and the delete keys with the distributed
-       raw writer;
-    3. apply with one upsert (seqval-guarded) + one delete statement via
-       ``execute`` — a caller-supplied ``callable(list[str])`` that runs
-       statements in ONE transaction (the reference's two-connection
-       atomicity, W12, collapses to single-transaction statement apply).
-
-    ``execute`` is injected because this build has no reachable RDBMS; the
-    statement text is what the engine owns and tests.
+    ``execute`` is injected because this build has no reachable RDBMS;
+    tests/test_jdbc_duckdb.py executes the statement surface against DuckDB.
     """
-    from cda_client_spark.operators.cdc import deletes, merge_cdc
-
-    dialect = dialect_for_url(settings.url)
-    staging = f"{table}_stage"
-    staging_del = f"{table}_stage_deletes"
-    merged = merge_cdc(df)
-    write_jdbc_raw(merged, settings, staging, mode="overwrite")
-    write_jdbc_raw(deletes(df).distinct(), settings, staging_del, mode="overwrite")
-    execute(
-        [
-            upsert_statement(merged.schema, table, dialect, staging),
-            delete_statement(table, dialect, staging_del),
-        ]
-    )
+    execute(stage_jdbc_merged(df, settings, table, stage=stage))
 
 
 def raw_dedup_insert_statement(schema: StructType, table: str, dialect: Dialect, staging_table: str) -> str:
@@ -388,14 +539,28 @@ def raw_dedup_insert_statement(schema: StructType, table: str, dialect: Dialect,
     )
 
 
-def write_jdbc_raw_idempotent(df: DataFrame, settings: JdbcSettings, table: str, execute) -> None:
+def stage_jdbc_raw_idempotent(
+    df: DataFrame, settings: JdbcSettings, table: str, stage=None
+) -> list[str]:
+    """Stage a replay-safe raw append; return the statement that completes
+    it (see ``raw_dedup_insert_statement``)."""
+    if stage is None:
+        def stage(frame: DataFrame, staging_table: str) -> None:
+            write_jdbc_raw(frame, settings, staging_table, mode="overwrite")
+
+    staging = f"{table}_raw_stage"
+    stage(df, staging)
+    return [raw_dedup_insert_statement(df.schema, table, dialect_for_url(settings.url), staging)]
+
+
+def write_jdbc_raw_idempotent(
+    df: DataFrame, settings: JdbcSettings, table: str, execute, stage=None
+) -> None:
     """Replay-safe raw append: stage with the distributed writer, then ONE
     set-based dedup-insert (see ``raw_dedup_insert_statement``). Use when a
     failed run may re-read folders (at-least-once) and the target keeps the
     reference's raw PK."""
-    staging = f"{table}_raw_stage"
-    write_jdbc_raw(df, settings, staging, mode="overwrite")
-    execute([raw_dedup_insert_statement(df.schema, table, dialect_for_url(settings.url), staging)])
+    execute(stage_jdbc_raw_idempotent(df, settings, table, stage=stage))
 
 
 def write_jdbc_raw(df: DataFrame, settings: JdbcSettings, table: str, mode: str = "append") -> None:

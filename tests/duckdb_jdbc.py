@@ -1,0 +1,150 @@
+"""DuckDB as the stand-in RDBMS for the JDBC sink's statement surface.
+
+The engine's JDBC sink emits dialect-parameterized SQL and stages frames
+with the distributed Spark JDBC writer; the container has no reachable
+database, so these helpers execute the VALUE level against DuckDB (which
+accepts the postgres-dialect statements verbatim — ``INSERT ... ON
+CONFLICT DO UPDATE ... WHERE``, ``DO NOTHING``, ``ALTER TABLE ADD``):
+
+- ``stage`` materializes a Spark frame as a DuckDB table (the test-side
+  equivalent of the overwrite-mode staging write);
+- ``__call__`` runs a statement list in ONE transaction (the contract
+  ``pipeline.run``'s ``jdbc_executor`` documents);
+- ``probe`` maps a DuckDB table schema back to a Spark StructType for
+  ``reconcile_schema``.
+
+One DuckDB-ism: ``ALTER TABLE ... ADD CONSTRAINT ... PRIMARY KEY`` isn't
+supported, so the PK statement is rewritten to the equivalent UNIQUE
+INDEX — DuckDB resolves ``ON CONFLICT`` targets against unique indexes,
+so conflict semantics are identical.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_PK_STMT = re.compile(
+    r'ALTER TABLE ("[^"]+") ADD CONSTRAINT ("[^"]+") PRIMARY KEY \((.+)\)'
+)
+
+_DUCK_TO_SPARK = {
+    "BIGINT": LongType(),
+    "INTEGER": IntegerType(),
+    "SMALLINT": ShortType(),
+    "TINYINT": ShortType(),
+    "DOUBLE": DoubleType(),
+    "FLOAT": FloatType(),
+    "REAL": FloatType(),
+    "VARCHAR": StringType(),
+    "BLOB": BinaryType(),
+    "TIMESTAMP": TimestampType(),
+    "DATE": DateType(),
+    "BOOLEAN": BooleanType(),
+}
+
+_DECIMAL = re.compile(r"DECIMAL\((\d+),(\d+)\)")
+
+
+class DuckDBJdbcStandIn:
+    """Injectable (stage, executor, probe) triple over one DuckDB connection."""
+
+    def __init__(self) -> None:
+        self.con = duckdb.connect()
+        self.transactions: list[list[str]] = []
+
+    # -- the pipeline's jdbc_stage -------------------------------------
+    def stage(self, df, table: str) -> None:
+        from cda_client_spark.sinks.jdbc import POSTGRES, sql_type
+
+        # build the staging table from the SPARK schema (an empty frame
+        # through pandas would otherwise lose its column types)
+        cols = ", ".join(f'"{f.name}" {sql_type(f.dataType, POSTGRES)}' for f in df.schema.fields)
+        self.con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        self.con.execute(f'CREATE TABLE "{table}" ({cols})')
+        pdf = df.toPandas()
+        if len(pdf):
+            self.con.register("__stage_src", pdf)
+            self.con.execute(f'INSERT INTO "{table}" SELECT * FROM __stage_src')
+            self.con.unregister("__stage_src")
+
+    # -- the pipeline's jdbc_executor ----------------------------------
+    def __call__(self, statements: list[str]) -> None:
+        self.transactions.append(list(statements))
+        self.con.execute("BEGIN")
+        try:
+            for s in statements:
+                t = self._translate(s)
+                if t is not None:
+                    self.con.execute(t)
+            self.con.execute("COMMIT")
+        except Exception:
+            self.con.execute("ROLLBACK")
+            raise
+
+    @staticmethod
+    def _translate(stmt: str) -> str | None:
+        m = _PK_STMT.match(stmt)
+        if m:
+            return f"CREATE UNIQUE INDEX {m.group(2)} ON {m.group(1)} ({m.group(3)})"
+        if stmt.startswith("CREATE INDEX"):
+            # DuckDB refuses DO UPDATE assignments to ANY indexed column, so
+            # the (purely performance) secondary index is skipped — value
+            # semantics are unaffected
+            return None
+        return stmt
+
+    # -- the pipeline's schema_probe -----------------------------------
+    def probe(self, table: str) -> StructType | None:
+        try:
+            rows = self.con.execute(f'DESCRIBE "{table}"').fetchall()
+        except duckdb.CatalogException:
+            return None
+        fields = []
+        for name, dtype, nullable, *_ in rows:
+            dm = _DECIMAL.match(dtype)
+            if dm:
+                spark_t = DecimalType(int(dm.group(1)), int(dm.group(2)))
+            else:
+                spark_t = _DUCK_TO_SPARK[dtype]
+            fields.append(StructField(name, spark_t, nullable != "NO"))
+        return StructType(fields)
+
+    # -- assertions ----------------------------------------------------
+    def rows(self, table: str, order_by: str = "id"):
+        return self.con.execute(f'SELECT * FROM "{table}" ORDER BY "{order_by}"').fetchall()
+
+    def columns(self, table: str) -> list[str]:
+        return [r[0] for r in self.con.execute(f'DESCRIBE "{table}"').fetchall()]
+
+
+class CrashingExecutor:
+    """Non-transactional executor that dies after ``survive`` statements —
+    simulates a crash mid-apply on a DB without the wrapping transaction
+    (the worst case for raw-vs-merged divergence)."""
+
+    def __init__(self, con, survive: int) -> None:
+        self.con = con
+        self.survive = survive
+
+    def __call__(self, statements: list[str]) -> None:
+        for i, s in enumerate(statements):
+            if i >= self.survive:
+                raise RuntimeError(f"injected crash before statement {i}")
+            self.con.execute(DuckDBJdbcStandIn._translate(s))

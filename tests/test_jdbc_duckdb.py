@@ -1,0 +1,354 @@
+"""Value-level execution of the whole JDBC statement surface against DuckDB
+as the stand-in RDBMS (VERDICT r2 next-round #1/#2/#6).
+
+What the string-level tests can't prove, these do by running the generated
+postgres-dialect SQL:
+
+- delete-then-reinsert in one batch: the key SURVIVES (the r2 defect —
+  staged deletes used to run after the upsert against ALL op=1 ids);
+- incremental merged apply across three runs equals the file-merged
+  pipeline / Spark-side ``merge_cdc`` on the same CDC tree — including
+  bare-update batches (ids whose anchor landed in an earlier run);
+- stale updates and stale deletes are seqval-guarded no-ops;
+- raw replay is idempotent (PK dedup insert);
+- schema evolution DDL (create → none → additive alter) actually runs;
+- a crash mid-apply (no transaction) converges on re-run with no
+  duplicate raw rows — and the transactional executor rolls back.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cda_client_spark.config import from_dict
+from cda_client_spark.metadata.savepoints import SavepointsStore
+from cda_client_spark.operators.cdc import merge_cdc
+from cda_client_spark.operators.columns import drop_cdc_metadata
+from cda_client_spark.pipeline import run
+from cda_client_spark.sinks.jdbc import merged_upsert_frame, write_jdbc_merged
+from cda_client_spark.config import JdbcSettings
+from tests.cdc_fixture import cdc_batch, write_folder, write_manifest
+from tests.duckdb_jdbc import CrashingExecutor, DuckDBJdbcStandIn
+
+PG = JdbcSettings(url="jdbc:postgresql://h/db")
+
+
+def spark_batch(spark, rows):
+    """A managed (jdbc-target) CDC batch frame from fixture row dicts."""
+    import pandas as pd
+
+    from cda_client_spark.operators.columns import manage_columns_for_target
+
+    pdf = cdc_batch(rows).to_pandas()
+    df = spark.createDataFrame(pdf)
+    return manage_columns_for_target(df, "jdbc", "fpA", 1000)
+
+
+def duck_dict(ex, table):
+    cols = ex.columns(table)
+    return {r[cols.index("id")]: dict(zip(cols, r)) for r in ex.rows(table)}
+
+
+def spark_dict(df):
+    return {r["id"]: r.asDict() for r in df.collect()}
+
+
+def assert_equal_state(ex, table, expected_df):
+    """DuckDB table state == Spark frame, by (id → column → value)."""
+    got = duck_dict(ex, table)
+    want = spark_dict(expected_df)
+    assert set(got) == set(want), f"id sets differ: {set(got) ^ set(want)}"
+    for i, wrow in want.items():
+        for c, v in wrow.items():
+            assert got[i][c] == v, f"id={i} col={c}: duckdb={got[i][c]!r} spark={v!r}"
+
+
+def bootstrap(ex, schema, table, merged=True):
+    """CREATE + PK (+index) for a target via reconcile, executed in DuckDB."""
+    from cda_client_spark.sinks.jdbc import POSTGRES, reconcile_schema
+
+    rec = reconcile_schema(None, schema, table, POSTGRES, merged=merged)
+    assert rec.action == "create"
+    ex(list(rec.statements))
+
+
+def test_delete_then_reinsert_key_survives(spark):
+    """The r2 divergence: delete@3 then insert@5 for one id in ONE batch —
+    merge_cdc keeps the key; the executed JDBC apply must too."""
+    rows = [
+        {"id": 1, "op": 2, "seq": 1, "v": 1.0},
+        {"id": 7, "op": 2, "seq": 2, "v": 7.0},
+        {"id": 7, "op": 1, "seq": 3},
+        {"id": 7, "op": 2, "seq": 5, "v": 7.5},
+        {"id": 8, "op": 2, "seq": 4, "v": 8.0},
+        {"id": 8, "op": 1, "seq": 6},
+    ]
+    df = spark_batch(spark, rows)
+    ex = DuckDBJdbcStandIn()
+    bootstrap(ex, merged_upsert_frame(df).schema, "t")
+    write_jdbc_merged(df, PG, "t", execute=ex, stage=ex.stage)
+    # id 7 resurrected (v=7.5), id 8 dead, id 1 alive
+    assert_equal_state(ex, "t", merged_upsert_frame(df))
+    assert 7 in duck_dict(ex, "t") and duck_dict(ex, "t")[7]["v"] == 7.5
+    assert 8 not in duck_dict(ex, "t")
+
+
+def test_incremental_bare_updates_apply_and_orphans_noop(spark):
+    """Run 1 inserts; run 2 is a bare-update batch (no anchors): the update
+    must APPLY to existing ids (reference UPDATE path), stale updates and
+    updates for absent ids must be no-ops."""
+    ex = DuckDBJdbcStandIn()
+    b1 = spark_batch(spark, [
+        {"id": 1, "op": 2, "seq": 1, "v": 1.0},
+        {"id": 2, "op": 2, "seq": 5, "v": 2.0, "note": "keep"},
+    ])
+    bootstrap(ex, merged_upsert_frame(b1).schema, "t")
+    write_jdbc_merged(b1, PG, "t", execute=ex, stage=ex.stage)
+
+    b2 = spark_batch(spark, [
+        {"id": 1, "op": 4, "seq": 7, "v": 1.5},   # applies (newer)
+        {"id": 2, "op": 4, "seq": 3, "v": 99.0},  # stale (target seq 5) → no-op
+        {"id": 42, "op": 4, "seq": 9, "v": 4.2},  # absent id → no-op, NOT inserted
+    ])
+    write_jdbc_merged(b2, PG, "t", execute=ex, stage=ex.stage)
+    state = duck_dict(ex, "t")
+    assert set(state) == {1, 2}
+    assert state[1]["v"] == 1.5 and state[2]["v"] == 2.0 and state[2]["note"] == "keep"
+
+
+def test_stale_delete_is_guarded(spark):
+    """A delete whose seqval predates the stored row must not kill it (the
+    file-merged apply_cdc would keep the row; the JDBC target must agree)."""
+    ex = DuckDBJdbcStandIn()
+    b1 = spark_batch(spark, [{"id": 1, "op": 2, "seq": 8, "v": 1.0}])
+    bootstrap(ex, merged_upsert_frame(b1).schema, "t")
+    write_jdbc_merged(b1, PG, "t", execute=ex, stage=ex.stage)
+    b2 = spark_batch(spark, [{"id": 1, "op": 1, "seq": 3}])  # stale delete
+    write_jdbc_merged(b2, PG, "t", execute=ex, stage=ex.stage)
+    assert set(duck_dict(ex, "t")) == {1}
+    b3 = spark_batch(spark, [{"id": 1, "op": 1, "seq": 9}])  # genuine delete
+    write_jdbc_merged(b3, PG, "t", execute=ex, stage=ex.stage)
+    assert duck_dict(ex, "t") == {}
+
+
+def _tree_cfg(root, out, save_mode):
+    return from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "jdbc",
+                "tablesToInclude": "t1",
+                "jdbcSettings": {"url": "jdbc:postgresql://h/db", "saveMode": save_mode},
+            },
+        }
+    )
+
+
+BATCHES = [
+    (1000, [
+        {"id": 1, "op": 2, "seq": 1, "v": 1.0},
+        {"id": 2, "op": 2, "seq": 2, "v": 2.0},
+    ]),
+    (2000, [
+        {"id": 1, "op": 4, "seq": 3, "v": 1.5},   # bare update (anchor in run 1)
+        {"id": 3, "op": 2, "seq": 4, "v": 3.0},
+    ]),
+    (3000, [
+        {"id": 2, "op": 1, "seq": 5},             # delete
+        {"id": 3, "op": 4, "seq": 2, "v": 77.0},  # stale update → no-op
+    ]),
+]
+
+
+def _manifest_at(root, ts):
+    write_manifest(root, {
+        "t1": {
+            "lastSuccessfulWriteTimestamp": str(ts),
+            "totalProcessedRecordsCount": 1,
+            "dataFilesPath": str(root / "t1"),
+            "schemaHistory": {"fpA": "0"},
+        },
+    })
+
+
+def test_incremental_pipeline_rawandmerged_matches_file_merged(spark, tmp_path):
+    """Three incremental pipeline runs (rawandmerged) into DuckDB: the
+    merged table must equal the file-merged snapshot pipeline on the same
+    tree, and the raw table must hold every change row exactly once."""
+    root = tmp_path / "src"
+    root.mkdir()
+    out = tmp_path / "out"
+    cfg = _tree_cfg(root, out, "rawandmerged")
+
+    # file-target twin for the equivalence check
+    froot = tmp_path / "fsrc"
+    froot.mkdir()
+    fout = tmp_path / "fout"
+    fcfg = from_dict(
+        {
+            "sourceLocation": {"path": str(froot)},
+            "savepointsLocation": str(fout / "sp"),
+            "outputSettings": {
+                "exportTarget": "file",
+                "tablesToInclude": "t1",
+                "fileSettings": {"path": str(fout / "files"), "saveMode": "merged"},
+            },
+        }
+    )
+
+    ex = DuckDBJdbcStandIn()
+    for ts, rows in BATCHES:
+        write_folder(root, "t1", "fpA", ts, cdc_batch(rows))
+        _manifest_at(root, ts)
+        write_folder(froot, "t1", "fpA", ts, cdc_batch(rows))
+        _manifest_at(froot, ts)
+        report = run(spark, cfg, jdbc_executor=ex, schema_probe=ex.probe, jdbc_stage=ex.stage)
+        assert report.ok, report.results[0].error
+        freport = run(spark, fcfg)
+        assert freport.ok
+
+    snapshot = spark.read.parquet(str(fout / "files" / "t1" / "fpA" / "merged"))
+    # merged table format drops provenance; file snapshot keeps it — align
+    assert_equal_state(ex, "t1_merged", drop_cdc_metadata(snapshot, keep_seqval=True))
+    state = duck_dict(ex, "t1_merged")
+    assert state[1]["v"] == 1.5 and state[3]["v"] == 3.0 and 2 not in state
+    # raw change log: all 6 rows, exactly once
+    assert len(ex.rows("t1")) == 6
+    assert SavepointsStore(out / "sp").get("t1") == 3000
+
+
+def test_raw_replay_is_idempotent(spark, tmp_path):
+    """Re-running the same folders (savepoint wiped) must not duplicate raw
+    rows — the PK dedup insert skips already-landed (id, seqval, op)."""
+    root = tmp_path / "src"
+    root.mkdir()
+    out = tmp_path / "out"
+    cfg = _tree_cfg(root, out, "raw")
+    ts, rows = BATCHES[0]
+    write_folder(root, "t1", "fpA", ts, cdc_batch(rows))
+    _manifest_at(root, ts)
+
+    ex = DuckDBJdbcStandIn()
+    for _ in range(2):
+        report = run(spark, cfg, jdbc_executor=ex, schema_probe=ex.probe, jdbc_stage=ex.stage)
+        assert report.ok, report.results[0].error
+        (out / "sp" / "savepoints.json").unlink()  # force full replay
+    assert len(ex.rows("t1")) == 2
+
+
+def test_additive_schema_evolution_executes(spark, tmp_path):
+    """Run 1 creates the tables; run 2's batch carries a new column → the
+    ALTER runs in DuckDB and the new column lands with values."""
+    root = tmp_path / "src"
+    root.mkdir()
+    out = tmp_path / "out"
+    cfg = _tree_cfg(root, out, "rawandmerged")
+    ex = DuckDBJdbcStandIn()
+
+    ts, rows = BATCHES[0]
+    write_folder(root, "t1", "fpA", ts, cdc_batch(rows))
+    _manifest_at(root, ts)
+    assert run(spark, cfg, jdbc_executor=ex, schema_probe=ex.probe, jdbc_stage=ex.stage).ok
+    assert "extra" not in ex.columns("t1_merged")
+
+    import pyarrow as pa
+
+    b2 = cdc_batch([{"id": 9, "op": 2, "seq": 9, "v": 9.0}])
+    b2 = b2.append_column("extra", pa.array(["E9"], pa.string()))
+    write_folder(root, "t1", "fpA", 2000, b2)
+    _manifest_at(root, 2000)
+    assert run(spark, cfg, jdbc_executor=ex, schema_probe=ex.probe, jdbc_stage=ex.stage).ok
+    assert any("ALTER TABLE" in s for txn in ex.transactions for s in txn)
+    assert "extra" in ex.columns("t1") and "extra" in ex.columns("t1_merged")
+    assert duck_dict(ex, "t1_merged")[9]["extra"] == "E9"
+
+
+def test_crash_mid_apply_converges_on_rerun(spark, tmp_path):
+    """Non-transactional crash after the raw insert but before the merged
+    apply: the savepoint stays put, the re-run replays the folder, raw rows
+    don't duplicate, merged converges (VERDICT #6 done-criterion)."""
+    root = tmp_path / "src"
+    root.mkdir()
+    out = tmp_path / "out"
+    cfg = _tree_cfg(root, out, "rawandmerged")
+    ex = DuckDBJdbcStandIn()
+
+    ts, rows = BATCHES[0]
+    write_folder(root, "t1", "fpA", ts, cdc_batch(rows))
+    _manifest_at(root, ts)
+    # bootstrap tables via a clean first statement set, then wipe data state
+    assert run(spark, cfg, jdbc_executor=ex, schema_probe=ex.probe, jdbc_stage=ex.stage).ok
+    ex.con.execute('DELETE FROM "t1"')
+    ex.con.execute('DELETE FROM "t1_merged"')
+    (out / "sp" / "savepoints.json").unlink()
+
+    # crash: raw dedup-insert (statement 0) lands, merged apply never runs
+    crashing = CrashingExecutor(ex.con, survive=1)
+    report = run(spark, cfg, jdbc_executor=crashing, schema_probe=ex.probe, jdbc_stage=ex.stage)
+    assert not report.ok and "injected crash" in report.results[0].error
+    assert len(ex.rows("t1")) == 2 and ex.rows("t1_merged") == []  # raw ahead of merged
+    assert SavepointsStore(out / "sp").get("t1") is None  # not advanced
+
+    # re-run with the healthy executor: converges, no raw duplicates
+    report = run(spark, cfg, jdbc_executor=ex, schema_probe=ex.probe, jdbc_stage=ex.stage)
+    assert report.ok, report.results[0].error
+    assert len(ex.rows("t1")) == 2
+    assert set(duck_dict(ex, "t1_merged")) == {1, 2}
+    assert SavepointsStore(out / "sp").get("t1") == 1000
+
+
+def test_transactional_executor_rolls_back_atomically(spark):
+    """The transactional executor contract: one failing statement → NOTHING
+    from the set lands (raw can never run ahead of merged)."""
+    ex = DuckDBJdbcStandIn()
+    b1 = spark_batch(spark, [{"id": 1, "op": 2, "seq": 1, "v": 1.0}])
+    bootstrap(ex, merged_upsert_frame(b1).schema, "t")
+    ex.stage(merged_upsert_frame(b1), "t_stage")
+    good = (
+        'INSERT INTO "t" ("gwcbi___seqval_hex", "id", "note", "publicid", "retired",'
+        ' "typecode", "v") SELECT "gwcbi___seqval_hex", "id", "note", "publicid",'
+        ' "retired", "typecode", "v" FROM "t_stage" ON CONFLICT ("id") DO NOTHING'
+    )
+    with pytest.raises(Exception):
+        ex([good, 'INSERT INTO "no_such_table" VALUES (1)'])
+    assert ex.rows("t") == []  # rolled back
+
+
+def test_merge_cdc_equivalence_on_random_batches(spark):
+    """Property-ish: random op/seq interleavings, applied batch-by-batch to
+    DuckDB, equal one-shot merge_cdc of the concatenation."""
+    import random
+
+    rnd = random.Random(7)
+    seqs = list(range(1, 61))
+    rnd.shuffle(seqs)
+    rows = []
+    for s in seqs:
+        rows.append({
+            "id": rnd.randrange(1, 12),
+            "op": rnd.choice([2, 4, 4, 1, 0]),
+            "seq": s,
+            "v": float(s),
+        })
+    # CDC feeds are seq-monotonic across batch boundaries (a delete's
+    # tombstone is gone once applied, so replaying older seqs against the
+    # target is undefined for ANY engine) — split in seq order; op
+    # interleavings within and across ids stay random
+    rows.sort(key=lambda r: r["seq"])
+    cut1, cut2 = 20, 40
+    batches = [rows[:cut1], rows[cut1:cut2], rows[cut2:]]
+
+    ex = DuckDBJdbcStandIn()
+    all_df = spark_batch(spark, rows)
+    bootstrap(ex, merged_upsert_frame(all_df).schema, "t")
+    for chunk in batches:
+        write_jdbc_merged(spark_batch(spark, chunk), PG, "t", execute=ex, stage=ex.stage)
+
+    # oracle: target-anchored replay (apply_cdc chain == merge_cdc of all,
+    # by the engine's split-invariance property)
+    expected = merged_upsert_frame(all_df)
+    got, want = duck_dict(ex, "t"), spark_dict(expected)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i]["v"] == want[i]["v"] and got[i]["gwcbi___seqval_hex"] == want[i]["gwcbi___seqval_hex"]

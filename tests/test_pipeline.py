@@ -172,11 +172,15 @@ def test_jdbc_merged_mode_stages_and_executes_statements(spark, tmp_path, monkey
     )
     report = run(spark, cfg, jdbc_executor=lambda stmts: executed.extend(stmts))
     assert report.ok
-    assert ("tsimple_stage", "overwrite", 2) in staged  # merged survivors: ids 1, 3
-    assert ("tsimple_stage_deletes", "overwrite", 1) in staged  # id 2
-    assert len(executed) == 2
+    # merged target gets its own table (<table>_merged on a shared connection)
+    assert ("tsimple_merged_stage", "overwrite", 2) in staged  # merged survivors: ids 1, 3
+    assert ("tsimple_merged_stage_updates", "overwrite", 0) in staged  # no bare-update ids
+    assert ("tsimple_merged_stage_deletes", "overwrite", 1) in staged  # id 2 (final state deleted)
+    assert len(executed) == 3
     assert "ON CONFLICT" in executed[0] and "gwcbi___seqval_hex" in executed[0]
-    assert executed[1].startswith("DELETE FROM")
+    assert 'INSERT INTO "tsimple_merged"' in executed[0]
+    assert executed[1].startswith('UPDATE "tsimple_merged"')
+    assert executed[2].startswith('DELETE FROM "tsimple_merged"')
 
 
 def test_jdbc_merged_without_executor_fails_loudly(spark, tmp_path):

@@ -83,22 +83,25 @@ def test_pipeline_creates_then_noops_then_bypasses(spark, tmp_path, monkeypatch)
     )
     executed: list[str] = []
 
-    # 1) absent target -> CREATE DDL executed, then write proceeds
+    # 1) absent target -> CREATE DDL + the replay-safe dedup insert, in ONE
+    #    executor call (raw goes through the idempotent path when an
+    #    executor is available — run() is at-least-once)
     report = run(
         spark,
         cfg,
         jdbc_executor=lambda stmts: executed.extend(stmts),
         schema_probe=lambda table: None,
     )
-    assert report.ok and written == ["tsimple"]
+    assert report.ok and written == ["tsimple_raw_stage"]
     assert any(s.startswith("CREATE TABLE") for s in executed)
+    assert any("DO NOTHING" in s for s in executed)
     assert SavepointsStore(out / "sp").get("tsimple") == 3000
 
     # 2) target matches batch -> no DDL (probe echoes the written schema)
     probe_schema = {}
 
     def capture(df, s, t, mode="append"):
-        probe_schema[t] = df.schema
+        probe_schema["tsimple"] = df.schema
         written.append(t)
 
     monkeypatch.setattr(jdbc, "write_jdbc_raw", capture)
@@ -114,7 +117,9 @@ def test_pipeline_creates_then_noops_then_bypasses(spark, tmp_path, monkeypatch)
         jdbc_executor=executed.extend,
         schema_probe=lambda t: probe_schema[t],
     )
-    assert report.ok and executed == []
+    assert report.ok
+    assert not any(s.startswith(("CREATE", "ALTER")) for s in executed)  # no DDL
+    assert [s for s in executed if "DO NOTHING" in s]  # just the idempotent insert
 
     # 3) drifted target (extra column the batch lacks) -> bypass, job fails,
     #    savepoint NOT advanced
