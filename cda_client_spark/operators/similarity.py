@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cda_client_spark.operators.dedup import bucket_pairs
+from cda_client_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE, bucket_pairs
 
 
 def hyperplane_weights(num_planes: int, dim: int, seed: str = "hp") -> list[list[float]]:
@@ -292,13 +292,14 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 32,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     round_digits: int = 6,
     seed: str = "hp",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold, candidates from
     the banded hyperplane bucket self-join (same shape as MinHash-LSH;
-    never all-pairs). Returns (id_a, id_b, cos_sim)."""
+    never all-pairs, hot buckets capped by default — see ``cap_buckets``).
+    Returns (id_a, id_b, cos_sim)."""
     weights = hyperplane_weights(num_planes, dim, seed)
     buckets = sketch_buckets(df, weights, bands, id_col, vec_col)
     pairs = bucket_pairs(buckets, id_col, max_bucket_size)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cda_client_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
     MINHASH_PRIME,
     exact_dedup,
     jaccard_pairs,
@@ -242,9 +243,10 @@ FROM documents GROUP BY source
 # ---------------------------------------------------------------------------
 
 # Shared oracle CTE prefix: replay MinHash (md5-derived 32-bit gram hash +
-# affine rehash, 16 hashes, 3-shingles) + 4-band LSH banding + bucket
-# self-join, exactly as operators/dedup.py. Gram-less docs are dropped on
-# both sides (Spark explodes grams; here: len(grams) > 0).
+# affine rehash, 16 hashes, 3-shingles) + 4-band LSH banding + the hot-
+# bucket cap (QUALIFY window count == cap_buckets) + bucket self-join,
+# exactly as operators/dedup.py with its defaults. Gram-less docs are
+# dropped on both sides (Spark explodes grams; here: len(grams) > 0).
 _MINHASH_SIG_LIST = ", ".join(
     f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
     for a, b in minhash_affine_constants(16)
@@ -258,8 +260,10 @@ g AS (SELECT doc_id, list_transform(range(1, greatest(len(wds) - 2, 0) + 1),
 h AS (SELECT doc_id, list_transform(grams, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
       FROM g WHERE len(grams) > 0),
 sigs AS (SELECT doc_id, [{_MINHASH_SIG_LIST}] AS sig FROM h),
-b AS (SELECT doc_id, band, array_to_string(sig[band*4+1 : band*4+4], '|') AS key
+b0 AS (SELECT doc_id, band, array_to_string(sig[band*4+1 : band*4+4], '|') AS key
       FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+b AS (SELECT doc_id, band, key FROM b0
+      QUALIFY count(*) OVER (PARTITION BY band, key) <= {DEFAULT_MAX_BUCKET_SIZE}),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
           FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
                             AND a.doc_id < b2.doc_id)
@@ -343,8 +347,10 @@ h AS (SELECT doc_id,
 sigs AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
         CASE WHEN n > 0 AND 2 * list_sum(list_transform(hs, h2 -> (h2 >> b) & 1)) >= n
              THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sim FROM h),
-bk AS (SELECT doc_id, sim, band, (sim >> (band * 15)) & 32767 AS key
+bk0 AS (SELECT doc_id, sim, band, (sim >> (band * 15)) & 32767 AS key
        FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+bk AS (SELECT doc_id, sim, band, key FROM bk0
+       QUALIFY count(*) OVER (PARTITION BY band, key) <= {DEFAULT_MAX_BUCKET_SIZE}),
 p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
         CAST(bit_count(xor(a.sim, b2.sim)) AS INTEGER) AS hamming
       FROM bk a JOIN bk b2 ON a.band = b2.band AND a.key = b2.key
@@ -453,7 +459,9 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMB_NEAR_DUP_SQL = f"""
 WITH corpus AS ({EMB_DUPS_SQL}),
-b AS ({_hyperplane_bucket_union_sql("corpus", 4, 32)}),
+b0 AS ({_hyperplane_bucket_union_sql("corpus", 4, 32)}),
+b AS (SELECT vec_id, band, key FROM b0
+      QUALIFY count(*) OVER (PARTITION BY band, key) <= {DEFAULT_MAX_BUCKET_SIZE}),
 pairs AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
           FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
                             AND a.vec_id < b2.vec_id),

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cda_client_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
     bucket_pairs,
     cap_buckets,
     exact_dedup,
@@ -148,6 +149,27 @@ def test_cap_buckets_bounds_hot_bucket(spark):
     kept = cap_buckets(b, ["band", "key"], 3)
     assert {r["key"] for r in kept.collect()} == {"cold"}
     assert bucket_pairs(b, "id", 3).count() == 1
+
+
+def test_default_cap_bounds_hot_bucket_without_opt_in(spark):
+    """The shipped DEFAULT caps degenerate buckets (r2 finding: the guard
+    existed but no catalog pipeline turned it on): a boilerplate bucket
+    bigger than DEFAULT_MAX_BUCKET_SIZE emits ZERO pairs by default, while
+    genuine duplicates in small buckets still pair; explicit ``None``
+    restores the exhaustive quadratic behavior."""
+    n = DEFAULT_MAX_BUCKET_SIZE + 44
+    rows = [(i, "spam " * 10) for i in range(n)]
+    rows += [(9000, BASE), (9001, BASE)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(df, num_hashes=16, bands=4, shingle=2).collect()
+    }
+    assert got == {(9000, 9001)}
+    uncapped = lsh_candidate_pairs(
+        df, num_hashes=16, bands=4, shingle=2, max_bucket_size=None
+    ).count()
+    assert uncapped == n * (n - 1) // 2 + 1
 
 
 def test_minhash_column_and_dataframe_variants_agree(corpus):
