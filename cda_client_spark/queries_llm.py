@@ -445,6 +445,35 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the IVF strategy: recall@5 of ``ann_topk_ivf``
+    vs the brute-force baseline, computed entirely in Spark (left-semi join
+    of the two top-k sets, then one aggregate — no collect). Returns one row
+    ``recall_ok=true``; the oracle is ``SELECT true`` because KMeans training
+    isn't SQL-replayable but the recall bar itself is engine-independent."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = ann_topk(e, q, dim=EMB_DIM, k=5, method="bruteforce").select(
+        "query_id", "neighbor_id"
+    )
+    ivf = _ann_topk_ivf_op(e, q, dim=EMB_DIM, k=5, nlist=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("hits"))
+        .crossJoin(brute.agg(F.count("*").alias("total")))
+        .select(
+            (F.col("hits") >= ANN_IVF_RECALL_BAR * F.col("total")).alias("recall_ok")
+        )
+    )
+
+
+ANN_IVF_RECALL_BAR = 0.6
+
+ANN_IVF_RECALL_SQL = "SELECT true AS recall_ok"
+
+
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.999) via the banded
     hyperplane bucket self-join; planted scaled copies are the dups."""
@@ -593,6 +622,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_ivf_recall": ann_ivf_recall,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "media_byte_stats": media_byte_stats,
     "media_histogram_features": media_histogram_features,
@@ -611,6 +641,9 @@ ORACLE_LLM: dict[str, str] = {
     "doc_simhash_near_dups": DOC_SIMHASH_SQL,
     "ann_topk_bruteforce": ANN_BRUTE_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
+    # ann_topk_ivf itself stays rows-only (KMeans isn't SQL-replayable);
+    # ann_ivf_recall is its driver-visible gate
+    "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     # media_histogram_features: mapInPandas byte-level work, not

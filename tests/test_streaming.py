@@ -89,6 +89,107 @@ def test_parse_cdc_envelope_roundtrip(spark):
     assert merged[1]["v"] == 1.5 and merged[2]["v"] == 9.0
 
 
+def test_kafka_shaped_stream_end_to_end(spark, tmp_path):
+    """Kafka end-to-end without a broker: a file stream whose rows carry the
+    exact Kafka wire schema (value binary, partition int, offset long) drives
+    parse_cdc_envelope + apply_batch_to_snapshot through foreachBatch across
+    two checkpointed AvailableNow triggers; the final snapshot must equal one
+    batch merge_cdc of all envelopes (VERDICT r2 #7)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from cda_client_spark.pipeline import apply_batch_to_snapshot
+
+    wire_schema = spark.createDataFrame(
+        [], "value binary, partition int, offset long"
+    ).schema
+    payload_schema = spark.createDataFrame([], "id bigint, v double, op int").schema
+
+    def envelope(payload: dict, partition: int, offset: int):
+        return (json.dumps(payload).encode(), partition, offset)
+
+    # batch 1: inserts + an update; batch 2: delete id 2, reinsert id 3,
+    # late update on partition 1 (higher offset wins within its partition)
+    batch1 = [
+        envelope({"id": 1, "v": 1.0, "op": 2}, 0, 0),
+        envelope({"id": 2, "v": 2.0, "op": 2}, 0, 1),
+        envelope({"id": 1, "v": 1.5, "op": 4}, 0, 2),
+        envelope({"id": 3, "v": 3.0, "op": 2}, 1, 0),
+    ]
+    batch2 = [
+        envelope({"id": 2, "v": None, "op": 1}, 0, 3),
+        envelope({"id": 3, "v": None, "op": 1}, 1, 1),
+        envelope({"id": 3, "v": 3.5, "op": 2}, 1, 2),
+        envelope({"id": 4, "v": 4.0, "op": 2}, 1, 3),
+    ]
+
+    src = tmp_path / "wire"
+    src.mkdir()
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(records, name):
+        """Write envelopes as a parquet file directly in the watched dir
+        (the file source does not recurse into subdirectories)."""
+        import shutil
+
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(records, wire_schema).coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = next(staging.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    def run_trigger():
+        stream = (
+            spark.readStream.schema(wire_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        cdc = parse_cdc_envelope(stream, payload_schema)
+
+        def sink(bdf, _bid):
+            if bdf.isEmpty():
+                return
+            apply_batch_to_snapshot(bdf.sparkSession, bdf, snap)
+
+        q = (
+            cdc.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(batch1, "b1")
+    run_trigger()
+    rows = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    assert set(rows) == {1, 2, 3} and rows[1]["v"] == 1.5
+
+    land(batch2, "b2")
+    run_trigger()
+    rows = {r["id"]: r for r in spark.read.parquet(snap).collect()}
+    # id 2 deleted; id 3 delete-then-reinsert survives at v=3.5; id 4 new
+    assert set(rows) == {1, 3, 4}
+    assert rows[3]["v"] == 3.5 and rows[1]["v"] == 1.5 and rows[4]["v"] == 4.0
+
+    # final snapshot == one-shot batch merge of every envelope
+    all_env = spark.createDataFrame(batch1 + batch2, wire_schema)
+    expected = {
+        r["id"]: r for r in merge_cdc(parse_cdc_envelope(all_env, payload_schema)).collect()
+    }
+    assert set(expected) == set(rows)
+    for k in rows:
+        assert rows[k]["v"] == expected[k]["v"]
+        assert rows[k]["gwcbi___seqval_hex"] == expected[k]["gwcbi___seqval_hex"]
+
+    # replayed trigger with nothing new: checkpoint makes it a no-op
+    run_trigger()
+    assert {r["id"] for r in spark.read.parquet(snap).collect()} == {1, 3, 4}
+
+
 def test_kafka_stream_builder_requires_package(spark):
     """The builder itself must construct (config-time); only start() needs
     the kafka package. If the package is absent we get the documented
