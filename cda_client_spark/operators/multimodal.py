@@ -58,14 +58,27 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
-def decode_images(df: DataFrame, bin_col: str = "media") -> DataFrame:
+def _pil_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Real decoder (requires PIL): open the payload and read its size."""
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:  # pragma: no cover
+        return img.size
+
+
+def decode_images(df: DataFrame, bin_col: str = "media", decoder=None) -> DataFrame:
     """Decode image payloads to (width, height) metadata via mapInPandas.
 
-    With PIL installed this is a real decode; otherwise the deterministic
-    fake above keeps the Spark-side plumbing (schema, Arrow batches,
-    partitioning) fully exercisable. Output schema = input + width/height.
+    ``decoder`` is any ``bytes -> (width, height)`` callable, shipped to
+    executors inside the closure; by default the real PIL decoder when PIL
+    is installed, else the deterministic fake above — so the Spark-side
+    plumbing (schema, Arrow batches, partitioning) is identical and fully
+    exercisable in both environments. Output schema = input + width/height.
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
+
+    if decoder is None:
+        decoder = _pil_decode_dims if _HAVE_PIL else _fake_decode_dims
 
     # StructType.add mutates in place — never call it on df.schema (the
     # DataFrame caches that object); build a fresh StructType instead
@@ -75,17 +88,11 @@ def decode_images(df: DataFrame, bin_col: str = "media") -> DataFrame:
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
         for pdf in batches:
-            dims = []
-            for payload in pdf[bin_col]:
-                data = bytes(payload) if payload is not None else b""
-                if _HAVE_PIL:
-                    with Image.open(io.BytesIO(data)) as img:  # pragma: no cover
-                        dims.append(img.size)
-                else:
-                    dims.append(_fake_decode_dims(data))
+            dims = [
+                decoder(bytes(payload) if payload is not None else b"")
+                for payload in pdf[bin_col]
+            ]
             pdf = pdf.copy()
             pdf["width"] = [d[0] for d in dims]
             pdf["height"] = [d[1] for d in dims]
