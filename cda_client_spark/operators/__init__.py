@@ -1,7 +1,8 @@
 """Operator library: CDC merge, column management, dedup (exact / MinHash /
-SimHash / Jaccard / LSH), embedding similarity (ANN brute-force / LSH /
-IVF, near-dup), text analysis, time-series joins (as-of, range), skew
-tools, multimodal binary processing."""
+SimHash / Jaccard / LSH), dedup clustering (connected components),
+embedding similarity (ANN brute-force / LSH / IVF, near-dup), text
+analysis, time-series joins (as-of, range), skew tools, multimodal binary
+processing."""
 
 from cda_client_spark.operators.cdc import apply_cdc, latest_changes, merge_cdc
 from cda_client_spark.operators.dedup import (
@@ -12,6 +13,7 @@ from cda_client_spark.operators.dedup import (
     simhash_near_dup_pairs,
     simhash_signatures,
 )
+from cda_client_spark.operators.graph import connected_components, dedup_clusters
 from cda_client_spark.operators.joins import as_of_join, time_range_join
 from cda_client_spark.operators.similarity import (
     ann_topk,
@@ -31,6 +33,8 @@ __all__ = [
     "minhash_signatures",
     "simhash_near_dup_pairs",
     "simhash_signatures",
+    "connected_components",
+    "dedup_clusters",
     "as_of_join",
     "time_range_join",
     "ann_topk",

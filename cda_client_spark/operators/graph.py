@@ -1,0 +1,123 @@
+"""Graph operators for dedup pipelines: connected components over
+near-duplicate pair graphs (north-star extension; the reference engine has
+no graph step — its CDC merge is per-key).
+
+LSH (operators/dedup.py, operators/similarity.py) emits candidate PAIRS;
+a curation pipeline needs CLUSTERS: if A~B and B~C, then {A,B,C} dedupe
+together even when A~C never collided. That transitive closure is a
+connected-components problem.
+
+Implementation: min-label propagation with pointer jumping — per round
+every node takes the min label among itself and its neighbors, then
+labels are compressed one pointer hop (label <- label[label]), the
+classic hash-to-min shape that converges in O(log(longest chain)) rounds
+instead of O(chain). Each round is two shuffles keyed by node id; edges
+shuffle once up front and are reused. Lineage is truncated per round with
+``localCheckpoint`` — iterative DataFrame algorithms otherwise grow the
+logical plan linearly and analysis blows up long before the data does.
+
+At 100 TB: labels are 2 longs per distinct node (tiny next to the
+corpus); the convergence check is a count() aggregate per round, nothing
+collects to the driver. Near-dup clusters are dense and shallow, so
+real-corpus rounds stay in the low single digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``pairs``.
+
+    Returns (node, component): one row per distinct node appearing in any
+    pair, where ``component`` is the smallest node id reachable from it —
+    a deterministic canonical cluster id.
+
+    Raises if propagation hasn't converged after ``max_iterations`` rounds
+    (silently-partial components would merge documents incorrectly);
+    with pointer jumping, ``max_iterations`` of 25 covers chains of
+    millions of nodes.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # round 0: own id vs min direct neighbor
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
+        .select(F.col("src").alias("node"), "component")
+        .localCheckpoint()
+    )
+
+    try:
+        for _ in range(max_iterations):
+            # neighbor labels flow along edges; keep own label in the pool
+            neighbor_labels = edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "component")
+            proposed = (
+                neighbor_labels.union(labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            # pointer jumping: component <- label[component]; labels only
+            # ever decrease, so the hop is monotone-safe
+            hop = labels.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("hopped"),
+            )
+            new_labels = (
+                proposed.join(hop, "component", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("hopped", F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+                .filter(F.col("component") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment for every document: near-dup cluster members get
+    the component's min doc id, everything else is its own cluster.
+    Output: (doc_id, cluster_id, is_canonical)."""
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

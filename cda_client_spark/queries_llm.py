@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cda_client_spark.operators.graph import dedup_clusters
 from cda_client_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
     MINHASH_PRIME,
@@ -279,6 +280,37 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_MINHASH_SQL = _MINHASH_PREFIX + "SELECT id_a, id_b FROM pairs"
+
+
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS: connected components over the
+    MinHash-LSH pair graph (A~B, B~C => {A,B,C} together even if A,C never
+    collided), canonical = min doc_id per component; documents in no pair
+    are their own singleton cluster. The oracle replays the closure with a
+    recursive CTE."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        corpus, num_hashes=16, bands=4, shingle=3, hash_fn="md5"
+    )
+    return dedup_clusters(corpus, pairs)
+
+
+DOC_CLUSTERS_SQL = _MINHASH_PREFIX.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1
+) + """,
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         FROM reach GROUP BY src)
+SELECT c.doc_id,
+       coalesce(comp.component, c.doc_id) AS cluster_id,
+       c.doc_id = coalesce(comp.component, c.doc_id) AS is_canonical
+FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
+"""
 
 
 def doc_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,6 +648,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_language_id": doc_language_id,
     "doc_token_stats": doc_token_stats,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_dedup_clusters": doc_dedup_clusters,
     "doc_jaccard_lsh": doc_jaccard_lsh,
     "doc_jaccard_allpairs_sample": doc_jaccard_allpairs_sample,
     "doc_simhash_near_dups": doc_simhash_near_dups,
@@ -636,6 +669,7 @@ ORACLE_LLM: dict[str, str] = {
     "doc_language_id": _lang_id_sql(),
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_minhash_lsh_pairs": DOC_MINHASH_SQL,
+    "doc_dedup_clusters": DOC_CLUSTERS_SQL,
     "doc_jaccard_lsh": DOC_JACCARD_LSH_SQL,
     "doc_jaccard_allpairs_sample": DOC_JACCARD_ALLPAIRS_SQL,
     "doc_simhash_near_dups": DOC_SIMHASH_SQL,

@@ -1,0 +1,67 @@
+"""Connected-components / dedup-cluster tests: hand-checkable graphs,
+chain graphs needing multiple propagation rounds, partitioning invariance,
+and the non-convergence guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.graph import connected_components, dedup_clusters
+
+
+def pairs_df(spark, edges):
+    return spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+
+def components(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_two_components_and_star(spark):
+    # {1,2,3} via star at 1; {10,11} separate
+    df = pairs_df(spark, [(1, 2), (1, 3), (10, 11)])
+    out = components(connected_components(df))
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_transitive_closure(spark):
+    # 5-4, 4-3, 3-2, 2-1: min label must walk the whole chain (multiple
+    # rounds), not just direct neighbors
+    df = pairs_df(spark, [(4, 5), (3, 4), (2, 3), (1, 2)])
+    out = components(connected_components(df))
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_reversed_and_duplicate_edges(spark):
+    # same component regardless of edge direction or repetition
+    df = pairs_df(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+    out = components(connected_components(df))
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_partitioning_invariance(spark):
+    edges = [(i, i + 1) for i in range(1, 40)] + [(100, 101), (102, 101)]
+    one = components(connected_components(pairs_df(spark, edges)))
+    scattered = components(
+        connected_components(pairs_df(spark, edges).repartition(16))
+    )
+    assert one == scattered
+    assert set(one.values()) == {1, 100}
+
+
+def test_non_convergence_guard(spark):
+    df = pairs_df(spark, [(4, 5), (3, 4), (2, 3), (1, 2)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=1)
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark):
+    docs = spark.range(1, 8).select(F.col("id").alias("doc_id"))
+    pairs = pairs_df(spark, [(2, 5), (5, 7)])
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    # cluster {2,5,7} keeps 2 as canonical; the rest are singletons
+    for d in (2, 5, 7):
+        assert out[d]["cluster_id"] == 2
+    assert out[2]["is_canonical"] and not out[5]["is_canonical"]
+    for d in (1, 3, 4, 6):
+        assert out[d]["cluster_id"] == d and out[d]["is_canonical"]
