@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "cdc_merge_orders",
     "doc_exact_dedup",
     "doc_training_corpus",
+    "doc_dedup_clusters",
+    "doc_pack_chunks",
     "doc_minhash_lsh_pairs",
     "doc_simhash_near_dups",
     "ann_topk_bruteforce",

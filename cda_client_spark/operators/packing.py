@@ -1,0 +1,108 @@
+"""Sequence packing for LLM pretraining pipelines: concat-then-chunk
+token-offset assignment (north-star extension; no reference counterpart).
+
+Pretraining consumes fixed-length token windows cut from the
+concatenation of all documents. The distributed question is "which
+chunk(s) does each document land in?" — answered here without ever
+materializing the concatenation: documents are deterministically sharded
+by id-hash, ordered by id within each shard, and a window cumulative sum
+gives every document its token offset; chunk indexes follow by integer
+division. Every step is engine-portable (md5 shard + SQL window), so the
+DuckDB oracle replays it value-for-value.
+
+Scale design: ONE shuffle (the window partition by shard). Within a
+shard the running sum is sequential — that's the price of deterministic
+contiguous offsets — so ``shards`` sets the parallelism: pick several ×
+the executor-core count; each shard's rows just need to fit one task
+(offsets are 2 longs per doc, the text column is never carried through
+the window). Assignment is a pure function of (id, text), invariant to
+partitioning, cluster size and engine — the property df.sample and
+zipWithIndex both lack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cda_client_spark.operators.sampling import hash_bucket
+from cda_client_spark.operators.text import token_count
+
+
+def chunk_assignments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 2048,
+    shards: int = 8,
+    seed: str = "pack",
+) -> DataFrame:
+    """Assign each document its token offset and chunk span in the
+    concat-then-chunk layout.
+
+    Output: (id, shard, n_tokens, token_offset, first_chunk, last_chunk)
+    where chunk indexes are SHARD-LOCAL (chunk streams are built per
+    shard, the standard sharded-pretraining layout). Zero-token documents
+    occupy no tokens: they get first_chunk = last_chunk = the chunk their
+    offset falls in.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            hash_bucket(F.col(id_col), shards, seed).alias("shard"),
+            token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("token_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            "token_offset",
+            F.floor(F.col("token_offset") / chunk_tokens).alias("first_chunk"),
+            F.greatest(
+                F.floor(
+                    (F.col("token_offset") + F.col("n_tokens") - 1) / chunk_tokens
+                ),
+                F.floor(F.col("token_offset") / chunk_tokens),
+            ).alias("last_chunk"),
+        )
+    )
+
+
+def chunk_assignments_sql(
+    source: str,
+    token_regex: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 2048,
+    shards: int = 8,
+    seed: str = "pack",
+) -> str:
+    """DuckDB replay of ``chunk_assignments`` (same md5 shard, same
+    window) for the oracle contract."""
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {shards})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {bucket} AS shard,
+         len(regexp_extract_all({text_col}, '{token_regex}')) AS n_tokens
+  FROM {source}),
+offs AS (
+  SELECT {id_col}, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM toks)
+SELECT {id_col}, shard, CAST(n_tokens AS BIGINT) AS n_tokens, token_offset,
+       CAST(FLOOR(token_offset / {chunk_tokens}) AS BIGINT) AS first_chunk,
+       GREATEST(CAST(FLOOR((token_offset + n_tokens - 1) / {chunk_tokens}) AS BIGINT),
+                CAST(FLOOR(token_offset / {chunk_tokens}) AS BIGINT)) AS last_chunk
+FROM offs
+"""

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cda_client_spark.operators.graph import dedup_clusters
+from cda_client_spark.operators.packing import chunk_assignments, chunk_assignments_sql
 from cda_client_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
     MINHASH_PRIME,
@@ -638,6 +639,44 @@ FROM dd
 """
 
 
+def doc_neardedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-removed corpus: the cluster step's end product — keep one
+    canonical document per transitive near-dup cluster (min doc_id),
+    aggregated per hundred-id block for the gate."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        corpus, num_hashes=16, bands=4, shingle=3, hash_fn="md5"
+    )
+    survivors = dedup_clusters(corpus, pairs).filter("is_canonical")
+    return survivors.groupBy(
+        (F.floor(F.col("doc_id") / 100) * 100).alias("id_block")
+    ).agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+DOC_NEARDEDUP_SQL = (
+    "SELECT CAST(FLOOR(s.doc_id / 100) * 100 AS BIGINT) AS id_block,"
+    " COUNT(*) AS n_kept FROM ("
+    + DOC_CLUSTERS_SQL
+    + ") s WHERE s.is_canonical GROUP BY 1"
+)
+
+
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): every document's token offset
+    and chunk span in the sharded pretraining layout — one window shuffle,
+    engine-portable md5 sharding (operators/packing.py)."""
+    return chunk_assignments(
+        t(spark, sf_dir, "documents"),
+        chunk_tokens=512,
+        shards=4,
+    )
+
+
+DOC_PACK_SQL = chunk_assignments_sql(
+    "documents", TOKEN_REGEX, chunk_tokens=512, shards=4
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -661,6 +700,8 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_histogram_features": media_histogram_features,
     "doc_train_val_split": doc_train_val_split,
     "doc_training_corpus": doc_training_corpus,
+    "doc_neardedup_corpus": doc_neardedup_corpus,
+    "doc_pack_chunks": doc_pack_chunks,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -684,4 +725,6 @@ ORACLE_LLM: dict[str, str] = {
     # SQL-expressible -> rows-only check by design
     "doc_train_val_split": DOC_SPLIT_SQL,
     "doc_training_corpus": DOC_CORPUS_SQL,
+    "doc_neardedup_corpus": DOC_NEARDEDUP_SQL,
+    "doc_pack_chunks": DOC_PACK_SQL,
 }

@@ -1,0 +1,75 @@
+"""Sequence-packing tests: offsets are contiguous within a shard, chunk
+spans are arithmetic consequences of offsets, and assignment is invariant
+to input partitioning (the property RNG/zipWithIndex approaches lack)."""
+
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.packing import chunk_assignments
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_offsets_contiguous_within_shard(spark):
+    df = docs(spark, [(i, "tok " * (i % 7 + 1)) for i in range(1, 60)])
+    out = chunk_assignments(df, chunk_tokens=10, shards=3).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) == 3
+    for rows in by_shard.values():
+        expected = 0
+        for r in rows:
+            assert r["token_offset"] == expected
+            expected += r["n_tokens"]
+
+
+def test_chunk_span_arithmetic(spark):
+    # one shard so the layout is fully hand-checkable: 4+4+4 tokens over
+    # chunk_tokens=8 -> doc2 straddles chunks 0 and 1 exactly
+    df = docs(spark, [(1, "a b c d"), (2, "e f g h"), (3, "i j k l")])
+    out = {
+        r["doc_id"]: r
+        for r in chunk_assignments(df, chunk_tokens=8, shards=1).collect()
+    }
+    assert (out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 0)
+    assert (out[2]["first_chunk"], out[2]["last_chunk"]) == (0, 0)
+    assert out[2]["token_offset"] == 4 and out[2]["n_tokens"] == 4
+    assert (out[3]["first_chunk"], out[3]["last_chunk"]) == (1, 1)
+
+
+def test_straddling_and_empty_docs(spark):
+    df = docs(spark, [(1, "a b c d e f"), (2, ""), (3, "g h i j")])
+    out = {
+        r["doc_id"]: r
+        for r in chunk_assignments(df, chunk_tokens=4, shards=1).collect()
+    }
+    # doc1: tokens 0..5 -> chunks 0..1; doc2 empty at offset 6 -> (1, 1)
+    assert (out[1]["first_chunk"], out[1]["last_chunk"]) == (0, 1)
+    assert out[2]["n_tokens"] == 0
+    assert (out[2]["first_chunk"], out[2]["last_chunk"]) == (1, 1)
+    assert (out[3]["first_chunk"], out[3]["last_chunk"]) == (1, 2)
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, "w " * (i % 11 + 1)) for i in range(1, 200)]
+    a = {
+        r["doc_id"]: tuple(r)
+        for r in chunk_assignments(docs(spark, rows), chunk_tokens=32).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r)
+        for r in chunk_assignments(
+            docs(spark, rows).repartition(17), chunk_tokens=32
+        ).collect()
+    }
+    assert a == b
+
+
+def test_one_shuffle_only(spark):
+    """The plan must contain exactly one Exchange (the window partition) —
+    packing is a single-shuffle operator."""
+    df = docs(spark, [(i, "x y z") for i in range(1, 50)])
+    plan = chunk_assignments(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
