@@ -21,7 +21,12 @@ from cda_client_spark.operators.similarity import (
     embedding_near_dup_pairs,
 )
 from cda_client_spark.operators.skew import salted_join
-from cda_client_spark.operators.text import fingerprint, language_id, quality_score
+from cda_client_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    tfidf_top_terms,
+)
 
 __all__ = [
     "apply_cdc",
@@ -44,4 +49,5 @@ __all__ = [
     "fingerprint",
     "language_id",
     "quality_score",
+    "tfidf_top_terms",
 ]

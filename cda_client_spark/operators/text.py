@@ -138,6 +138,49 @@ def language_id(col: Column) -> Column:
     return expr.otherwise(F.lit("und"))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smoothed idf:
+    ln((N+1)/(df+1)) + 1).
+
+    Scale shape: tokens explode once into a (doc, token) count — the only
+    row-amplifying step, combined map-side; document frequency is a window
+    count over the token partition of that same frame (no vocabulary join,
+    no driver-side N: corpus size rides along as a 1-row broadcast); top-k
+    is a row_number window per doc. Three keyed shuffles total, each over
+    (doc, token) pairs — never raw text.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql.window import Window
+
+    wd = tf.withColumn("df_docs", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = wd.crossJoin(F.broadcast(n)).withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df_docs") + 1)) + 1),
+            6,
+        ),
+    )
+    wk = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "tfidf", "rnk")
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact-dup detection: lowercase, collapse
     whitespace, trim."""

@@ -50,6 +50,7 @@ from cda_client_spark.operators.text import (
     fingerprint,
     language_id,
     quality_score,
+    tfidf_top_terms,
     token_count,
     word_count,
 )
@@ -216,6 +217,88 @@ l AS (SELECT lang,
        {whens}
        ELSE 'und' END AS lid FROM s)
 SELECT lang, lid, count(*) AS n FROM l GROUP BY lang, lid
+"""
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus-wide document frequency,
+    smoothed idf) — explode → combined counts → window df → top-k window;
+    the gate subsets to doc_id < 100 but df/idf are computed over the FULL
+    corpus on both engines."""
+    d = t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3).filter(F.col("doc_id") < 100)
+
+
+DOC_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+wd AS (SELECT doc_id, token, tf,
+         COUNT(*) OVER (PARTITION BY token) AS df_docs FROM tf),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, token, tf,
+        round(tf * (ln((n_docs + 1) / (df_docs + 1)) + 1), 6) AS tfidf
+      FROM wd CROSS JOIN n),
+r AS (SELECT doc_id, token, tf, tfidf,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC) AS rnk
+      FROM s)
+SELECT doc_id, token, tf, tfidf, rnk FROM r WHERE rnk <= 3 AND doc_id < 100
+"""
+
+
+def doc_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-quartile quality filter: exact 75th-percentile threshold (one
+    aggregate — Spark ``percentile`` / DuckDB ``quantile_cont`` share the
+    interpolation definition) broadcast back as a 1-row frame, then a
+    plain filter. This aggregate→broadcast→filter shape is the 100 TB
+    form of 'keep the best 25%' — NOT a cume_dist over a global
+    unpartitioned window, which would collapse the corpus into one sort
+    task. Summarized per language for the gate."""
+    scored = quality_score(t(spark, sf_dir, "documents"), "text")
+    thr = scored.agg(
+        F.round(F.expr("percentile(quality_score, 0.75)"), 6).alias("q75")
+    )
+    # 1-row scalar broadcast: the BroadcastNestedLoopJoin this produces is
+    # a single O(n) pass (build side is one row), not a quadratic join
+    kept = scored.crossJoin(F.broadcast(thr)).filter(
+        F.col("quality_score") > F.col("q75")
+    )
+    return kept.groupBy(language_id(F.col("text")).alias("lid")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("quality_score"), 6).alias("min_score"),
+    )
+
+
+def _quality_pct_sql() -> str:
+    score_cols = ",\n    ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b')) AS s_{lang}"
+        for lang, words in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    whens = "\n       ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+thr AS (SELECT round(quantile_cont(quality_score, 0.75), 6) AS q75 FROM q),
+kept AS (
+  SELECT q.quality_score, d.text
+  FROM q JOIN documents d ON q.doc_id = d.doc_id CROSS JOIN thr
+  WHERE q.quality_score > thr.q75),
+s AS (
+  SELECT quality_score,
+    len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+    {score_cols}
+  FROM kept),
+l AS (SELECT quality_score,
+  CASE WHEN cjk > 0 THEN 'zh'
+       {whens}
+       ELSE 'und' END AS lid FROM s)
+SELECT lid, COUNT(*) AS n_docs, round(MIN(quality_score), 6) AS min_score
+FROM l GROUP BY lid
 """
 
 
@@ -686,6 +769,8 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_scores": doc_quality_scores,
     "doc_language_id": doc_language_id,
     "doc_token_stats": doc_token_stats,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_quality_percentile_filter": doc_quality_percentile_filter,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_jaccard_lsh": doc_jaccard_lsh,
@@ -709,6 +794,8 @@ ORACLE_LLM: dict[str, str] = {
     "doc_quality_scores": DOC_QUALITY_SQL,
     "doc_language_id": _lang_id_sql(),
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+    "doc_quality_percentile_filter": _quality_pct_sql(),
     "doc_minhash_lsh_pairs": DOC_MINHASH_SQL,
     "doc_dedup_clusters": DOC_CLUSTERS_SQL,
     "doc_jaccard_lsh": DOC_JACCARD_LSH_SQL,

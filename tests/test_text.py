@@ -17,6 +17,7 @@ from cda_client_spark.operators.text import (
     quality_features,
     quality_score,
     stopword_count,
+    tfidf_top_terms,
     token_count,
     word_count,
     words,
@@ -122,3 +123,45 @@ def test_normalize_and_fingerprints(spark):
     for fp_fn in (fingerprint, fingerprint_fast):
         fps = {r["doc_id"]: r["v"] for r in df.select("doc_id", fp_fn(F.col("text")).alias("v")).collect()}
         assert fps[1] == fps[2] != fps[3]
+
+
+def test_tfidf_top_terms_golden(spark):
+    """Hand-checkable corpus: a term in every doc gets the minimum idf,
+    a unique term the maximum; ranks ordered by tfidf then token."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(df, k=4).collect()
+    rows = {(r["doc_id"], r["token"]): r for r in out}
+
+    def tfidf(tf, dfreq, n=3):
+        return round(tf * (math.log((n + 1) / (dfreq + 1)) + 1), 6)
+
+    # 'common' appears in all 3 docs -> idf = ln(4/4)+1 = 1
+    assert rows[(1, "common")]["tfidf"] == tfidf(1, 3) == 1.0
+    # 'apple' only in doc1 with tf=2
+    assert rows[(1, "apple")]["tfidf"] == tfidf(2, 1)
+    assert rows[(3, "cherry")]["tfidf"] == tfidf(3, 2)
+    # rank 1 in doc 1 is the highest-tfidf token
+    r1 = [r for r in out if r["doc_id"] == 1 and r["rnk"] == 1][0]
+    assert r1["token"] == "apple"
+
+
+def test_tfidf_df_counts_distinct_docs(spark):
+    """df counts documents containing the term, not term occurrences."""
+    df = spark.createDataFrame(
+        [(1, "x x x"), (2, "x y")], "doc_id bigint, text string"
+    )
+    out = {(r["doc_id"], r["token"]): r for r in tfidf_top_terms(df, k=5).collect()}
+    import math
+
+    # x: in both docs (df=2) despite tf=3 in doc1
+    assert out[(1, "x")]["tfidf"] == round(3 * (math.log(3 / 3) + 1), 6)
+    assert out[(2, "y")]["tfidf"] == round(1 * (math.log(3 / 2) + 1), 6)
