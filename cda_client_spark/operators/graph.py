@@ -61,6 +61,10 @@ def connected_components(
     )
 
     try:
+        # labels are monotone non-increasing under min-propagation, so the
+        # label SUM is a loss-free convergence witness: unchanged sum <=>
+        # no label changed. One aggregate per round, no new-vs-old join.
+        prev_sum = labels.agg(F.sum("component").alias("s")).first()["s"]
         for _ in range(max_iterations):
             # neighbor labels flow along edges; keep own label in the pool
             neighbor_labels = edges.join(
@@ -88,14 +92,11 @@ def connected_components(
                 )
                 .localCheckpoint()
             )
-            changed = (
-                new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-                .filter(F.col("component") != F.col("old"))
-                .count()
-            )
+            new_sum = new_labels.agg(F.sum("component").alias("s")).first()["s"]
             labels = new_labels
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels
+            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds"
         )
