@@ -190,6 +190,103 @@ GROUP BY n_name
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year and
+    direction (supplier nation → customer nation).
+
+    Scale: the two-nation filter broadcasts through both nation joins
+    before the lineitem⋈orders⋈customer chain shuffles; year extraction is
+    a scalar on the fact rows.
+    """
+    n1, n2 = "NATION_3", "NATION_7"
+    n = F.broadcast(
+        t(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    )
+    s = t(spark, sf_dir, "supplier").join(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    c = t(spark, sf_dir, "customer").join(
+        n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")),
+        F.col("c_nationkey") == F.col("c_nk"),
+    )
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(ROUND(SUM(CAST(volume AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+
+    Scale: the returnflag filter pushes to the lineitem scan; nation
+    broadcasts; the top-k is TakeOrderedAndProject (no global sort
+    materialization).
+    """
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 4) AS DOUBLE) AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 customers by order volume; deterministic tie-break on key."""
     o = t(spark, sf_dir, "orders")
@@ -965,6 +1062,8 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q7_nation_volume": q7_nation_volume,
+    "q10_returned_items": q10_returned_items,
     "top_customers": top_customers,
     "customers_without_orders": customers_without_orders,
     "customers_with_open_orders": customers_with_open_orders,
@@ -1000,6 +1099,8 @@ ORACLE: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "customers_with_open_orders": CUSTOMERS_WITH_OPEN_ORDERS_SQL,
