@@ -4,10 +4,20 @@ checkpoint replaces savepoints for exactly-once folder consumption."""
 
 from cda_client_spark.streaming.kafka import kafka_cdc_stream, parse_cdc_envelope
 from cda_client_spark.streaming.runner import run_streaming, stream_table_fingerprint
+from cda_client_spark.streaming.windows import (
+    session_window_counts,
+    stateful_sessionize,
+    streaming_dedup,
+    windowed_event_counts,
+)
 
 __all__ = [
     "kafka_cdc_stream",
     "parse_cdc_envelope",
     "run_streaming",
     "stream_table_fingerprint",
+    "session_window_counts",
+    "stateful_sessionize",
+    "streaming_dedup",
+    "windowed_event_counts",
 ]

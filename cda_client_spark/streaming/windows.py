@@ -83,6 +83,30 @@ def session_window_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact-dedup on ``keys`` with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store only
+    until the watermark passes it, so state size tracks the watermark
+    horizon instead of the whole stream — the only dedup formulation that
+    survives an unbounded stream. Duplicates arriving within the
+    watermark window are suppressed; a batch frame falls back to plain
+    dropDuplicates (same keys, whole-frame scope).
+
+    Scale: state is partitioned by key like any stateful op; the
+    watermark bound is what keeps a 100 TB/day stream's state finite.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
 SESSION_OUTPUT = StructType(
     [
         StructField("user_id", LongType()),

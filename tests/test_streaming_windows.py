@@ -116,3 +116,74 @@ def test_stateful_sessionize_closes_sessions_on_watermark(spark, tmp_path):
     closed3 = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in out3}
     assert (1, ts(600), ts(600), 1) in closed3
     assert (2, ts(610), ts(610), 1) in closed3
+
+
+def test_streaming_dedup_suppresses_duplicates_across_triggers(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps first-seen keys and drops
+    repeats arriving inside the watermark window, across two checkpointed
+    triggers; batch fallback dedups the whole frame."""
+    import shutil
+
+    from cda_client_spark.streaming.windows import streaming_dedup
+
+    src = tmp_path / "dd_events"
+    src.mkdir()
+    snap_rows = []
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    def land(rows, name):
+        staging = tmp_path / f"_dd_stage_{name}"
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(
+            str(staging)
+        )
+        part = next(staging.glob("part-*.parquet"))
+        shutil.move(str(part), str(src / f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    out_dir = str(tmp_path / "dd_out")
+
+    def trigger():
+        # parquet sink (memory sink can't recover from a checkpoint);
+        # emitted rows accumulate in out_dir across triggers
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(src))
+        deduped = streaming_dedup(stream, ["user_id", "event_type"])
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["user_id"], r["event_type"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # trigger 1: duplicate (1, click) within one batch -> one survives
+    land(
+        [(1, "click", ts(0)), (1, "click", ts(1)), (2, "view", ts(2))],
+        "b1",
+    )
+    out1 = trigger()
+    assert out1 == {(1, "click"), (2, "view")}
+
+    # trigger 2: (1, click) repeats within the watermark -> suppressed by
+    # checkpointed state; (3, click) is new -> emitted exactly once total
+    land([(1, "click", ts(3)), (3, "click", ts(4))], "b2")
+    out2 = trigger()
+    assert out2 == {(1, "click"), (2, "view"), (3, "click")}
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 3  # (1, click) emitted once, not re-emitted
+
+    # batch fallback: plain whole-frame dedup, same keys
+    batch = spark.createDataFrame(
+        [(1, "click", ts(0)), (1, "click", ts(9)), (4, "view", ts(1))],
+        EVENTS_SCHEMA,
+    )
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in streaming_dedup(batch, ["user_id", "event_type"]).collect()
+    }
+    assert got == {(1, "click"), (4, "view")}
