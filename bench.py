@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "doc_dedup_clusters",
     "doc_pack_chunks",
     "doc_minhash_lsh_pairs",
+    "doc_minhash_lsh_pairs_fast",
     "doc_simhash_near_dups",
     "ann_topk_bruteforce",
     "ann_topk_lsh",

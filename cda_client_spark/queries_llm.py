@@ -366,6 +366,23 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_MINHASH_SQL = _MINHASH_PREFIX + "SELECT id_a, id_b FROM pairs"
 
 
+def doc_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash path: xxhash64 gram hashing (integer-only,
+    no crypto digest) — same banding/caps as the md5 variant. Measured
+    ~10-15% faster end-to-end at sf0.1: the digest is cheaper but gram
+    construction and the min-aggregates dominate the stage. xxhash64
+    isn't replayable in DuckDB, so this is a rows-only entry; the md5
+    twin above is the oracle-gated path and variant parity is
+    pytest-checked (test_dedup.py)."""
+    return lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir),
+        num_hashes=16,
+        bands=4,
+        shingle=3,
+        hash_fn="xxhash64",
+    )
+
+
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup CLUSTERS: connected components over the
     MinHash-LSH pair graph (A~B, B~C => {A,B,C} together even if A,C never
@@ -772,6 +789,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_quality_percentile_filter": doc_quality_percentile_filter,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
+    "doc_minhash_lsh_pairs_fast": doc_minhash_lsh_pairs_fast,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_jaccard_lsh": doc_jaccard_lsh,
     "doc_jaccard_allpairs_sample": doc_jaccard_allpairs_sample,

@@ -41,3 +41,41 @@ def test_approx_percentile_brackets_exact_median(spark, sf_dir):
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert row["iqr"][0] <= row["approx"] <= row["iqr"][1]
+
+
+def test_freq_items_finds_true_heavy_hitter(spark):
+    """Heavy hitters via df.stat.freqItems (Karp single-pass sketch):
+    must contain every item above the support threshold; may contain
+    false positives (verify with an exact recount), never false
+    negatives — the production pattern is sketch-then-verify."""
+    rows = [(i, "hot" if i % 3 == 0 else f"cold_{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    [items] = df.stat.freqItems(["k"], support=0.2).collect()[0]
+    assert "hot" in items
+    # exact verify pass over the candidates: only 'hot' clears the bar
+    verified = (
+        df.filter(F.col("k").isin(list(items)))
+        .groupBy("k")
+        .count()
+        .filter(F.col("count") >= 0.2 * 3000)
+        .collect()
+    )
+    assert [r["k"] for r in verified] == ["hot"]
+
+
+def test_count_min_sketch_overestimates_boundedly(spark):
+    """count_min_sketch: point estimates are >= true counts (CMS never
+    undercounts) and within eps * N with the configured confidence."""
+    rows = [(i, f"k{i % 50}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    sketch_bytes = df.agg(
+        F.expr("count_min_sketch(k, 0.01d, 0.99d, 42)").alias("s")
+    ).first()["s"]
+    sc = spark.sparkContext
+    jsketch = sc._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch_bytes)
+    )
+    exact = {r["k"]: r["count"] for r in df.groupBy("k").count().collect()}
+    for k, n in exact.items():
+        est = jsketch.estimateCount(k)
+        assert n <= est <= n + 0.01 * 5000
