@@ -65,3 +65,41 @@ def test_dedup_clusters_singletons_and_canonicals(spark):
     assert out[2]["is_canonical"] and not out[5]["is_canonical"]
     for d in (1, 3, 4, 6):
         assert out[d]["cluster_id"] == d and out[d]["is_canonical"]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+edge_lists = st.lists(
+    st.tuples(st.integers(1, 30), st.integers(1, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+def union_find_reference(edges):
+    """Plain-Python union-find: component = min node id."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_components_match_union_find_reference(spark, edges):
+    """Random graphs: the distributed propagation must agree exactly with
+    a sequential union-find on every node's component id."""
+    normalized = [(min(a, b), max(a, b)) for a, b in edges]
+    got = components(connected_components(pairs_df(spark, normalized)))
+    assert got == union_find_reference(normalized)
