@@ -62,6 +62,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
+def t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like ``t`` but repartitioned to default parallelism — for queries
+    whose heavy per-row stage (hyperplane folds, gram explodes) would
+    otherwise run on the 1-3 partitions a tiny local test file scans into
+    (see ``_docs_with_dups``). At real scale the scan parallelism makes
+    this a no-op decision."""
+    return t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # Planted-duplicate corpora (identical construction in Spark and SQL)
 # ---------------------------------------------------------------------------
@@ -79,7 +88,15 @@ DOC_DUPS_SQL = """
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + planted exact dups (case/whitespace variants, same
-    normalized form) + planted near-dups (three appended tokens)."""
+    normalized form) + planted near-dups (three appended tokens).
+
+    Repartitioned to the session's default parallelism: the test corpus
+    is one tiny parquet file (1-3 scan partitions), which would serialize
+    the gram-explode signature stages onto as many cores — a local
+    small-file artifact, not a property of the operators (at real scale
+    the scan already yields many partitions). Shuffling the ~MB of text
+    once costs nothing and un-serializes everything downstream
+    (measured 3-4x on the SimHash/MinHash headline queries at sf0.1)."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     exact = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -89,7 +106,11 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
     )
-    return d.unionByName(exact).unionByName(near)
+    return (
+        d.unionByName(exact)
+        .unionByName(near)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 EMB_DUPS_SQL = """
@@ -102,7 +123,8 @@ EMB_DUPS_SQL = """
 
 
 def _embs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings + planted near-dups (scaled by 1.01 → cosine 1.0)."""
+    """embeddings + planted near-dups (scaled by 1.01 → cosine 1.0).
+    Repartitioned for the same small-file reason as ``_docs_with_dups``."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -110,7 +132,7 @@ def _embs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: (x.cast("double") * F.lit(1.01)).cast("float")
         ).alias("embedding"),
     )
-    return e.unionByName(dup)
+    return e.unionByName(dup).repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------
@@ -507,7 +529,7 @@ _COS = (
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 per query vector (vec_id < 10): corpus streamed
     once with the query set broadcast — the verification baseline."""
-    e = t(spark, sf_dir, "embeddings")
+    e = t_par(spark, sf_dir, "embeddings")
     return ann_topk(e, e.filter(F.col("vec_id") < 10), dim=EMB_DIM, k=5, method="bruteforce")
 
 
@@ -540,7 +562,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (32 planes, 4 bands):
     candidates from the band equi-join only — the 100 TB path (scored rows
     ~ bucket collisions, not |corpus| x |queries|; no cartesian product)."""
-    e = t(spark, sf_dir, "embeddings")
+    e = t_par(spark, sf_dir, "embeddings")
     return ann_topk(
         e,
         e.filter(F.col("vec_id") < 10),
