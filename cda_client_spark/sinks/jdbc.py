@@ -229,13 +229,23 @@ def upsert_statement(
 def update_statement(
     schema: StructType, table: str, dialect: Dialect, staging_table: str
 ) -> str:
-    """Set-based UPDATE-only apply for batch-orphan updates (ids with no
-    anchor in the batch): updates an EXISTING target row when newer, and is
-    a no-op when the id is absent — exactly the reference's ``UPDATE ...
-    WHERE id=? AND seqval<?`` (JdbcOutputWriter.scala:409-468); an upsert
-    here would wrongly INSERT orphan updates."""
-    cols = sorted(f.name for f in schema.fields)
+    """Set-based UPDATE-only apply for updates that must not insert (ids
+    with no batch anchor): updates an EXISTING target row when newer, and
+    is a no-op when the id is absent — exactly the reference's ``UPDATE
+    ... WHERE id=? AND seqval<?`` (JdbcOutputWriter.scala:409-468); an
+    upsert here would wrongly INSERT orphan updates.
+
+    When the staged frame carries ``DELETE_GUARD_COL`` (the seqval of the
+    id's latest in-batch delete, '' if none), the update additionally
+    requires the target row to OUTRANK that delete — so an update that
+    follows a genuine delete only lands when the target proves the delete
+    stale, matching the file-merged replay."""
+    cols = sorted(f.name for f in schema.fields if f.name != DELETE_GUARD_COL)
+    has_dguard = any(f.name == DELETE_GUARD_COL for f in schema.fields)
     guard = '"gwcbi___seqval_hex"'
+    dguard = (
+        f" AND {{t}}.{guard} > s.{dialect.q(DELETE_GUARD_COL)}" if has_dguard else ""
+    )
     if dialect is POSTGRES:
         sets = ", ".join(f"{dialect.q(c)} = s.{dialect.q(c)}" for c in cols if c != "id")
         return (
@@ -243,12 +253,15 @@ def update_statement(
             f"FROM {dialect.q(staging_table)} s\n"
             f'WHERE {dialect.q(table)}."id" = s."id"'
             f" AND {dialect.q(table)}.{guard} < s.{guard}"
+            + dguard.format(t=dialect.q(table))
         )
     sets = ", ".join(f"t.{dialect.q(c)} = s.{dialect.q(c)}" for c in cols if c != "id")
     return (
         f"MERGE INTO {dialect.q(table)} t USING {dialect.q(staging_table)} s"
         f' ON (t."id" = s."id")\n'
-        f"WHEN MATCHED AND t.{guard} < s.{guard} THEN UPDATE SET {sets}"
+        f"WHEN MATCHED AND t.{guard} < s.{guard}"
+        + dguard.format(t="t")
+        + f" THEN UPDATE SET {sets}"
     )
 
 
@@ -428,23 +441,39 @@ def _cdc_apply_agg(df: DataFrame):
     return agg, others
 
 
+DELETE_GUARD_COL = "__delete_seqval"
+
+
 def _cdc_apply_frames(agg: DataFrame, others: list[str]):
     from cda_client_spark.operators.columns import SEQVAL_COL, drop_cdc_metadata
     from pyspark.sql import functions as F
 
     key, seq_col = "id", SEQVAL_COL
+    a = F.coalesce(F.col("__a"), F.lit(""))
+    d = F.coalesce(F.col("__d"), F.lit(""))
 
-    def payload(frame: DataFrame) -> DataFrame:
+    def payload(frame: DataFrame, extra=()) -> DataFrame:
         cols = [F.col(key), F.col(f"latest.{seq_col}").alias(seq_col)] + [
             F.col(f"latest.{c}").alias(c) for c in others
         ]
-        return drop_cdc_metadata(frame.select(*cols), keep_seqval=True)
+        return drop_cdc_metadata(frame.select(*cols, *extra), keep_seqval=True)
 
-    upserts = payload(agg.filter(F.col("__a") > F.coalesce(F.col("__d"), F.lit(""))))
+    upserts = payload(agg.filter(F.col("__a") > d))
+    # UPDATE-only set: ids NOT re-anchored in the batch whose latest
+    # non-delete event outranks their latest delete. Covers bare updates
+    # (no anchor, no delete) AND updates arriving after a delete that may
+    # be stale against the target. The per-row DELETE_GUARD_COL makes the
+    # statement apply only where the target row proves the batch delete
+    # stale (target.seqval > staged delete seq) — without it, a stale
+    # delete in the same batch silently swallowed a newer bare update
+    # (diverging from the file-merged apply_cdc path).
     updates = payload(
-        agg.filter(F.col("__a").isNull() & F.col("__d").isNull() & F.col("latest").isNotNull())
+        agg.filter(
+            (a <= d) & F.col("latest").isNotNull() & (F.col(f"latest.{seq_col}") > d)
+        ),
+        extra=[d.alias(DELETE_GUARD_COL)],
     )
-    dels = agg.filter(F.col("__d") > F.coalesce(F.col("__a"), F.lit(""))).select(
+    dels = agg.filter(F.col("__d") > a).select(
         F.col(key), F.col("__d").alias(seq_col)
     )
     return upserts, updates, dels

@@ -131,6 +131,43 @@ def test_stale_delete_is_guarded(spark):
     assert duck_dict(ex, "t") == {}
 
 
+def test_stale_delete_with_newer_bare_update_in_one_batch(spark):
+    """One batch carries a STALE delete and a NEWER bare update for the
+    same id. The file-merged replay keeps the row with the update's
+    payload; the JDBC apply used to route the id only to the (no-op)
+    guarded delete and silently lose the update."""
+    ex = DuckDBJdbcStandIn()
+    b1 = spark_batch(spark, [{"id": 1, "op": 2, "seq": 5, "v": 1.0}])
+    bootstrap(ex, merged_upsert_frame(b1).schema, "t")
+    write_jdbc_merged(b1, PG, "t", execute=ex, stage=ex.stage)
+
+    b2 = spark_batch(spark, [
+        {"id": 1, "op": 1, "seq": 3},             # stale vs target seq 5
+        {"id": 1, "op": 4, "seq": 7, "v": 1.7},   # newer bare update
+    ])
+    write_jdbc_merged(b2, PG, "t", execute=ex, stage=ex.stage)
+    state = duck_dict(ex, "t")
+    assert set(state) == {1} and state[1]["v"] == 1.7
+
+
+def test_genuine_delete_with_orphan_update_after_it(spark):
+    """One batch: a delete that genuinely outranks the target, followed by
+    a bare update (no re-anchor). The delete wins — the post-delete update
+    is an orphan (no anchor) and must NOT resurrect the row, matching the
+    file-merged replay."""
+    ex = DuckDBJdbcStandIn()
+    b1 = spark_batch(spark, [{"id": 1, "op": 2, "seq": 2, "v": 1.0}])
+    bootstrap(ex, merged_upsert_frame(b1).schema, "t")
+    write_jdbc_merged(b1, PG, "t", execute=ex, stage=ex.stage)
+
+    b2 = spark_batch(spark, [
+        {"id": 1, "op": 1, "seq": 4},             # outranks target seq 2
+        {"id": 1, "op": 4, "seq": 6, "v": 9.9},   # orphan update post-delete
+    ])
+    write_jdbc_merged(b2, PG, "t", execute=ex, stage=ex.stage)
+    assert duck_dict(ex, "t") == {}
+
+
 def _tree_cfg(root, out, save_mode):
     return from_dict(
         {
