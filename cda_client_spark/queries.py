@@ -45,10 +45,12 @@ TABLES = (
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table.
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    read it as a long (legacy conf) and rebuild a microsecond timestamp
-    (the data is microsecond-granular — no precision loss; DuckDB reads the
-    same values natively as TIMESTAMP_NS).
+    events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's reader
+    surfaces as a long under the legacy conf) and as TIMESTAMP(MICROS)
+    (which it reads natively as TIMESTAMP_NTZ). Normalize both to a
+    session-zone TIMESTAMP so every downstream plan and oracle comparison
+    sees one type; session tz is pinned to UTC (session.py) so the NTZ cast
+    is value-preserving.
     """
     if name == "events":
         # sessions from our factory set this legacy conf up front
@@ -57,7 +59,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":  # nanos-as-long era: rebuild micros
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
