@@ -1143,3 +1143,10 @@ from cda_client_spark.queries_llm import ORACLE_LLM, SPARK_LLM  # noqa: E402
 
 SPARK.update(SPARK_LLM)
 ORACLE.update(ORACLE_LLM)
+
+# Remaining TPC-H shapes (Q2, Q8, Q9, Q11-Q22) adapted to the reduced
+# testdata schema — see queries_tpch module docstring.
+from cda_client_spark.queries_tpch import ORACLE_TPCH, SPARK_TPCH  # noqa: E402
+
+SPARK.update(SPARK_TPCH)
+ORACLE.update(ORACLE_TPCH)
