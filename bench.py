@@ -54,7 +54,12 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cda_client_spark.queries import SPARK
+    from cda_client_spark.queries_llm import doc_minhash_lsh_pairs_fast
     from cda_client_spark.session import get_spark
+
+    # benched production variants that are driver-gated through a recall
+    # query instead of sitting in the registry themselves
+    SPARK = {**SPARK, "doc_minhash_lsh_pairs_fast": doc_minhash_lsh_pairs_fast}
 
     spark = get_spark(app_name="cda_client_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")

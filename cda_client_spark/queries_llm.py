@@ -393,15 +393,52 @@ def doc_minhash_lsh_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     no crypto digest) — same banding/caps as the md5 variant. Measured
     ~10-15% faster end-to-end at sf0.1: the digest is cheaper but gram
     construction and the min-aggregates dominate the stage. xxhash64
-    isn't replayable in DuckDB, so this is a rows-only entry; the md5
-    twin above is the oracle-gated path and variant parity is
-    pytest-checked (test_dedup.py)."""
+    isn't replayable in DuckDB, so this path is benched directly
+    (bench.py) and driver-gated via ``minhash_fast_recall`` below; variant
+    parity is also pytest-checked (test_dedup.py)."""
     return lsh_candidate_pairs(
         _docs_with_dups(spark, sf_dir),
         num_hashes=16,
         bands=4,
         shingle=3,
         hash_fn="xxhash64",
+    )
+
+
+MINHASH_FAST_RECALL_BAR = 0.9
+
+MINHASH_FAST_RECALL_SQL = "SELECT true AS recall_ok"
+
+
+def minhash_fast_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the xxhash64 MinHash path: after true
+    n-gram Jaccard verification (>= 0.4), the fast variant must recover at
+    least 90% of the verified pairs the oracle-replayable md5 variant
+    finds. Computed entirely in Spark (semi-join + one aggregate, no
+    collect); the oracle is ``SELECT true`` because xxhash64 isn't
+    SQL-replayable but the recall bar itself is engine-independent."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    md5_pairs = jaccard_pairs(
+        corpus,
+        pairs=lsh_candidate_pairs(corpus, num_hashes=16, bands=4, shingle=3, hash_fn="md5"),
+        shingle=3,
+        threshold=0.4,
+    ).select("id_a", "id_b")
+    fast_pairs = jaccard_pairs(
+        corpus,
+        pairs=lsh_candidate_pairs(
+            corpus, num_hashes=16, bands=4, shingle=3, hash_fn="xxhash64"
+        ),
+        shingle=3,
+        threshold=0.4,
+    ).select("id_a", "id_b")
+    hits = md5_pairs.join(fast_pairs, ["id_a", "id_b"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("hits"))
+        .crossJoin(md5_pairs.agg(F.count("*").alias("total")))
+        .select(
+            (F.col("hits") >= MINHASH_FAST_RECALL_BAR * F.col("total")).alias("recall_ok")
+        )
     )
 
 
@@ -697,7 +734,7 @@ FROM documents GROUP BY source
 def media_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched byte-histogram features over the binary payloads
     (mapInPandas — the vectorized featurizer pattern). Not SQL-expressible
-    byte-level work → rows-only correctness check; the histogram math is
+    byte-level work; driver-gated via ``media_histogram_gate`` below and
     golden-tested in tests/test_multimodal.py."""
     feats = byte_histogram_features(_media_frame(spark, sf_dir), "media", bins=16)
     return feats.select(
@@ -706,6 +743,47 @@ def media_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_sum"
         ),
         F.expr("array_position(features, array_max(features))").alias("dominant_bin"),
+    )
+
+
+MEDIA_HISTOGRAM_GATE_SQL = "SELECT true AS histogram_ok"
+
+
+def media_histogram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the Arrow featurizer: every nonempty
+    payload's normalized histogram must sum to 1 (within the per-bin 1e-6
+    rounding), and the mapInPandas pass must emit exactly one row per
+    input row (no loss/duplication across Arrow batches). A bucketing,
+    batching or schema bug in the Python path breaks one of the two. One
+    boolean row; oracle is ``SELECT true`` since the byte-level loop isn't
+    SQL-expressible; exact bin values are golden-tested in pytest."""
+    frame = _media_frame(spark, sf_dir)
+    feats = byte_histogram_features(frame, "media", bins=16).select(
+        "doc_id",
+        F.expr("aggregate(features, cast(0 as double), (a, x) -> a + x)").alias("feature_sum"),
+    )
+    jvm = frame.select("doc_id", F.octet_length("media").cast("double").alias("n_bytes"))
+    joined = feats.join(jvm, "doc_id")
+    return (
+        joined.agg(
+            (F.count(F.lit(1)) > 0).alias("nonempty"),
+            (F.count(F.lit(1)) == F.count_distinct(F.col("doc_id"))).alias("one_per_doc"),
+            F.max(
+                F.when(F.col("n_bytes") > 0, F.abs(F.col("feature_sum") - 1.0)).otherwise(
+                    F.abs(F.col("feature_sum"))
+                )
+            ).alias("max_err"),
+        )
+        .crossJoin(frame.agg(F.count(F.lit(1)).alias("n_in")))
+        .crossJoin(joined.agg(F.count(F.lit(1)).alias("n_out")))
+        .select(
+            (
+                F.col("nonempty")
+                & F.col("one_per_doc")
+                & (F.col("n_in") == F.col("n_out"))
+                & (F.col("max_err") < 1e-4)
+            ).alias("histogram_ok")
+        )
     )
 
 # ---------------------------------------------------------------------------
@@ -811,18 +889,23 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_quality_percentile_filter": doc_quality_percentile_filter,
     "doc_minhash_lsh_pairs": doc_minhash_lsh_pairs,
-    "doc_minhash_lsh_pairs_fast": doc_minhash_lsh_pairs_fast,
+    # doc_minhash_lsh_pairs_fast (xxhash64) is benched directly and
+    # driver-gated through minhash_fast_recall: every registry row is
+    # fully oracle-checkable
+    "minhash_fast_recall": minhash_fast_recall,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_jaccard_lsh": doc_jaccard_lsh,
     "doc_jaccard_allpairs_sample": doc_jaccard_allpairs_sample,
     "doc_simhash_near_dups": doc_simhash_near_dups,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
-    "ann_topk_ivf": ann_topk_ivf,
+    # ann_topk_ivf (KMeans training) is exercised and gated through
+    # ann_ivf_recall; media_histogram_features (mapInPandas) through
+    # media_histogram_gate — both functions stay exported for direct use
     "ann_ivf_recall": ann_ivf_recall,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "media_byte_stats": media_byte_stats,
-    "media_histogram_features": media_histogram_features,
+    "media_histogram_gate": media_histogram_gate,
     "doc_train_val_split": doc_train_val_split,
     "doc_training_corpus": doc_training_corpus,
     "doc_neardedup_corpus": doc_neardedup_corpus,
@@ -837,19 +920,17 @@ ORACLE_LLM: dict[str, str] = {
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
     "doc_quality_percentile_filter": _quality_pct_sql(),
     "doc_minhash_lsh_pairs": DOC_MINHASH_SQL,
+    "minhash_fast_recall": MINHASH_FAST_RECALL_SQL,
     "doc_dedup_clusters": DOC_CLUSTERS_SQL,
     "doc_jaccard_lsh": DOC_JACCARD_LSH_SQL,
     "doc_jaccard_allpairs_sample": DOC_JACCARD_ALLPAIRS_SQL,
     "doc_simhash_near_dups": DOC_SIMHASH_SQL,
     "ann_topk_bruteforce": ANN_BRUTE_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
-    # ann_topk_ivf itself stays rows-only (KMeans isn't SQL-replayable);
-    # ann_ivf_recall is its driver-visible gate
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
-    # media_histogram_features: mapInPandas byte-level work, not
-    # SQL-expressible -> rows-only check by design
+    "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
     "doc_train_val_split": DOC_SPLIT_SQL,
     "doc_training_corpus": DOC_CORPUS_SQL,
     "doc_neardedup_corpus": DOC_NEARDEDUP_SQL,
