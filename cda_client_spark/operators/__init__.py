@@ -8,6 +8,7 @@ from cda_client_spark.operators.cdc import apply_cdc, latest_changes, merge_cdc
 from cda_client_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    line_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_near_dup_pairs,
@@ -24,7 +25,10 @@ from cda_client_spark.operators.skew import salted_join
 from cda_client_spark.operators.text import (
     fingerprint,
     language_id,
+    ngram_contamination,
+    pii_scrub,
     quality_score,
+    redact_pii,
     tfidf_top_terms,
 )
 
@@ -34,6 +38,7 @@ __all__ = [
     "merge_cdc",
     "exact_dedup",
     "jaccard_pairs",
+    "line_dedup",
     "lsh_candidate_pairs",
     "minhash_signatures",
     "simhash_near_dup_pairs",
@@ -48,6 +53,9 @@ __all__ = [
     "salted_join",
     "fingerprint",
     "language_id",
+    "ngram_contamination",
+    "pii_scrub",
     "quality_score",
+    "redact_pii",
     "tfidf_top_terms",
 ]

@@ -442,3 +442,65 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 10,
+) -> DataFrame:
+    """Remove boilerplate LINES that repeat across many documents (headers,
+    footers, cookie banners — the C4/RefinedWeb line-level pass), keeping
+    every other line in original order.
+
+    A line is boilerplate when its normalized form (trimmed, lowercased)
+    appears in at least ``min_doc_freq`` DISTINCT documents. Returns
+    ``(id, clean_text, n_lines, n_lines_kept)``; a document whose every
+    line is boilerplate keeps an empty ``clean_text`` (the row survives —
+    downstream length filters decide its fate, not this operator).
+
+    Scale: two shuffles — one to count distinct docs per normalized line
+    (partial-combinable), one to reassemble per doc. The line-frequency
+    side collapses to ``distinct lines`` rows, tiny next to the corpus;
+    reassembly uses ``array_sort(collect_list(struct(pos, line)))`` so
+    order never depends on shuffle arrival.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.lower(F.col("line"))))
+    freq = (
+        lines.filter(F.length("norm") > 0)
+        .groupBy("norm")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") >= min_doc_freq)
+        .select("norm")
+    )
+    kept = lines.join(freq, "norm", "left_anti")
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("bigint").alias("n_lines_kept"),
+        )
+    )

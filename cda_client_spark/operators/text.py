@@ -200,3 +200,105 @@ def fingerprint(col: Column) -> Column:
 def fingerprint_fast(col: Column) -> Column:
     """xxhash64-based fingerprint — cheaper at scale, Spark-specific."""
     return F.xxhash64(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regexp-only, JVM-side; patterns valid in both Java regex
+# and RE2 so oracles can replay them: no lookaround, no backrefs)
+# ---------------------------------------------------------------------------
+
+#: Redaction order matters: an SSN also matches the phone pattern, so
+#: specific patterns run before general ones. Each entry is
+#: (kind, pattern, replacement token).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Chained ``regexp_replace`` over :data:`PII_RULES` — one JVM scalar
+    expression, no UDFs, no shuffle. At 100 TB this is a pure map stage
+    that pipelines into whatever reads it."""
+    out = col
+    for _, pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact PII and report per-kind hit counts.
+
+    Counts are token occurrences in the redacted text (counting patterns
+    on the raw text would double-count: an SSN is also a phone-shaped
+    digit run). ``split`` on the literal token is exact because tokens
+    contain no regex metacharacters.
+    """
+    out = df.withColumn("clean_text", redact_pii(F.col(text_col)))
+    for kind, _, token in PII_RULES:
+        out = out.withColumn(
+            f"n_{kind}", (F.size(F.split(F.col("clean_text"), token)) - 1).cast("bigint")
+        )
+    return out
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    """DuckDB replay of :func:`redact_pii` (same rule order; RE2 needs the
+    explicit global flag)."""
+    out = text_expr
+    for _, pattern, token in PII_RULES:
+        # DuckDB's standard-conforming strings pass backslashes through
+        # verbatim, so the Java pattern text IS the RE2 pattern text here
+        sql_pat = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{token}', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Word-``n``-gram overlap of every corpus document against a
+    benchmark/eval set (the GPT-3-style train-test contamination check).
+
+    Returns one row per corpus document that shares at least one distinct
+    ``n``-gram with ANY benchmark document: ``(id, n_shared, n_grams,
+    overlap_ratio)``.
+
+    Scale: the benchmark gram set is DISTINCT'd and broadcast — eval sets
+    are MBs against a 100 TB corpus, so the corpus side stays a single
+    explode + partial-combinable count with no shuffle of the corpus text
+    itself; nothing ever joins corpus-to-corpus.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngrams(text_col, n)).alias("gram")).distinct()
+    )
+    doc_grams = (
+        corpus.select(F.col(id_col), F.explode(ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(totals, id_col)
+        .select(
+            id_col,
+            "n_shared",
+            "n_grams",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("overlap_ratio"),
+        )
+    )

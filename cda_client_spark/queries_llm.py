@@ -29,6 +29,7 @@ from cda_client_spark.operators.dedup import (
     MINHASH_PRIME,
     exact_dedup,
     jaccard_pairs,
+    line_dedup,
     lsh_candidate_pairs,
     minhash_affine_constants,
     simhash_near_dup_pairs,
@@ -49,7 +50,10 @@ from cda_client_spark.operators.text import (
     TOKEN_REGEX,
     fingerprint,
     language_id,
+    ngram_contamination,
+    pii_scrub,
     quality_score,
+    redact_pii_sql,
     tfidf_top_terms,
     token_count,
     word_count,
@@ -878,6 +882,161 @@ DOC_PACK_SQL = chunk_assignments_sql(
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing / contamination / line-level dedup (operators/text.py,
+# operators/dedup.py) — planted deterministically like the dup corpora
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic PII planted on modular doc_id classes
+    (the synthetic corpus contains no digits, so every match is planted)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    add = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" or admin@example.org")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" server 10.1.2.3")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" call +1 (555) 123-4567")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", add.alias("text"))
+
+
+_PII_CORPUS_SQL = """
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 10 = 0 THEN ' or admin@example.org' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' server 10.1.2.3' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN ' call +1 (555) 123-4567' ELSE '' END
+    AS text
+  FROM documents
+"""
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: chained JVM regexp_replace (no UDFs)
+    with per-kind hit counts; md5 of the redacted text pins the exact
+    output cross-engine."""
+    out = pii_scrub(_docs_with_pii(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+def _pii_count_sql(token: str) -> str:
+    return f"CAST(len(string_split(clean_text, '{token}')) - 1 AS BIGINT)"
+
+
+DOC_PII_SQL = f"""
+WITH corpus AS ({_PII_CORPUS_SQL}),
+scrubbed AS (SELECT doc_id, {redact_pii_sql('text')} AS clean_text FROM corpus)
+SELECT doc_id,
+  {_pii_count_sql('<EMAIL>')} AS n_email,
+  {_pii_count_sql('<SSN>')} AS n_ssn,
+  {_pii_count_sql('<IP>')} AS n_ipv4,
+  {_pii_count_sql('<PHONE>')} AS n_phone,
+  md5(clean_text) AS clean_md5
+FROM scrubbed
+"""
+
+
+_GRAM8_SQL = (
+    "list_transform(range(1, greatest(len(wds) - 7, 0) + 1),"
+    " i -> array_to_string(wds[i:i+7], ' '))"
+)
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing any word-8-gram
+    with the eval set (every 37th base document). The planted truth: eval
+    docs themselves and their dup variants overlap; unrelated word-soup
+    docs don't collide on 8 consecutive words."""
+    corpus = _docs_with_dups(spark, sf_dir)
+    benchmark = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0)
+    return ngram_contamination(corpus, benchmark, n=8).orderBy("doc_id")
+
+
+DOC_CONTAMINATION_SQL = f"""
+WITH corpus AS ({DOC_DUPS_SQL}),
+bw AS (SELECT regexp_split_to_array(lower(text), '\\s+') AS wds
+       FROM documents WHERE doc_id % 37 = 0),
+bg AS (SELECT DISTINCT unnest({_GRAM8_SQL}) AS gram FROM bw),
+cw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wds FROM corpus),
+cg AS (SELECT DISTINCT doc_id, unnest({_GRAM8_SQL}) AS gram FROM cw),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT sh.doc_id, n_shared, n_grams,
+       round(n_shared / CAST(n_grams AS DOUBLE), 6) AS overlap_ratio
+FROM sh JOIN tot ON sh.doc_id = tot.doc_id
+ORDER BY sh.doc_id
+"""
+
+
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal: a planted newsletter footer appears
+    in every 3rd doc (crosses the doc-frequency bar and is stripped);
+    each doc's unique closing line survives."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nsubscribe to our newsletter today")
+            ).otherwise(F.lit("")),
+            F.lit("\ndoc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" closing line"),
+        ).alias("text"),
+    )
+    out = line_dedup(d, min_doc_freq=10)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_lines",
+        "n_lines_kept",
+    )
+
+
+DOC_LINE_DEDUP_SQL = """
+WITH c AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today'
+            ELSE '' END
+    || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' closing line' AS text
+  FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM c),
+l0 AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(arr) + 1),
+                               i -> {'pos': i, 'line': arr[i]})) AS pl
+       FROM ls),
+l AS (SELECT doc_id, pl.pos AS pos, pl.line AS line,
+             trim(lower(pl.line)) AS norm FROM l0),
+freq AS (SELECT norm FROM l WHERE len(norm) > 0
+         GROUP BY norm HAVING COUNT(DISTINCT doc_id) >= 10),
+kept AS (SELECT * FROM l WHERE norm NOT IN (SELECT norm FROM freq)),
+rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+            FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines FROM c)
+SELECT t.doc_id, md5(COALESCE(r.clean_text, '')) AS clean_md5, n_lines,
+       COALESCE(n_lines_kept, 0) AS n_lines_kept
+FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
 
@@ -906,6 +1065,9 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "media_byte_stats": media_byte_stats,
     "media_histogram_gate": media_histogram_gate,
+    "doc_pii_scrub": doc_pii_scrub,
+    "doc_contamination": doc_contamination,
+    "doc_line_dedup": doc_line_dedup,
     "doc_train_val_split": doc_train_val_split,
     "doc_training_corpus": doc_training_corpus,
     "doc_neardedup_corpus": doc_neardedup_corpus,
@@ -931,6 +1093,9 @@ ORACLE_LLM: dict[str, str] = {
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
+    "doc_pii_scrub": DOC_PII_SQL,
+    "doc_contamination": DOC_CONTAMINATION_SQL,
+    "doc_line_dedup": DOC_LINE_DEDUP_SQL,
     "doc_train_val_split": DOC_SPLIT_SQL,
     "doc_training_corpus": DOC_CORPUS_SQL,
     "doc_neardedup_corpus": DOC_NEARDEDUP_SQL,

@@ -191,3 +191,44 @@ def test_minhash_column_and_dataframe_variants_agree(corpus):
             ).collect()
         }
         assert df_sigs == col_sigs
+
+
+# ---------------------------------------------------------------------------
+# Line-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    from cda_client_spark.operators.dedup import line_dedup
+
+    footer = "Subscribe to our newsletter"
+    rows = [(i, f"unique opener {i}\n{footer}\nunique closer {i}") for i in range(10)]
+    rows.append((99, "standalone doc\nwith two lines"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_doc_freq=10).collect()}
+    # footer appears in 10 docs -> stripped (case-insensitively normalized);
+    # per-doc unique lines survive in original order and original case
+    assert out[0]["clean_text"] == "unique opener 0\nunique closer 0"
+    assert out[0]["n_lines"] == 3 and out[0]["n_lines_kept"] == 2
+    assert out[99]["clean_text"] == "standalone doc\nwith two lines"
+    assert out[99]["n_lines_kept"] == 2
+
+
+def test_line_dedup_all_boilerplate_doc_survives_empty(spark):
+    from cda_client_spark.operators.dedup import line_dedup
+
+    rows = [(i, "same line everywhere") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = line_dedup(df, min_doc_freq=10)
+    assert out.count() == 12  # rows survive with empty text
+    got = out.filter(out.doc_id == 0).collect()[0]
+    assert got["clean_text"] == "" and got["n_lines_kept"] == 0 and got["n_lines"] == 1
+
+
+def test_line_dedup_threshold_not_met(spark):
+    from cda_client_spark.operators.dedup import line_dedup
+
+    rows = [(i, f"shared line\nmine {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_doc_freq=10).collect()}
+    assert out[3]["clean_text"] == "shared line\nmine 3"  # df=5 < 10 -> kept

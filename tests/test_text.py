@@ -165,3 +165,85 @@ def test_tfidf_df_counts_distinct_docs(spark):
     # x: in both docs (df=2) despite tf=3 in doc1
     assert out[(1, "x")]["tfidf"] == round(3 * (math.log(3 / 3) + 1), 6)
     assert out[(2, "y")]["tfidf"] == round(1 * (math.log(3 / 2) + 1), 6)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_all_kinds(spark):
+    from cda_client_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e.org now"),
+            (2, "ssn 123-45-6789 stays one ssn"),
+            (3, "host 192.168.0.1 called +1 (555) 123-4567"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert rows[1]["n_email"] == 2 and rows[1]["n_phone"] == 0
+    # the SSN must be redacted as SSN, not matched by the broader phone rule
+    assert rows[2]["clean_text"] == "ssn <SSN> stays one ssn"
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_phone"] == 0
+    assert rows[3]["clean_text"] == "host <IP> called <PHONE>"
+    assert rows[3]["n_ipv4"] == 1 and rows[3]["n_phone"] == 1
+    assert rows[4]["clean_text"] == "nothing sensitive here"
+    assert all(rows[4][f"n_{k}"] == 0 for k in ("email", "ssn", "ipv4", "phone"))
+
+
+def test_redact_pii_sql_matches_spark(spark):
+    """The DuckDB replay of the redaction chain produces byte-identical
+    output (the property the doc_pii_scrub oracle depends on)."""
+    import duckdb
+
+    from cda_client_spark.operators.text import pii_scrub, redact_pii_sql
+
+    texts = [
+        "mail a@b.io and c.d+x@e.org now",
+        "ssn 123-45-6789 then +44 20 7946 0958 and 10.0.0.255",
+        "no pii",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "doc_id int, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in pii_scrub(df).collect()}
+    con = duckdb.connect()
+    for i, s in enumerate(texts):
+        (want,) = con.execute(
+            f"SELECT {redact_pii_sql('?')}", [s]
+        ).fetchone()
+        assert got[i] == want, (got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# n-gram contamination
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_contamination_known_overlap(spark):
+    from cda_client_spark.operators.text import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # full copy: every 8-gram shared
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            # shares exactly the first 8-gram window
+            (2, "the quick brown fox jumps over the lazy cat sleeps here today"),
+            # disjoint
+            (3, "completely different words that never overlap with anything else at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, bench, n=8).collect()}
+    assert set(out) == {1, 2}  # doc 3 has zero overlap -> absent
+    assert out[1]["n_shared"] == out[1]["n_grams"] == 3
+    assert out[1]["overlap_ratio"] == 1.0
+    assert out[2]["n_shared"] == 1 and out[2]["n_grams"] == 5
+    assert abs(out[2]["overlap_ratio"] - 0.2) < 1e-9
