@@ -46,9 +46,19 @@ def connected_components(
     with pointer jumping, ``max_iterations`` of 25 covers chains of
     millions of nodes.
     """
+    # both edge directions from ONE pass over pairs: a union of two selects
+    # would execute the (potentially expensive) upstream pair pipeline
+    # twice in the job that first populates the cache
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
