@@ -38,7 +38,14 @@ BENCH_QUERIES = [
     "asof_click_before_purchase",
     "range_click_error_pairs",
     "cdc_merge_orders",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "doc_exact_dedup",
+    "doc_pii_scrub",
+    "doc_contamination",
+    "doc_line_dedup",
     "doc_training_corpus",
     "doc_dedup_clusters",
     "doc_pack_chunks",
