@@ -1,0 +1,138 @@
+"""Property-based checks for the corpus-curation text operators: each
+Spark operator must agree with an independent pure-Python reference on
+randomized inputs (the same cross-implementation strategy as the CDC and
+connected-components property tests)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cda_client_spark.operators.dedup import line_dedup
+from cda_client_spark.operators.text import PII_RULES, ngram_contamination, pii_scrub
+
+# -- line_dedup ------------------------------------------------------------
+
+# small line alphabet so cross-document repetition actually happens
+line_texts = st.sampled_from(
+    ["alpha", "beta", "Gamma", "  alpha  ", "delta line", "", "epsilon"]
+)
+docs_strategy = st.lists(
+    st.lists(line_texts, min_size=1, max_size=5), min_size=1, max_size=12
+)
+
+
+def line_dedup_reference(docs: list[list[str]], min_doc_freq: int):
+    """Pure-Python line_dedup: same normalization and doc-frequency rule."""
+    from collections import defaultdict
+
+    norm_docs = defaultdict(set)
+    for i, lines in enumerate(docs):
+        for line in lines:
+            norm = line.strip().lower()
+            if norm:
+                norm_docs[norm].add(i)
+    boiler = {n for n, ids in norm_docs.items() if len(ids) >= min_doc_freq}
+    out = {}
+    for i, lines in enumerate(docs):
+        kept = [ln for ln in lines if ln.strip().lower() not in boiler]
+        out[i] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=docs_strategy, min_doc_freq=st.integers(min_value=1, max_value=5))
+def test_line_dedup_matches_reference(spark, docs, min_doc_freq):
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_lines_kept"])
+        for r in line_dedup(df, min_doc_freq=min_doc_freq).collect()
+    }
+    assert got == line_dedup_reference(docs, min_doc_freq)
+
+
+# -- pii_scrub -------------------------------------------------------------
+
+pii_snippets = st.sampled_from(
+    [
+        "x@y.io",
+        "first.last+tag@corp.example.com",
+        "123-45-6789",
+        "10.0.0.1",
+        "+1 (555) 123-4567",
+        "555 867 5309",
+        "plain words",
+        "v1.2",  # version-ish: not an IP (only two octets)
+    ]
+)
+texts_strategy = st.lists(pii_snippets, min_size=0, max_size=6).map(" and ".join)
+
+
+def pii_reference(text: str) -> tuple[str, dict[str, int]]:
+    """Pure-Python replay of the redaction chain with Python re (the
+    patterns avoid constructs where Java and Python semantics differ)."""
+    out = text
+    for _, pattern, token in PII_RULES:
+        out = re.sub(pattern, token, out)
+    counts = {kind: out.count(token) for kind, _, token in PII_RULES}
+    return out, counts
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(texts_strategy, min_size=1, max_size=6))
+def test_pii_scrub_matches_python_re(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    for i, t in enumerate(texts):
+        want_text, want_counts = pii_reference(t)
+        assert rows[i]["clean_text"] == want_text, (t, rows[i]["clean_text"], want_text)
+        for kind in ("email", "ssn", "ipv4", "phone"):
+            assert rows[i][f"n_{kind}"] == want_counts[kind], (t, kind)
+
+
+# -- ngram_contamination ---------------------------------------------------
+
+words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+doc_text = st.lists(words, min_size=1, max_size=12).map(" ".join)
+
+
+def contamination_reference(corpus: list[str], bench: list[str], n: int):
+    def grams(text: str) -> set[str]:
+        ws = text.lower().split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bg = set().union(*[grams(b) for b in bench]) if bench else set()
+    out = {}
+    for i, text in enumerate(corpus):
+        g = grams(text)
+        shared = len(g & bg)
+        if shared:
+            out[i] = (shared, len(g))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(doc_text, min_size=1, max_size=8),
+    bench=st.lists(doc_text, min_size=1, max_size=3),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_contamination_matches_reference(spark, corpus, bench, n):
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id int, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_shared"], r["n_grams"])
+        for r in ngram_contamination(cdf, bdf, n=n).collect()
+    }
+    assert got == contamination_reference(corpus, bench, n)
