@@ -7,6 +7,7 @@ from cda_client_spark.streaming.runner import run_streaming, stream_table_finger
 from cda_client_spark.streaming.windows import (
     session_window_counts,
     stateful_sessionize,
+    stream_interval_join,
     streaming_dedup,
     windowed_event_counts,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "stream_table_fingerprint",
     "session_window_counts",
     "stateful_sessionize",
+    "stream_interval_join",
     "streaming_dedup",
     "windowed_event_counts",
 ]

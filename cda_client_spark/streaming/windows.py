@@ -189,3 +189,44 @@ def stateful_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "1 hour",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left row with
+    right rows of the same ``key`` whose event time falls in
+    ``[left_ts + lower, left_ts + upper]`` (the streaming counterpart of
+    operators/joins.time_range_join).
+
+    Both sides get the same event-time watermark; together with the time
+    bound this lets Spark expire buffered state — an UNBOUNDED stream-stream
+    join is rejected by the planner, and rightly so: at scale the state
+    store holds only ``watermark + upper`` worth of rows per side, keyed
+    and co-partitioned by the join key (one shuffle each, then state-store
+    lookups per micro-batch).
+
+    The same expression works on batch frames (withWatermark is a no-op in
+    batch), which is how tests cross-check streaming vs batch results.
+    Outer variants (``join_type='leftOuter'`` etc.) emit unmatched rows
+    only once the watermark passes — correct, but adds end-of-stream
+    latency equal to the watermark delay.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lcol = f"l.{left_ts}"
+    rcol = f"r.{right_ts}"
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(rcol) >= F.expr(f"{lcol} + INTERVAL {lower}"))
+        & (F.col(rcol) <= F.expr(f"{lcol} + INTERVAL {upper}"))
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, join_type)

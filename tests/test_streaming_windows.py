@@ -187,3 +187,57 @@ def test_streaming_dedup_suppresses_duplicates_across_triggers(spark, tmp_path):
         for r in streaming_dedup(batch, ["user_id", "event_type"]).collect()
     }
     assert got == {(1, "click"), (4, "view")}
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def two_stream_dirs(spark, tmp_path):
+    clicks = [
+        (1, 100, ts(0)),
+        (1, 101, ts(30)),
+        (2, 102, ts(10)),
+        (3, 103, ts(50)),
+    ]
+    buys = [
+        (1, 900, ts(5)),    # joins click 100 (within 10m)
+        (1, 901, ts(35)),   # joins click 101
+        (2, 902, ts(40)),   # 30m after click 102 -> outside window
+        (3, 903, ts(49)),   # BEFORE click 103 -> outside [0, +10m]
+    ]
+    cpath, bpath = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    spark.createDataFrame(clicks, "user_id bigint, click_id bigint, ts timestamp").write.parquet(cpath)
+    spark.createDataFrame(buys, "user_id bigint, buy_id bigint, ts timestamp").write.parquet(bpath)
+    return cpath, bpath
+
+
+def test_stream_interval_join_equals_batch(spark, two_stream_dirs):
+    from cda_client_spark.streaming.windows import stream_interval_join
+
+    cpath, bpath = two_stream_dirs
+    cschema = "user_id bigint, click_id bigint, ts timestamp"
+    bschema = "user_id bigint, buy_id bigint, ts timestamp"
+
+    def pairs(df):
+        return {(r["click_id"], r["buy_id"]) for r in df.collect()}
+
+    batch = stream_interval_join(
+        spark.read.parquet(cpath),
+        spark.read.parquet(bpath),
+        key="user_id",
+        upper="10 minutes",
+    ).select(F.col("l.click_id"), F.col("r.buy_id"))
+    expected = pairs(batch)
+    assert expected == {(100, 900), (101, 901)}
+
+    stream = stream_interval_join(
+        spark.readStream.schema(cschema).parquet(cpath),
+        spark.readStream.schema(bschema).parquet(bpath),
+        key="user_id",
+        upper="10 minutes",
+    ).select(F.col("l.click_id"), F.col("r.buy_id"))
+    got = pairs(drain(stream, spark, "interval_join"))
+    assert got == expected
