@@ -1,2 +1,19 @@
 """Sources: multi-path parquet micro-batch scan (parquet.py) — one scan
-per (table, fingerprint) covering all planned timestamp folders."""
+per (table, fingerprint) covering all planned timestamp folders — and the
+multi-format (parquet/json/csv) variant (files.py)."""
+
+from cda_client_spark.sources.files import read_folders_any
+from cda_client_spark.sources.parquet import (
+    MicroBatch,
+    read_folders,
+    read_folders_union,
+    read_micro_batch,
+)
+
+__all__ = [
+    "MicroBatch",
+    "read_folders",
+    "read_folders_any",
+    "read_folders_union",
+    "read_micro_batch",
+]

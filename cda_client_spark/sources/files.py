@@ -1,0 +1,53 @@
+"""Multi-format micro-batch source (engine extension; the reference reads
+parquet only — TableReader.scala:425-433).
+
+Same single-scan contract as :mod:`cda_client_spark.sources.parquet`: all
+folder paths of one job go to ONE reader call so Catalyst sees one scan
+node with full pushdown, instead of an N-way union of per-folder plans.
+
+Format notes for scale:
+
+- ``parquet``: self-describing, splittable, column-pruned — the default.
+- ``json`` / ``csv``: schema inference requires an EXTRA full pass over
+  the data, so a schema (DDL string or StructType) is REQUIRED here —
+  at 100 TB an accidental inference scan is a silent 2x read. CSV with
+  multiline=false and JSON lines are splittable; compressed variants
+  (gzip) are not — one file becomes one task, so upstream writers should
+  emit many files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+SUPPORTED_FORMATS = ("parquet", "json", "csv")
+
+
+def read_folders_any(
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str = "parquet",
+    schema: str | StructType | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read N micro-batch folders of ``fmt`` as ONE scan.
+
+    ``schema`` is required for json/csv (no silent inference pass);
+    ``options`` pass through to the reader (e.g. ``{"header": "true"}``).
+    """
+    if not paths:
+        raise ValueError("read_folders_any requires at least one path")
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    if fmt in ("json", "csv") and schema is None:
+        raise ValueError(
+            f"{fmt} micro-batches require an explicit schema: inference would "
+            "add a full extra pass over the data"
+        )
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(paths)

@@ -94,3 +94,36 @@ def test_write_parquet_schema_yaml_over_uri(spark, tmp_path):
     entries = _yaml.safe_load((tmp_path / "uriout" / "_schema.yaml").read_text())
     assert [e["name"] for e in entries] == ["c1", "c2"]
     assert spark.read.parquet(uri).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Multi-format micro-batch source (sources/files.py)
+# ---------------------------------------------------------------------------
+
+
+def test_read_folders_any_formats(spark, tmp_path):
+    import pytest as _pytest
+
+    from cda_client_spark.sources.files import read_folders_any
+
+    rows = [(1, "a"), (2, "b")]
+    schema = "id bigint, v string"
+    df = spark.createDataFrame(rows, schema)
+    f1, f2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    for fmt in ("parquet", "json", "csv"):
+        p1, p2 = f"{f1}/{fmt}", f"{f2}/{fmt}"
+        df.write.format(fmt).save(p1)
+        df.write.format(fmt).save(p2)
+        kwargs = {} if fmt == "parquet" else {"schema": schema}
+        out = read_folders_any(spark, [p1, p2], fmt=fmt, **kwargs)
+        got = sorted((r["id"], r["v"]) for r in out.collect())
+        assert got == sorted(rows * 2), fmt
+        # one scan node, not an N-way union
+        assert "Union" not in out._jdf.queryExecution().executedPlan().toString()
+
+    with _pytest.raises(ValueError, match="explicit schema"):
+        read_folders_any(spark, [f"{f1}/json"], fmt="json")
+    with _pytest.raises(ValueError, match="unsupported format"):
+        read_folders_any(spark, [f1], fmt="avro")
+    with _pytest.raises(ValueError, match="at least one path"):
+        read_folders_any(spark, [], fmt="parquet")
