@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "doc_pii_scrub",
     "doc_contamination",
     "doc_line_dedup",
+    "doc_clean_corpus",
     "doc_training_corpus",
     "doc_dedup_clusters",
     "doc_pack_chunks",

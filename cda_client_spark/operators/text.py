@@ -287,14 +287,19 @@ def ngram_contamination(
         corpus.select(F.col(id_col), F.explode(ngrams(text_col, n)).alias("gram"))
         .distinct()
     )
-    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    shared = (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # totals and shared counts from ONE pass: a broadcast left join marks
+    # benchmark hits, a single aggregation counts both — consuming
+    # doc_grams twice would re-execute the whole upstream corpus lineage
+    marked = doc_grams.join(
+        F.broadcast(bench_grams.withColumn("bench_hit", F.lit(1))), "gram", "left"
     )
     return (
-        shared.join(totals, id_col)
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("bench_hit").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
         .select(
             id_col,
             "n_shared",

@@ -1036,6 +1036,106 @@ FROM tot t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation capstone, composing the round-4 operators:
+    boilerplate line removal → PII redaction → length filter →
+    benchmark decontamination (word-8-gram anti-join) → deterministic
+    split. Planted footers/PII/eval membership make every stage fire.
+
+    Scale: line frequency and the benchmark gram set are the only
+    aggregated side inputs (tiny, broadcast); everything else is scalar
+    projections and one anti-join — the corpus text shuffles once (line
+    reassembly) end to end.
+    """
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nsubscribe to our newsletter today")
+            ).otherwise(F.lit("")),
+            F.lit("\ndoc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" closing line"),
+        ).alias("text"),
+    )
+    delined = line_dedup(planted, min_doc_freq=10).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    scrubbed = pii_scrub(delined)
+    kept = (
+        scrubbed.select(
+            "doc_id",
+            F.col("clean_text"),
+            (F.col("n_email") + F.col("n_ssn") + F.col("n_ipv4") + F.col("n_phone")).alias(
+                "n_pii"
+            ),
+            F.size(F.split(F.trim(F.col("clean_text")), r"\s+")).alias("n_words"),
+        )
+        .filter(F.col("n_words").between(5, 5000))
+        # fan-out point: kept feeds both the output and the contamination
+        # gram explode — persist so the line-dedup/scrub chain executes
+        # once (at cluster scale this is where you'd checkpoint to storage)
+        .persist()
+    )
+    benchmark = base.filter(F.col("doc_id") % 37 == 0)
+    contaminated = ngram_contamination(
+        kept.select("doc_id", F.col("clean_text").alias("text")), benchmark, n=8
+    ).select("doc_id")
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    out = hash_split(clean.select("doc_id", "n_pii"), "doc_id", _SPLIT_WEIGHTS, seed="clean")
+    return out.select("doc_id", "n_pii", "split")
+
+
+DOC_CLEAN_CORPUS_SQL = f"""
+WITH planted AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter today'
+            ELSE '' END
+    || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' closing line' AS text
+  FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM planted),
+l0 AS (SELECT doc_id,
+         unnest(list_transform(range(1, len(arr) + 1),
+                               i -> {{'pos': i, 'line': arr[i]}})) AS pl
+       FROM ls),
+l AS (SELECT doc_id, pl.pos AS pos, pl.line AS line,
+             trim(lower(pl.line)) AS norm FROM l0),
+freq AS (SELECT norm FROM l WHERE len(norm) > 0
+         GROUP BY norm HAVING COUNT(DISTINCT doc_id) >= 10),
+delined AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM l WHERE norm NOT IN (SELECT norm FROM freq) GROUP BY doc_id),
+scrubbed AS (SELECT doc_id, {redact_pii_sql('text')} AS clean_text FROM delined),
+kept AS (
+  SELECT doc_id, clean_text,
+    {_pii_count_sql('<EMAIL>')} + {_pii_count_sql('<SSN>')}
+      + {_pii_count_sql('<IP>')} + {_pii_count_sql('<PHONE>')} AS n_pii,
+    len(regexp_split_to_array(trim(clean_text), '\\s+')) AS n_words
+  FROM scrubbed),
+filtered AS (SELECT doc_id, clean_text, n_pii FROM kept WHERE n_words BETWEEN 5 AND 5000),
+bw AS (SELECT regexp_split_to_array(lower(text), '\\s+') AS wds
+       FROM documents WHERE doc_id % 37 = 0),
+bg AS (SELECT DISTINCT unnest({_GRAM8_SQL}) AS gram FROM bw),
+cw AS (SELECT doc_id, regexp_split_to_array(lower(clean_text), '\\s+') AS wds FROM filtered),
+cg AS (SELECT DISTINCT doc_id, unnest({_GRAM8_SQL}) AS gram FROM cw),
+contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))
+SELECT f.doc_id, CAST(n_pii AS BIGINT) AS n_pii,
+       {{split_case}} AS split
+FROM filtered f
+WHERE f.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""".replace("{split_case}", split_case_sql("f.doc_id", _SPLIT_WEIGHTS, seed="clean"))
+
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -1071,6 +1171,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_train_val_split": doc_train_val_split,
     "doc_training_corpus": doc_training_corpus,
     "doc_neardedup_corpus": doc_neardedup_corpus,
+    "doc_clean_corpus": doc_clean_corpus,
     "doc_pack_chunks": doc_pack_chunks,
 }
 
@@ -1099,5 +1200,6 @@ ORACLE_LLM: dict[str, str] = {
     "doc_train_val_split": DOC_SPLIT_SQL,
     "doc_training_corpus": DOC_CORPUS_SQL,
     "doc_neardedup_corpus": DOC_NEARDEDUP_SQL,
+    "doc_clean_corpus": DOC_CLEAN_CORPUS_SQL,
     "doc_pack_chunks": DOC_PACK_SQL,
 }
