@@ -21,6 +21,12 @@ from cda_client_spark.operators.similarity import (
     ann_topk_ivf,
     embedding_near_dup_pairs,
 )
+from cda_client_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    token_budget_selection,
+    weighted_sample,
+)
 from cda_client_spark.operators.skew import salted_join
 from cda_client_spark.operators.text import (
     fingerprint,
@@ -50,6 +56,10 @@ __all__ = [
     "ann_topk",
     "ann_topk_ivf",
     "embedding_near_dup_pairs",
+    "hash_sample",
+    "hash_split",
+    "token_budget_selection",
+    "weighted_sample",
     "salted_join",
     "fingerprint",
     "language_id",

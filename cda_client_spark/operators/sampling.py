@@ -105,3 +105,84 @@ def stratified_hash_sample(
         else bound.otherwise(round(default_fraction * NUM_BUCKETS))
     )
     return df.filter(b < bound)
+
+
+def hash_u01(col: Column, seed: str = "ws") -> Column:
+    """Deterministic uniform in (0, 1]: (bucket + 1) / NUM_BUCKETS off the
+    md5 hash — strictly positive so it's safe under log/pow. Engine-portable
+    like ``hash_bucket``."""
+    return (hash_bucket(col, NUM_BUCKETS, seed) + 1).cast("double") / float(NUM_BUCKETS)
+
+
+def hash_u01_sql(id_expr: str, seed: str = "ws") -> str:
+    """DuckDB replay of ``hash_u01``."""
+    return (
+        f"CAST((('0x' || substr(md5('{seed}:' || CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {NUM_BUCKETS}) + 1 AS DOUBLE) / {float(NUM_BUCKETS)}"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "ws",
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of ``k`` rows:
+    Efraimidis-Spirakis A-ES — key = u^(1/w) with u deterministic per id,
+    take the k largest keys. Inclusion probability is proportional to
+    ``weight_col`` (must be > 0; rows with non-positive weight are
+    excluded).
+
+    Scale: one scalar key expression per row and ONE distributed top-k
+    (TakeOrderedAndProject — per-partition heaps, no global sort, no
+    shuffle of the data). Deterministic across runs/partitionings/engines,
+    so a sampled corpus is reproducible from the seed alone.
+    """
+    key = F.pow(hash_u01(F.col(id_col), seed), 1.0 / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def token_budget_selection(
+    df: DataFrame,
+    token_col: str,
+    quality_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    bucket_decimals: int = 3,
+) -> DataFrame:
+    """Select the highest-quality documents whose total token count fits a
+    budget — the corpus-assembly step after scoring ("give me the best
+    ~1B tokens").
+
+    Scale-correct selection WITHOUT a global ordered cumsum (which would
+    serialize the corpus through one partition): quality is bucketed to
+    ``bucket_decimals`` decimals, token totals are aggregated per bucket
+    (partial-combinable, one small shuffle), the cumulative sum runs over
+    the TINY bucket frame, and qualifying buckets are broadcast back as a
+    semi-join. Whole buckets are included while their cumulative total
+    stays within budget — a deterministic, engine-replayable rule (the
+    boundary bucket that would overflow is excluded)."""
+    from pyspark.sql.window import Window
+
+    qb = F.round(F.col(quality_col), bucket_decimals)
+    per_bucket = (
+        df.select(qb.alias("qb"), F.col(token_col))
+        .groupBy("qb")
+        .agg(F.sum(token_col).cast("bigint").alias("bucket_tokens"))
+    )
+    w = Window.orderBy(F.desc("qb")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chosen = (
+        per_bucket.withColumn("cum_tokens", F.sum("bucket_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("qb")
+    )
+    return df.join(
+        F.broadcast(chosen), qb == F.col("qb"), "left_semi"
+    )

@@ -44,7 +44,13 @@ from cda_client_spark.operators.similarity import (
     norm_sql,
 )
 from cda_client_spark.operators.multimodal import byte_histogram_features, media_stats
-from cda_client_spark.operators.sampling import hash_split, split_case_sql
+from cda_client_spark.operators.sampling import (
+    hash_split,
+    hash_u01_sql,
+    split_case_sql,
+    token_budget_selection,
+    weighted_sample,
+)
 from cda_client_spark.operators.text import (
     STOPWORDS,
     TOKEN_REGEX,
@@ -1136,6 +1142,52 @@ WHERE f.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """.replace("{split_case}", split_case_sql("f.doc_id", _SPLIT_WEIGHTS, seed="clean"))
 
 
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample without replacement (Efraimidis-Spirakis,
+    md5-deterministic u): longer documents are proportionally likelier.
+    One scalar key per row + one distributed top-k."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("w")
+    )
+    out = weighted_sample(d, "w", 50, "doc_id", seed="ws")
+    return out.select("doc_id", F.round("sample_key", 6).alias("sample_key"))
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, round(sample_key, 6) AS sample_key FROM (
+  SELECT doc_id,
+         pow({hash_u01_sql('doc_id', 'ws')}, 1.0 / CAST(length(text) AS DOUBLE))
+           AS sample_key
+  FROM documents WHERE length(text) > 0
+  ORDER BY sample_key DESC, doc_id LIMIT 50)
+"""
+
+_TOKEN_BUDGET = 15000
+
+
+def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: highest-quality documents whose
+    total tokens fit the budget, via the bucketed (shuffle-light)
+    selection — no global ordered cumsum over the corpus."""
+    scored = quality_score(t(spark, sf_dir, "documents"), "text")
+    sel = token_budget_selection(scored, "n_tokens", "quality_score", _TOKEN_BUDGET)
+    return sel.select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+DOC_TOKEN_BUDGET_SQL = f"""
+WITH q AS ({{quality}}),
+pb AS (SELECT round(quality_score, 3) AS qb, CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+       FROM q GROUP BY 1),
+ch AS (SELECT qb FROM (
+         SELECT qb, SUM(bucket_tokens) OVER (
+           ORDER BY qb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM pb)
+       WHERE cum <= {_TOKEN_BUDGET})
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM q JOIN ch ON round(q.quality_score, 3) = ch.qb
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -1172,6 +1224,8 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_training_corpus": doc_training_corpus,
     "doc_neardedup_corpus": doc_neardedup_corpus,
     "doc_clean_corpus": doc_clean_corpus,
+    "doc_weighted_sample": doc_weighted_sample,
+    "doc_token_budget": doc_token_budget,
     "doc_pack_chunks": doc_pack_chunks,
 }
 
@@ -1201,5 +1255,7 @@ ORACLE_LLM: dict[str, str] = {
     "doc_training_corpus": DOC_CORPUS_SQL,
     "doc_neardedup_corpus": DOC_NEARDEDUP_SQL,
     "doc_clean_corpus": DOC_CLEAN_CORPUS_SQL,
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
+    "doc_token_budget": DOC_TOKEN_BUDGET_SQL.replace("{quality}", DOC_QUALITY_SQL),
     "doc_pack_chunks": DOC_PACK_SQL,
 }

@@ -68,3 +68,57 @@ def test_stratified_hash_sample(spark, sf_dir):
     assert keep_none not in got
     for lang in langs[2:]:
         assert 0 < got.get(lang, 0) < orig[lang]
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling / token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from cda_client_spark.operators.sampling import weighted_sample
+
+    # 100 light rows (w=1) + 10 heavy rows (w=50)
+    rows = [(i, 1.0) for i in range(100)] + [(1000 + i, 50.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    s1 = {r["id"] for r in weighted_sample(df, "w", 20, "id").collect()}
+    s2 = {r["id"] for r in weighted_sample(df, "w", 20, "id").collect()}
+    assert s1 == s2 and len(s1) == 20  # deterministic
+    heavy = {i for i in s1 if i >= 1000}
+    # heavy rows are 10/110 of the rows but ~83% of the weight; expect most
+    # of them sampled (deterministic given the seed, asserted loosely)
+    assert len(heavy) >= 6
+    # a different seed gives a different (but still deterministic) sample
+    s3 = {r["id"] for r in weighted_sample(df, "w", 20, "id", seed="other").collect()}
+    assert s3 != s1
+    # non-positive weights are excluded
+    df2 = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 2.0)], "id bigint, w double")
+    assert {r["id"] for r in weighted_sample(df2, "w", 3, "id").collect()} == {3}
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    from cda_client_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    a = {r["id"] for r in weighted_sample(df, "w", 25, "id").collect()}
+    b = {r["id"] for r in weighted_sample(df.repartition(13), "w", 25, "id").collect()}
+    assert a == b
+
+
+def test_token_budget_selection(spark):
+    from cda_client_spark.operators.sampling import token_budget_selection
+
+    # quality descending 0.9, 0.8, ... with 100 tokens per doc
+    rows = [(i, 100, 0.9 - i * 0.1) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint, q double")
+    got = {r["doc_id"] for r in token_budget_selection(df, "n_tokens", "q", 300).collect()}
+    assert got == {0, 1, 2}  # top three quality buckets fill the 300 budget
+    # budget smaller than the best bucket -> empty selection (whole-bucket rule)
+    assert token_budget_selection(df, "n_tokens", "q", 99).count() == 0
+    # docs sharing a bucket are all-in or all-out
+    rows2 = [(1, 100, 0.9), (2, 100, 0.9), (3, 100, 0.5)]
+    df2 = spark.createDataFrame(rows2, "doc_id bigint, n_tokens bigint, q double")
+    assert {
+        r["doc_id"] for r in token_budget_selection(df2, "n_tokens", "q", 200).collect()
+    } == {1, 2}
