@@ -25,9 +25,12 @@ semi-join on a grouped-having (Q18), OR-of-ANDs pushdown (Q19),
 nested semi-join chain (Q20), exists/not-exists per-order (Q21),
 anti-join + scalar subquery (Q22).
 
-Scale notes: every dimension that is genuinely small (region, nation,
-supplier, the scalar aggregates) is broadcast; fact-fact joins shuffle on
-their keys and AQE handles the rest; all money arithmetic is
+Scale notes: only frames that are small BY CONSTRUCTION carry an explicit
+``broadcast()`` hint — region/nation (fixed cardinality) and 1-row scalar
+aggregates. Everything that scales with the data (part, supplier,
+customer, per-order/per-part aggregates) is a plain equi-join: AQE
+broadcasts it at small SFs and shuffle-joins it at cluster scale, which
+an explicit hint would dangerously override. All money arithmetic is
 decimal-summed then rounded per the cross-engine determinism rules.
 """
 
@@ -69,9 +72,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum observed unit price (MIN(l_extendedprice) per part/supplier
     stands in for ps_supplycost).
 
-    Scale: the part filter prunes the probe side; supplier⋈nation⋈region is
-    broadcast (tiny dims); the correlated min is one grouped aggregation on
-    l_partkey reused via an equi-join — no per-row subquery execution.
+    Scale: the part filter prunes the probe side; nation⋈region broadcasts
+    (fixed-size dims) and AQE sizes the supplier join; the correlated min
+    is one grouped aggregation on l_partkey reused via an equi-join — no
+    per-row subquery execution.
     """
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
@@ -93,7 +97,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("supply_cost"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     min_cost = costs.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
     return (
@@ -137,7 +141,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one pass over the filtered fact join; the share is a conditional
     decimal sum over the same rows as the total — one aggregation, no
-    second scan. All dims broadcast.
+    second scan. Nation/region broadcast (fixed); part/supplier/customer
+    joins are AQE-sized (they scale with the data).
     """
     n_cust = (
         _t(spark, sf_dir, "nation")
@@ -167,10 +172,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             _disc_price().alias("volume"),
@@ -221,8 +226,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit (discounted revenue; no ps_supplycost in this schema) on
     'red' parts, grouped by supplier nation and order year.
 
-    Scale: part filter prunes first; supplier⋈nation broadcast; one
-    shuffle each for the two fact joins, one for the final group-by.
+    Scale: part filter prunes first; nation broadcasts into supplier; the
+    fact joins shuffle on their keys (AQE-sized), one more shuffle for the
+    final group-by.
     """
     part = (
         _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
@@ -238,8 +244,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     return (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
         .agg(_dsum(_disc_price()).alias("sum_profit"))
@@ -285,7 +291,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(_dsum(F.col("l_extendedprice")).alias("value"))
     )
@@ -406,8 +412,9 @@ ORDER BY custdist DESC, c_count DESC
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROMO-type share of September-1997 discounted revenue.
 
-    Scale: shipdate filter pushes down; part join broadcasts; single
-    global aggregate (one partial-combine reduce).
+    Scale: shipdate filter pushes down; the part join is AQE-sized (part
+    scales with the data); single global aggregate (one partial-combine
+    reduce).
     """
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     l = _t(spark, sf_dir, "lineitem").filter(
@@ -416,7 +423,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(F.lit(100.0) * _dsum(promo) / _dsum(_disc_price()), 6).alias("promo_revenue")
         )
@@ -443,9 +450,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-0
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) with maximum Q1-1997 revenue.
 
-    Scale: revenue aggregated once (100 suppliers → tiny frame); the max
-    is a broadcast single-row cross join against it; ties all surface
-    (same as the spec's view formulation).
+    Scale: revenue aggregates to one row per supplier; the max is a
+    broadcast single-row cross join against it; ties all surface (same as
+    the spec's view formulation). The supplier name join is AQE-sized.
     """
     rev = (
         _t(spark, sf_dir, "lineitem")
@@ -461,7 +468,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(
-            F.broadcast(_t(spark, sf_dir, "supplier")),
+            _t(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
@@ -503,7 +510,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
     return (
-        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -531,21 +538,22 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average yearly revenue lost if Brand#3 orders below 20% of the
     part's average quantity were not filled.
 
-    Scale: the correlated AVG is one grouped aggregation joined back —
-    lineitem is scanned twice but the avg frame is partkey-sized and
+    Scale: the correlated AVG is one grouped aggregation joined back on
+    partkey — lineitem is scanned twice, and the avg frame (partkey-sized,
+    scales with data) co-shuffles with the probe side rather than being
     broadcast. The average itself is decimal-sum/count so the 0.2*avg
     comparison boundary is bit-identical on both engines.
     """
     l = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     avg_qty = (
-        l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_partkey").alias("a_partkey"))
         .agg(_davg(F.col("l_quantity")).alias("avg_qty"))
     )
     return (
-        l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        l.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(
@@ -575,7 +583,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers whose orders total more than 150 units.
 
     Scale: the HAVING aggregation shuffles lineitem once on orderkey; the
-    qualifying-key set is small and broadcast into the enrichment joins.
+    qualifying-key set shrinks with the threshold but scales with orders,
+    so the enrichment joins stay AQE-sized equi-joins.
     """
     big = (
         _t(spark, sf_dir, "lineitem")
@@ -586,7 +595,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -622,7 +631,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     l = _t(spark, sf_dir, "lineitem")
-    joined = l.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = l.join(part, F.col("l_partkey") == F.col("p_partkey"))
     band1 = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 5)
@@ -661,8 +670,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     1997 quantity (availqty-vs-half-shipped becomes dominant-share).
 
     Scale: the part filter prunes before any aggregation; per-(part,supp)
-    and per-part sums reuse one filtered frame; the final step is a
-    semi-join into the 100-row supplier dim.
+    and per-part sums reuse one filtered frame and join on partkey
+    (co-partitioned); the final step is a semi-join into the supplier dim.
     """
     part = (
         _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
@@ -673,7 +682,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
     )
     per_pair = l97.groupBy("l_partkey", "l_suppkey").agg(
         _dsum(F.col("l_quantity")).alias("supp_qty")
@@ -682,7 +691,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum(F.col("l_quantity")).alias("total_qty")
     )
     dominant = (
-        per_pair.join(F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey"))
+        per_pair.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("supp_qty") > F.col("total_qty") * 0.3)
         .select("l_suppkey")
         .distinct()
@@ -737,7 +746,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: exists/not-exists collapse to one per-order aggregation
     (distinct supplier count, distinct late-supplier count) joined back to
-    the late lines — two shuffles on orderkey, no correlated re-scans.
+    the late lines on orderkey — co-partitioned shuffles, never a
+    broadcast (per-order frames scale with the data), no correlated
+    re-scans.
     """
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = (
@@ -757,14 +768,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     waiting = (
         l.filter(F.col("is_late"))
-        .join(F.broadcast(per_order), F.col("l_orderkey") == F.col("g_orderkey"))
+        .join(per_order, F.col("l_orderkey") == F.col("g_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
     return (
         waiting.join(
-            F.broadcast(_t(spark, sf_dir, "supplier")),
+            _t(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
