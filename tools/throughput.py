@@ -1,0 +1,173 @@
+"""End-to-end pipeline throughput (the honest BASELINE comparable).
+
+The reference's only published numbers are JDBC-ingest-bound (~102k rows/s
+into Aurora on 5x2 executor cores — BASELINE.md). The container has no
+RDBMS, so this measures the engine's own end-to-end FILE pipeline on a
+synthetic CDC tree: manifest scan → incremental folder planning →
+multi-folder parquet scan → internal-column management → (raw copy |
+sequence-ordered CDC merge) → parquet sink, through the real
+``pipeline.run`` entry point.
+
+Writes the result table into SCALE.md between the throughput markers.
+
+Usage: python tools/throughput.py [total_rows] (default 2,000,000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cda_client_spark.config import from_dict
+from cda_client_spark.pipeline import run
+from cda_client_spark.session import get_spark
+
+BATCHES = 8
+
+
+def seqval_hex(n: int) -> str:
+    return format(n, "016X")
+
+
+def build_tree(root: Path, total_rows: int) -> None:
+    """One table, one fingerprint, BATCHES timestamp folders: first folder
+    is the initial load (op=0), later folders mix inserts/updates/deletes
+    over a growing id space — the reference's incremental shape."""
+    rng = np.random.default_rng(42)
+    per_batch = total_rows // BATCHES
+    table_dir = root / "t_throughput" / "fp1"
+    next_id, seq = 0, 0
+    for b in range(BATCHES):
+        ts = 1000 * (b + 1)
+        if b == 0:
+            ids = np.arange(per_batch)
+            ops = np.zeros(per_batch, dtype=np.int32)
+            next_id = per_batch
+        else:
+            n_ins = per_batch // 2
+            n_upd = per_batch - n_ins
+            ins = np.arange(next_id, next_id + n_ins)
+            upd = rng.integers(0, next_id, n_upd)
+            next_id += n_ins
+            ids = np.concatenate([ins, upd])
+            ops = np.concatenate(
+                [np.full(n_ins, 2, np.int32), np.full(n_upd, 4, np.int32)]
+            )
+        seqs = np.arange(seq, seq + len(ids))
+        seq += len(ids)
+        tbl = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "gwcbi___seqval_hex": pa.array([seqval_hex(int(s)) for s in seqs]),
+                "gwcbi___operation": pa.array(ops, pa.int32()),
+                "gwcbi___junk": pa.array(np.full(len(ids), "x")),
+                "v": pa.array(rng.random(len(ids))),
+                "w": pa.array(rng.integers(0, 1000, len(ids)), pa.int64()),
+                "note": pa.array([f"row{int(i)}" for i in ids]),
+            }
+        )
+        d = table_dir / str(ts)
+        d.mkdir(parents=True, exist_ok=True)
+        # several files per folder so the scan parallelizes like S3 output
+        rows_per_file = max(1, len(ids) // 4)
+        for f in range(4):
+            lo, hi = f * rows_per_file, min((f + 1) * rows_per_file, len(ids))
+            if lo < hi:
+                pq.write_table(tbl.slice(lo, hi - lo), d / f"part-{f:05d}.parquet")
+    (root / "manifest.json").write_text(
+        json.dumps(
+            {
+                "t_throughput": {
+                    "lastSuccessfulWriteTimestamp": str(1000 * BATCHES),
+                    "totalProcessedRecordsCount": total_rows,
+                    "dataFilesPath": str(root / "t_throughput"),
+                    "schemaHistory": {"fp1": "0"},
+                }
+            }
+        )
+    )
+
+
+def one_run(spark, root: Path, out: Path, mode: str, total_rows: int) -> float:
+    cfg = from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / f"sp_{mode}"),
+            "outputSettings": {
+                "exportTarget": "file",
+                "saveIntoFileType": "parquet",
+                "saveMode": mode,
+                "fileSettings": {"path": str(out / f"files_{mode}")},
+            },
+        }
+    )
+    start = time.perf_counter()
+    report = run(spark, cfg)
+    elapsed = time.perf_counter() - start
+    assert report.ok, report
+    return elapsed
+
+
+def main() -> None:
+    total_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    work = Path(tempfile.mkdtemp(prefix="throughput_"))
+    try:
+        root = work / "src"
+        root.mkdir()
+        build_tree(root, total_rows)
+        # local mode hosts all executors in the driver JVM; the 1g default
+        # heap caps out near 4M rows, so size it to the measurement
+        spark = get_spark(
+            app_name="cda-throughput", conf={"spark.driver.memory": "16g"}
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        lines = [
+            "## Measured end-to-end pipeline throughput (local[32])",
+            "",
+            "Synthetic CDC tree (1 table, 8 timestamp folders, 4 files each;",
+            f"{total_rows:,} change rows), full `pipeline.run`: manifest scan →",
+            "planning → scan → column management → sink. The reference's only",
+            "published number is 102k rows/s JDBC-ingest-bound (BASELINE.md);",
+            "these are the engine's file-path numbers on one node.",
+            "",
+            "| mode | wall s | rows/s |",
+            "|---|---|---|",
+        ]
+        for mode in ("raw", "merged"):
+            elapsed = one_run(spark, root, work / "out", mode, total_rows)
+            lines.append(
+                f"| {mode} | {elapsed:.1f} | {total_rows / elapsed:,.0f} |"
+            )
+            print(lines[-1])
+        spark.stop()
+        block = "\n".join(lines)
+        scale = Path(__file__).resolve().parent.parent / "SCALE.md"
+        text = scale.read_text()
+        begin, end = "<!-- throughput:begin -->", "<!-- throughput:end -->"
+        repl = f"{begin}\n\n{block}\n\n{end}"
+        if begin in text:
+            text = re.sub(
+                re.escape(begin) + ".*?" + re.escape(end), repl, text, flags=re.S
+            )
+        else:
+            text = text.rstrip() + "\n\n" + repl + "\n"
+        scale.write_text(text)
+        print("SCALE.md updated")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
