@@ -66,6 +66,9 @@ class FileSettings:
     # engine extension (the reference's saveMode is JDBC-only): file targets
     # can materialize the raw change log, a merged snapshot, or both
     save_mode: str = "raw"
+    # engine extension: hive-style partitioned output (parquet only) — the
+    # layout that gives Catalyst partition pruning on the written data
+    partition_by: tuple[str, ...] = ()
 
 
 @dataclass
@@ -145,6 +148,15 @@ class ClientConfig:
                     f"fileSettings.saveMode must be one of {sorted(VALID_SAVE_MODES)},"
                     f" got {out.file_settings.save_mode!r}"
                 )
+            if out.file_settings.partition_by:
+                if out.save_into_file_type != "parquet":
+                    raise ConfigError(
+                        "fileSettings.partitionBy is parquet-only"
+                    )
+                if out.file_settings.save_as_single_file:
+                    raise ConfigError(
+                        "fileSettings.partitionBy conflicts with saveAsSingleFile"
+                    )
         else:
             j = out.jdbc_settings
             if not j.url:
@@ -225,6 +237,10 @@ def from_dict(raw: dict[str, Any]) -> ClientConfig:
                 ),
                 save_mode=_get(
                     raw, "outputSettings", "fileSettings", "saveMode", default="raw"
+                ),
+                partition_by=tuple(
+                    _get(raw, "outputSettings", "fileSettings", "partitionBy", default=[])
+                    or []
                 ),
             ),
             jdbc_settings=_jdbc_from(_get(raw, "outputSettings", "jdbcSettings", default={}) or {}),

@@ -34,6 +34,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cda_client_spark.config import ClientConfig, ConfigError
 from cda_client_spark.metadata.manifest import filter_tables, read_manifest
@@ -47,6 +48,7 @@ from cda_client_spark.sinks.files import (
     replace_dir,
     write_csv,
     write_parquet,
+    write_parquet_partitioned,
 )
 from cda_client_spark.sources.parquet import read_micro_batch
 
@@ -100,21 +102,38 @@ def snapshot_exists(spark: SparkSession, path: str) -> bool:
 
 
 def apply_batch_to_snapshot(
-    spark: SparkSession, df: DataFrame, path: str, single_file: bool = False
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Anchor a CDC batch against the previous merged snapshot at ``path``
     (if any), write the new state to staging, swap it in. Returns the
     snapshot row count. Shared by the batch runner and the streaming
     runner's foreachBatch (streaming/runner.py). A genuine read error on an
     EXISTING snapshot propagates — the job fails and the savepoint/
-    checkpoint is not advanced (at-least-once replay repairs it)."""
+    checkpoint is not advanced (at-least-once replay repairs it).
+
+    With ``partition_cols`` the snapshot is hive-partitioned; read-back
+    partition values are cast to the batch's column types (partition-dir
+    parsing re-infers them, which would otherwise break the union by name).
+    """
     prev: DataFrame | None = spark.read.parquet(path) if snapshot_exists(spark, path) else None
+    if prev is not None and partition_cols:
+        batch_types = {f.name: f.dataType for f in df.schema.fields}
+        for c in partition_cols:
+            if c in prev.columns and c in batch_types:
+                prev = prev.withColumn(c, F.col(c).cast(batch_types[c]))
     merged = merge_cdc(df) if prev is None else apply_cdc(prev, df)
     merged = merged.persist()
     try:
         n = merged.count()
         staging = f"{path}.staging"
-        write_parquet(merged, staging, single_file=single_file)
+        if partition_cols:
+            write_parquet_partitioned(merged, staging, partition_cols)
+        else:
+            write_parquet(merged, staging, single_file=single_file)
         replace_dir(staging, path)
     finally:
         merged.unpersist()
@@ -126,7 +145,11 @@ def _write_merged_file_snapshot(
 ) -> int:
     path = merged_snapshot_path(cfg.output.file_settings.path, job.table, job.fingerprint)
     return apply_batch_to_snapshot(
-        spark, df, path, single_file=cfg.output.file_settings.save_as_single_file
+        spark,
+        df,
+        path,
+        single_file=cfg.output.file_settings.save_as_single_file,
+        partition_cols=list(cfg.output.file_settings.partition_by) or None,
     )
 
 
@@ -247,6 +270,8 @@ def run_job(
                         header=fs.include_column_names,
                         single_file=fs.save_as_single_file,
                     )
+                elif fs.partition_by:
+                    write_parquet_partitioned(df, path, list(fs.partition_by))
                 else:
                     write_parquet(df, path, single_file=fs.save_as_single_file)
             if mode in ("merged", "rawandmerged"):

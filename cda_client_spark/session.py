@@ -34,6 +34,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # rejects unless read as long (queries.t rebuilds a micros timestamp)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "32",
+    # local mode hosts every executor thread in the driver JVM; Spark's 1g
+    # default heap GC-thrashes 32 threads on a large box (the round-2 bench
+    # drift postmortem). Applied at JVM launch only — a cluster submit's
+    # explicit --driver-memory/--executor-memory overrides this.
+    "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Djava.security.manager=allow",
     "spark.executor.extraJavaOptions": "-Djava.security.manager=allow",

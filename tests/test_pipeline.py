@@ -5,7 +5,7 @@ import json
 from cda_client_spark.config import from_dict
 from cda_client_spark.metadata.savepoints import SavepointsStore
 from cda_client_spark.pipeline import run
-from tests.cdc_fixture import build_basic_tree, seqval_hex
+from tests.cdc_fixture import build_basic_tree, cdc_batch, seqval_hex, write_folder
 
 
 def make_cfg(root, out, kind="parquet"):
@@ -297,3 +297,85 @@ def test_snapshot_swap_recovers_from_stale_staging_and_old_dirs(spark, tmp_path)
     )
     assert apply_batch_to_snapshot(spark, df2, snap) == 2
     assert {r["id"] for r in spark.read.parquet(snap).collect()} == {1, 2}
+
+
+def test_partitioned_file_output_raw_and_merged(spark, tmp_path):
+    """partitionBy in fileSettings: raw output is hive-partitioned, and the
+    merged snapshot survives incremental application across runs (partition
+    values round-trip through the dir-encoded read with correct types)."""
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "file",
+                "saveIntoFileType": "parquet",
+                "fileSettings": {
+                    "path": str(out / "files"),
+                    "saveMode": "rawandmerged",
+                    "partitionBy": ["typecode"],
+                },
+            },
+        }
+    )
+    report = run(spark, cfg)
+    assert report.ok
+
+    raw_dir = out / "files" / "tsimple" / "fpA" / "3000"
+    assert any(p.name.startswith("typecode=") for p in raw_dir.iterdir())
+    raw = spark.read.parquet(str(raw_dir))
+    assert raw.count() == 5 and "typecode" in raw.columns
+
+    merged_dir = out / "files" / "tsimple" / "fpA" / "merged"
+    assert any(p.name.startswith("typecode=") for p in merged_dir.iterdir())
+    snap1 = spark.read.parquet(str(merged_dir))
+    ids1 = {r["id"] for r in snap1.collect()}
+
+    # a later batch updates id=1 and inserts id=9; snapshot must apply it
+    write_folder(
+        root,
+        "tsimple",
+        "fpA",
+        5000,
+        cdc_batch(
+            [
+                {"id": 1, "op": 4, "seq": 60, "v": 9.5},
+                {"id": 9, "op": 2, "seq": 61, "v": 1.0},
+            ]
+        ),
+    )
+    manifest = json.loads((root / "manifest.json").read_text())
+    manifest["tsimple"]["lastSuccessfulWriteTimestamp"] = "5000"
+    (root / "manifest.json").write_text(json.dumps(manifest))
+
+    report2 = run(spark, cfg)
+    assert report2.ok
+    snap2 = {r["id"]: r for r in spark.read.parquet(str(merged_dir)).collect()}
+    assert set(snap2) == ids1 | {9}
+    assert snap2[1]["v"] == 9.5
+
+
+def test_partition_by_config_validation(tmp_path):
+    import pytest as _pytest
+
+    from cda_client_spark.config import ConfigError
+
+    base = {
+        "sourceLocation": {"path": "/x"},
+        "savepointsLocation": "/sp",
+        "outputSettings": {
+            "exportTarget": "file",
+            "saveIntoFileType": "csv",
+            "fileSettings": {"path": "/o", "partitionBy": ["c"]},
+        },
+    }
+    with _pytest.raises(ConfigError, match="parquet-only"):
+        from_dict(base)
+    base["outputSettings"]["saveIntoFileType"] = "parquet"
+    base["outputSettings"]["fileSettings"]["saveAsSingleFile"] = True
+    with _pytest.raises(ConfigError, match="saveAsSingleFile"):
+        from_dict(base)
