@@ -1,0 +1,73 @@
+"""Physical-plan invariants over the WHOLE query catalog, enforced as
+tests (the committed PLAN_AUDIT.md is the human-readable report; this is
+the regression gate). Planning only — no job execution — so the sweep
+stays cheap.
+
+Invariants:
+- No CartesianProduct anywhere.
+- BroadcastNestedLoopJoin only in the documented by-design queries
+  (1-row scalar crossJoins, the brute-force ANN baseline).
+- No row-at-a-time Python (BatchEvalPython / PythonUDF) in any plan;
+  Arrow ops (MapInPandas / FlatMapGroupsInPandas) only in the documented
+  multimodal/stateful paths.
+- Spot checks: filter pushdown reaches the scan, top-k compiles to
+  TakeOrderedAndProject (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cda_client_spark.queries import SPARK
+
+# queries whose CONSTRUCTION executes Spark jobs (iterative connected
+# components, gates that train/evaluate) — excluded from the cheap sweep;
+# their plans are covered by tools/plan_audit.py and their own tests
+EAGER = {"doc_dedup_clusters", "doc_neardedup_corpus"}
+
+BNLJ_OK = {
+    "ann_topk_bruteforce",
+    "ann_ivf_recall",
+    "minhash_fast_recall",
+    "media_histogram_gate",
+    "doc_tfidf_top_terms",
+    "doc_quality_percentile_filter",
+    "doc_jaccard_allpairs_sample",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "doc_clean_corpus",
+}
+
+ARROW_OK = {"media_histogram_gate"}
+
+
+def plan_of(spark, sf_dir, name):
+    df = SPARK[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(set(SPARK) - EAGER))
+def test_no_plan_red_flags(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_OK, f"{name}: unexpected BroadcastNestedLoopJoin"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if "InPandas" in plan:
+        assert name in ARROW_OK, f"{name}: unexpected Pandas/Arrow operator"
+
+
+def test_pushdown_reaches_scan(spark, sf_dir):
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "q19_discounted_revenue"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
+            "PushedFilters:"
+        )[1][:4], f"{name}: no pushed filters on the scan"
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    for name in ("q3_shipping_priority", "top_customers", "q18_large_volume_customers"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k fell back to global sort"
