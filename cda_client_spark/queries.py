@@ -1059,6 +1059,132 @@ FROM orders WHERE o_custkey % 50 = 0
 """
 
 
+def window_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth on one frame: ntile, percent_rank,
+    cume_dist, first/last value over an unbounded frame, lead.
+
+    Scale: one shuffle on the partition key; all six functions share the
+    same window sort (single Window physical operator)."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.lead("o_orderkey", 1).over(w).alias("next_order"),
+    )
+
+
+WINDOW_STATS_SQL = """
+SELECT o_custkey, o_orderkey,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume,
+  FIRST_VALUE(o_totalprice) OVER wf AS first_price,
+  LAST_VALUE(o_totalprice) OVER wf AS last_price,
+  LEAD(o_orderkey, 1) OVER w AS next_order
+FROM orders WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def scalar_zoo_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth on one projection: string (case transform,
+    translate, levenshtein, lpad, reverse, strpos), datetime (quarter,
+    last_day, interval add), array (sort, contains, join), conditional
+    (nullif, greatest/least), hash (md5, sha2-256), bit shifts — every
+    expression chosen to be portable to the DuckDB oracle.
+
+    Scale: pure narrow projection — codegen'd scalars, no shuffle."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.concat(F.upper(F.substring("p_name", 1, 1)), F.substring(F.col("p_name"), 2, 1000)).alias("name_title"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels"),
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).alias("lev_red"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_pad"),
+        F.reverse(F.col("p_type")).alias("type_rev"),
+        F.instr(F.col("p_name"), "e").cast("bigint").alias("first_e"),
+        F.array_join(F.array_sort(words), "|").alias("words_sorted"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.nullif(F.col("p_size"), F.lit(25)).alias("size_nn"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_hi"),
+        F.least(F.col("p_retailprice"), F.lit(1000.0)).alias("price_lo"),
+        F.md5(F.col("p_name")).alias("name_md5"),
+        F.sha2(F.col("p_name"), 256).alias("name_sha"),
+        F.shiftleft(F.col("p_size"), 2).alias("size_x4"),
+    )
+
+
+SCALAR_ZOO_SQL = """
+SELECT p_partkey,
+  upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS name_title,
+  translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+  CAST(levenshtein(p_name, 'red widget') AS INTEGER) AS lev_red,
+  lpad(p_brand, 12, '*') AS brand_pad,
+  reverse(p_type) AS type_rev,
+  CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS words_sorted,
+  list_contains(string_split(p_name, ' '), 'red') AS has_red,
+  nullif(p_size, 25) AS size_nn,
+  greatest(p_size, 10) AS size_hi,
+  least(p_retailprice, 1000.0) AS price_lo,
+  md5(p_name) AS name_md5,
+  sha256(p_name) AS name_sha,
+  p_size << 2 AS size_x4
+FROM part WHERE p_partkey % 50 = 0
+"""
+
+
+def order_date_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function breadth: quarter, week-of-year-independent facets
+    (year/month/day), last day of month, interval arithmetic, datediff —
+    grouped to a per-facet count so the result is small and stable."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.dayofmonth(F.last_day(F.col("o_orderdate"))).alias("month_len"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due"),
+            F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+        )
+        .groupBy("y", "q", "month_len")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("due").alias("max_due"),
+            F.min("age_days").cast("bigint").alias("min_age"),
+        )
+        .orderBy("y", "q", "month_len")
+    )
+
+
+ORDER_DATE_FACETS_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS y,
+       EXTRACT(quarter FROM o_orderdate) AS q,
+       EXTRACT(day FROM last_day(o_orderdate)) AS month_len,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(o_orderdate + INTERVAL 30 DAY) AS max_due,
+       CAST(MIN(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01')) AS BIGINT) AS min_age
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1098,6 +1224,9 @@ SPARK: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_line_maps": order_line_maps,
     "hourly_active_users": hourly_active_users,
     "sliding_order_totals": sliding_order_totals,
+    "window_stats_orders": window_stats_orders,
+    "scalar_zoo_parts": scalar_zoo_parts,
+    "order_date_facets": order_date_facets,
 }
 
 ORACLE: dict[str, str] = {
@@ -1135,6 +1264,9 @@ ORACLE: dict[str, str] = {
     "order_line_maps": ORDER_LINE_MAPS_SQL,
     "hourly_active_users": HOURLY_ACTIVE_USERS_SQL,
     "sliding_order_totals": SLIDING_ORDER_TOTALS_SQL,
+    "window_stats_orders": WINDOW_STATS_SQL,
+    "scalar_zoo_parts": SCALAR_ZOO_SQL,
+    "order_date_facets": ORDER_DATE_FACETS_SQL,
 }
 
 # LLM-data-pipeline queries (dedup / text / similarity) live in their own
