@@ -1,0 +1,114 @@
+"""Planted-skew join measurement: plain shuffle join vs AQE skew handling
+vs explicit salting, on a zipf-ish hot key (one key owns ~50% of the big
+side). Writes the measured table into SCALE.md between the skew markers.
+
+This is the evidence for the skew strategy in operators/skew.py's
+docstring: AQE splits hot PARTITIONS automatically; explicit salting is
+the tool when one KEY dominates and the planner can't see it (or the
+join is shuffle-hash). Results of all three variants are identical — the
+assert below proves it on every run.
+
+Usage: python tools/skew_bench.py [big_rows] (default 4,000,000)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.skew import salted_join
+from cda_client_spark.session import get_spark
+
+
+def main() -> None:
+    big_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    spark = get_spark(app_name="skew-bench", conf={"spark.driver.memory": "16g"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # big side: half the rows on key 0, the rest uniform over 10k keys
+    big = (
+        spark.range(big_rows)
+        .select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.pmod(F.col("id"), 10_000))
+            .cast("bigint")
+            .alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        .persist()
+    )
+    small = (
+        spark.range(10_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("w"))
+        .persist()
+    )
+    big.count(), small.count()
+
+    def run(label, df):
+        start = time.perf_counter()
+        row = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+        ).collect()[0]
+        return label, time.perf_counter() - start, row["n"], round(row["s"], 2)
+
+    # force a shuffle join so the hot key actually concentrates (the small
+    # side would otherwise broadcast and hide the skew)
+    no_bc = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    results = []
+    for label, aqe_skew, salted in (
+        ("plain shuffle join, AQE skew off", "false", False),
+        ("shuffle join, AQE skew on", "true", False),
+        ("salted_join(salt=16), AQE skew off", "false", True),
+    ):
+        for k, v in no_bc.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
+        joined = (
+            salted_join(big, small, "k", salt=16)
+            if salted
+            else big.join(small, "k")
+        )
+        results.append(run(label, joined))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    counts = {r[2] for r in results}
+    sums = {r[3] for r in results}
+    assert len(counts) == 1 and len(sums) == 1, f"variants disagree: {results}"
+
+    lines = [
+        "## Measured skew-join mitigation (local[32])",
+        "",
+        f"Big side {big_rows:,} rows, ONE key owning 50%; small side 10k keys;",
+        "broadcast disabled so the hot key actually concentrates on one",
+        "reducer. All three variants return identical results (asserted).",
+        "",
+        "| variant | wall s |",
+        "|---|---|",
+    ]
+    for label, secs, _, _ in results:
+        lines.append(f"| {label} | {secs:.1f} |")
+        print(lines[-1])
+    block = "\n".join(lines)
+    scale = Path(__file__).resolve().parent.parent / "SCALE.md"
+    text = scale.read_text()
+    begin, end = "<!-- skew:begin -->", "<!-- skew:end -->"
+    repl = f"{begin}\n\n{block}\n\n{end}"
+    if begin in text:
+        text = re.sub(re.escape(begin) + ".*?" + re.escape(end), repl, text, flags=re.S)
+    else:
+        text = text.rstrip() + "\n\n" + repl + "\n"
+    scale.write_text(text)
+    print("SCALE.md updated")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
