@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StructType
 
@@ -212,3 +212,54 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
+def dir_bytes(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total_bytes, n_data_files) of a directory via the Hadoop FS API —
+    works for local paths and s3a/hdfs URIs alike."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(str(path))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total, files = 0, 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")) and name.endswith(".parquet"):
+            total += st.getLen()
+            files += 1
+    return total, files
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 8,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files and swap it in
+    atomically (staging + rename, same protocol as the merged snapshot).
+
+    Micro-batch ingestion at 100 TB accretes thousands of small files per
+    folder (every trigger writes its own); scans then pay per-file open
+    cost and lose row-group-sized reads. Run this as maintenance on folders
+    exceeding ``min_files``. Returns (files_before, files_after); no-op
+    (returns equal counts) when the folder is already compact.
+
+    The rewrite is one job: scan → round-robin repartition → write. No
+    ordering guarantees are promised or destroyed — parquet folder readers
+    are order-free by contract.
+    """
+    total, files = dir_bytes(spark, path)
+    if files <= min_files:
+        return files, files
+    n_out = max(1, -(-total // target_file_bytes))
+    if n_out >= files:
+        return files, files
+    df = spark.read.parquet(str(path))
+    staging = f"{path}.compacting"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    replace_dir(staging, path)
+    _, after = dir_bytes(spark, path)
+    return files, after

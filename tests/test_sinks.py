@@ -168,3 +168,41 @@ def test_write_jdbc_raw_idempotent_flow(spark, monkeypatch):
     )
     assert staged == [("t_raw_stage", "overwrite")]
     assert len(executed) == 1 and "DO NOTHING" in executed[0]
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
+    from cda_client_spark.sinks.files import compact_parquet, dir_bytes
+
+    path = str(tmp_path / "many")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS g", "cast(id as string) AS s")
+    df.repartition(40).write.parquet(path)
+    _, before = dir_bytes(spark, path)
+    assert before == 40
+
+    b, a = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert (b, a) == (40, 1)
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))
+    assert sorted(got.columns) == ["g", "id", "s"]
+
+    # already compact -> no-op
+    assert compact_parquet(spark, path, target_file_bytes=1 << 30) == (1, 1)
+
+
+def test_compact_parquet_respects_target_size(spark, tmp_path):
+    from cda_client_spark.sinks.files import compact_parquet, dir_bytes
+
+    path = str(tmp_path / "sized")
+    spark.range(200_000).selectExpr("id", "repeat('x', 64) AS pad").repartition(
+        60
+    ).write.parquet(path)
+    total, before = dir_bytes(spark, path)
+    target = max(1, total // 4)
+    b, a = compact_parquet(spark, path, target_file_bytes=target)
+    assert b == 60 and 3 <= a <= 6  # ~total/target files, not 1, not 60
