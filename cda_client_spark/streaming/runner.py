@@ -49,21 +49,56 @@ def stream_table_fingerprint(
     table: str,
     fingerprint: str,
     checkpoint_dir: str,
+    jdbc_executor=None,
+    schema_probe=None,
+    jdbc_stage=None,
 ) -> StreamResult:
     """Drain all unprocessed folders of one (table, fingerprint) into the
-    merged snapshot with one AvailableNow stream."""
+    configured target with one AvailableNow stream.
+
+    File target: each micro-batch applies to the stable merged snapshot.
+    JDBC target: each micro-batch stages the same single-transaction
+    statement apply as the batch pipeline (idempotent raw insert + merged
+    upsert/delete) — safe under foreachBatch's at-least-once replay, since
+    both halves are replay-stable by construction.
+    """
     src = f"{cfg.source_path.rstrip('/')}/{table}/{fingerprint}"
     # file streams need an explicit schema: infer once, driver-side
     schema = spark.read.parquet(f"{src}/*").schema
-    snapshot = merged_snapshot_path(cfg.output.file_settings.path, table, fingerprint)
-    single_file = cfg.output.file_settings.save_as_single_file
+    is_jdbc = cfg.output.export_target != "file"
     n_batches = 0
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal n_batches
-        n_batches += 1
-        df = manage_columns_for_target(batch_df, "file", fingerprint, batch_id)
-        apply_batch_to_snapshot(spark, df, snapshot, single_file=single_file)
+    if is_jdbc:
+        from cda_client_spark.metadata.planner import CopyJob
+        from cda_client_spark.pipeline import _run_jdbc_job
+
+        mode = cfg.output.jdbc_settings.save_mode
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            nonlocal n_batches
+            n_batches += 1
+            df = manage_columns_for_target(batch_df, "jdbc", fingerprint, batch_id)
+            job = CopyJob(table, fingerprint, 0, batch_id, folders=())
+            _run_jdbc_job(
+                df,
+                cfg,
+                job,
+                mode,
+                n=0,
+                jdbc_executor=jdbc_executor,
+                schema_probe=schema_probe,
+                jdbc_stage=jdbc_stage,
+            )
+
+    else:
+        snapshot = merged_snapshot_path(cfg.output.file_settings.path, table, fingerprint)
+        single_file = cfg.output.file_settings.save_as_single_file
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            nonlocal n_batches
+            n_batches += 1
+            df = manage_columns_for_target(batch_df, "file", fingerprint, batch_id)
+            apply_batch_to_snapshot(spark, df, snapshot, single_file=single_file)
 
     query = (
         spark.readStream.schema(schema)
@@ -79,13 +114,20 @@ def stream_table_fingerprint(
 
 
 def run_streaming(
-    spark: SparkSession, cfg: ClientConfig, checkpoint_dir: str | None = None
+    spark: SparkSession,
+    cfg: ClientConfig,
+    checkpoint_dir: str | None = None,
+    jdbc_executor=None,
+    schema_probe=None,
+    jdbc_stage=None,
 ) -> list[StreamResult]:
     """Streaming-mode run over every (table, fingerprint) in the manifest.
 
     ``checkpoint_dir`` defaults to ``<savepointsLocation>/_checkpoints`` —
     the streaming analog of savepoints.json (exactly-once folder
-    consumption across runs).
+    consumption across runs). For a JDBC target pass the same
+    ``jdbc_executor``/``schema_probe``/``jdbc_stage`` trio as
+    ``pipeline.run``.
     """
     manifest = filter_tables(
         read_manifest(f"{cfg.source_path.rstrip('/')}/manifest.json"),
@@ -96,7 +138,18 @@ def run_streaming(
     for table, entry in sorted(manifest.items()):
         for fingerprint in sorted(entry.schema_history):
             try:
-                results.append(stream_table_fingerprint(spark, cfg, table, fingerprint, ckpt))
+                results.append(
+                    stream_table_fingerprint(
+                        spark,
+                        cfg,
+                        table,
+                        fingerprint,
+                        ckpt,
+                        jdbc_executor=jdbc_executor,
+                        schema_probe=schema_probe,
+                        jdbc_stage=jdbc_stage,
+                    )
+                )
             except Exception as e:
                 logger.exception("stream failed: %s/%s", table, fingerprint)
                 results.append(StreamResult(table, fingerprint, 0, ok=False, error=str(e)))

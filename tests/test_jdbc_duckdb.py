@@ -389,3 +389,61 @@ def test_merge_cdc_equivalence_on_random_batches(spark):
     assert set(got) == set(want)
     for i in want:
         assert got[i]["v"] == want[i]["v"] and got[i]["gwcbi___seqval_hex"] == want[i]["gwcbi___seqval_hex"]
+
+
+def test_streaming_jdbc_matches_batch_pipeline(spark, tmp_path):
+    """Streaming × JDBC (the last target/mode quadrant): an AvailableNow
+    run through run_streaming with the DuckDB executor must converge to
+    the same merged table and the same raw change-log as the batch
+    pipeline over the identical CDC tree."""
+    from cda_client_spark.streaming.runner import run_streaming
+
+    # streaming source tree (all folders present up front)
+    sroot = tmp_path / "ssrc"
+    sroot.mkdir()
+    sout = tmp_path / "sout"
+    for ts, rows in BATCHES:
+        write_folder(sroot, "t1", "fpA", ts, cdc_batch(rows))
+    _manifest_at(sroot, 3000)
+    scfg = _tree_cfg(sroot, sout, "rawandmerged")
+
+    # batch twin
+    broot = tmp_path / "bsrc"
+    broot.mkdir()
+    bout = tmp_path / "bout"
+    for ts, rows in BATCHES:
+        write_folder(broot, "t1", "fpA", ts, cdc_batch(rows))
+    _manifest_at(broot, 3000)
+    bcfg = _tree_cfg(broot, bout, "rawandmerged")
+
+    sex, bex = DuckDBJdbcStandIn(), DuckDBJdbcStandIn()
+    results = run_streaming(
+        spark,
+        scfg,
+        checkpoint_dir=str(sout / "ckpt"),
+        jdbc_executor=sex,
+        schema_probe=sex.probe,
+        jdbc_stage=sex.stage,
+    )
+    assert all(r.ok for r in results), results
+    report = run(spark, bcfg, jdbc_executor=bex, schema_probe=bex.probe, jdbc_stage=bex.stage)
+    assert report.ok
+
+    assert duck_dict(sex, "t1_merged") == duck_dict(bex, "t1_merged")
+    state = duck_dict(sex, "t1_merged")
+    assert state[1]["v"] == 1.5 and state[3]["v"] == 3.0 and 2 not in state
+    # raw change log identical: every change row exactly once on both paths
+    assert len(sex.rows("t1")) == len(bex.rows("t1")) == 6
+
+    # a second streaming run over the same tree is a no-op (checkpointed)
+    results2 = run_streaming(
+        spark,
+        scfg,
+        checkpoint_dir=str(sout / "ckpt"),
+        jdbc_executor=sex,
+        schema_probe=sex.probe,
+        jdbc_stage=sex.stage,
+    )
+    assert all(r.ok for r in results2)
+    assert len(sex.rows("t1")) == 6
+    assert duck_dict(sex, "t1_merged") == state
