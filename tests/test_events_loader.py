@@ -1,0 +1,40 @@
+"""Regression for the round-3 testdata schema drift: the events loader
+must normalize BOTH physical ts layouts the driver has shipped —
+TIMESTAMP(NANOS) (surfaced as bigint under the legacy conf) and
+TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ) — to the same
+session-zone timestamp values."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from cda_client_spark.queries import t
+
+TS = [
+    dt.datetime(2024, 5, 1, 12, 0, 0),
+    dt.datetime(2024, 5, 1, 12, 0, 1, 500000),
+]
+
+
+def _write(tmp_path, unit):
+    d = tmp_path / unit
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(TS, pa.timestamp(unit)),
+            "user_id": pa.array([10, 20], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "events.parquet")
+    return str(d)
+
+
+def test_events_ts_normalized_across_physical_layouts(spark, tmp_path):
+    rows = {}
+    for unit in ("ns", "us"):
+        df = t(spark, _write(tmp_path, unit), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", unit
+        rows[unit] = {r["event_id"]: r["ts"] for r in df.collect()}
+    assert rows["ns"] == rows["us"] == {1: TS[0], 2: TS[1]}
