@@ -1,10 +1,12 @@
 """CLI entry point (X7, parity: CLIArgumentsProcessor.scala:12-43,
 CloudDataAccessClient.scala:13-27).
 
-    python -m cda_client_spark --configPath config.yaml [--tableName t1,t2]
+    python -m cda_client_spark --configPath config.yaml [--tableName t1,t2] [--streaming]
 
 ``--tableName`` overrides the config's tablesToInclude
-(TableReader.scala:149-153). Exit code 0 iff every planned job succeeded.
+(TableReader.scala:149-153). ``--streaming`` runs the Structured Streaming
+mode (engine extension: the checkpoint replaces savepoints). Exit code 0
+iff every planned job succeeded.
 """
 
 from __future__ import annotations
@@ -30,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
         default="",
         help="comma list of tables to process (overrides config tablesToInclude)",
     )
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="run in Structured Streaming mode (file targets; checkpoint replaces savepoints)",
+    )
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s %(message)s")
@@ -44,6 +51,15 @@ def main(argv: list[str] | None = None) -> int:
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(master=cfg.tuning.spark_master or None)
     try:
+        if args.streaming:
+            from cda_client_spark.streaming.runner import run_streaming
+
+            sresults = run_streaming(spark, cfg)
+            for r in sresults:
+                status = "ok" if r.ok else f"FAILED: {r.error}"
+                print(f"{r.table}/{r.fingerprint}: batches={r.batches} {status}")
+            print(f"{sum(r.ok for r in sresults)}/{len(sresults)} streams succeeded")
+            return 0 if all(r.ok for r in sresults) else 1
         report = run(spark, cfg)
     finally:
         if not preexisting:  # don't tear down a session we merely joined

@@ -54,3 +54,12 @@ def test_cli_requires_config_path():
     with pytest.raises(SystemExit) as e:
         main([])
     assert e.value.code == 2
+
+
+def test_cli_streaming_mode(spark, config_file, capsys):
+    p, out = config_file
+    rc = main(["-c", str(p), "--streaming"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "streams succeeded" in out
+    assert "FAILED" not in out
