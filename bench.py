@@ -59,15 +59,21 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def bench_queries_map():
+    """Registry + benched production variants that are driver-gated through
+    a recall query instead of sitting in the registry themselves. Shared
+    with tools/scaling_curve.py."""
     from cda_client_spark.queries import SPARK
     from cda_client_spark.queries_llm import doc_minhash_lsh_pairs_fast
+
+    return {**SPARK, "doc_minhash_lsh_pairs_fast": doc_minhash_lsh_pairs_fast}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cda_client_spark.session import get_spark
 
-    # benched production variants that are driver-gated through a recall
-    # query instead of sitting in the registry themselves
-    SPARK = {**SPARK, "doc_minhash_lsh_pairs_fast": doc_minhash_lsh_pairs_fast}
+    SPARK = bench_queries_map()
 
     spark = get_spark(app_name="cda_client_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
