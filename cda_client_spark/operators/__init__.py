@@ -19,7 +19,9 @@ from cda_client_spark.operators.joins import as_of_join, time_range_join
 from cda_client_spark.operators.similarity import (
     ann_topk,
     ann_topk_ivf,
+    dequantize_embeddings,
     embedding_near_dup_pairs,
+    quantize_embeddings,
 )
 from cda_client_spark.operators.sampling import (
     hash_sample,
@@ -55,7 +57,9 @@ __all__ = [
     "time_range_join",
     "ann_topk",
     "ann_topk_ivf",
+    "dequantize_embeddings",
     "embedding_near_dup_pairs",
+    "quantize_embeddings",
     "hash_sample",
     "hash_split",
     "token_budget_selection",

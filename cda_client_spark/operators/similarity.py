@@ -315,3 +315,49 @@ def embedding_near_dup_pairs(
     joined = pairs.join(a, "id_a").join(b, "id_b")
     out = joined.withColumn("cos_sim", _scored(round_digits))
     return out.filter(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (storage/bandwidth lever at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max(|x|)/127``,
+    ``q_i = round(x_i / scale)`` (zero vectors get scale 0 and all-zero
+    codes). 4x smaller than float32 at <0.8% max relative error — at
+    100 TB of embeddings the scan/shuffle/storage win dwarfs the ANN
+    recall cost, which is why serving stacks store int8 and rescale.
+
+    Pure JVM transform expressions (one pass, no shuffle). Engine-portable
+    arithmetic: round-half-away on the scaled value matches DuckDB's
+    round(), so oracles can replay the exact codes.
+    """
+    mx = F.expr(
+        f"aggregate({vec_col}, cast(0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"
+    )
+    out = df.withColumn(scale_col, mx / F.lit(127.0))
+    code = F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) /"
+        f" if({scale_col} = 0.0, 1.0, {scale_col})) as int))"
+    )
+    return out.withColumn(out_col, code)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` (lossy: values land on the
+    127-step grid)."""
+    return df.withColumn(
+        out_col,
+        F.expr(f"transform({qvec_col}, q -> cast(q as double) * {scale_col})"),
+    )

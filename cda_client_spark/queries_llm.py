@@ -39,8 +39,10 @@ from cda_client_spark.operators.similarity import (
     ann_topk_ivf as _ann_topk_ivf_op,
     band_key_sql,
     dot_sql,
+    dequantize_embeddings,
     embedding_near_dup_pairs,
     hyperplane_weights,
+    quantize_embeddings,
     norm_sql,
 )
 from cda_client_spark.operators.multimodal import byte_histogram_features, media_stats
@@ -1188,6 +1190,35 @@ FROM q JOIN ch ON round(q.quality_score, 3) = ch.qb
 """
 
 
+def emb_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus: per-vector
+    scale + exact code checksum (the 4x storage lever for 100 TB embedding
+    stores). Codes are bit-reproducible cross-engine: max is exact,
+    round-half-away matches, divisions are IEEE on identical operands."""
+    q = quantize_embeddings(t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.round("qscale", 6).alias("qscale"),
+        F.md5(F.expr("array_join(transform(qvec, q -> cast(q as string)), ',')")).alias(
+            "codes_md5"
+        ),
+    )
+
+
+EMB_QUANTIZATION_SQL = """
+SELECT vec_id,
+  round(mx / 127.0, 6) AS qscale,
+  md5(array_to_string(list_transform(embedding,
+        x -> CAST(round(CAST(x AS DOUBLE) /
+                        CASE WHEN mx = 0.0 THEN 1.0 ELSE mx / 127.0 END) AS INTEGER)),
+      ',')) AS codes_md5
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -1215,6 +1246,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # media_histogram_gate — both functions stay exported for direct use
     "ann_ivf_recall": ann_ivf_recall,
     "emb_near_dup_pairs": emb_near_dup_pairs,
+    "emb_quantization": emb_quantization,
     "media_byte_stats": media_byte_stats,
     "media_histogram_gate": media_histogram_gate,
     "doc_pii_scrub": doc_pii_scrub,
@@ -1246,6 +1278,7 @@ ORACLE_LLM: dict[str, str] = {
     "ann_topk_lsh": ANN_LSH_SQL,
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
+    "emb_quantization": EMB_QUANTIZATION_SQL,
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,

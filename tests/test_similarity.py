@@ -157,3 +157,34 @@ def test_ann_topk_ivf_recall_on_clustered_data(spark):
     )
     rows = sorted(top.collect(), key=lambda r: r["rnk"])
     assert rows[0]["neighbor_id"] == 900 and rows[0]["cos_sim"] == 1.0
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from cda_client_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, [0.5, -1.25, 3.0, 0.01]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero codes
+        (3, [-127.0, 127.0, 63.5, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = quantize_embeddings(df)
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert got[2]["qscale"] == 0.0 and got[2]["qvec"] == [0, 0, 0, 0]
+    assert all(-127 <= c <= 127 for r in got.values() for c in r["qvec"])
+
+    back = dequantize_embeddings(q, out_col="rebuilt")
+    err = back.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(embedding, rebuilt, (a, b) -> abs(a - b)),"
+            " cast(0 as double), (acc, x) -> greatest(acc, x))"
+        ).alias("max_err"),
+        "qscale",
+    )
+    for r in err.collect():
+        assert r["max_err"] <= r["qscale"] / 2 + 1e-12, r
