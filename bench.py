@@ -50,9 +50,12 @@ BENCH_QUERIES = [
     "doc_training_corpus",
     "doc_dedup_clusters",
     "doc_pack_chunks",
+    "doc_weighted_sample",
+    "doc_token_budget",
     "doc_minhash_lsh_pairs",
     "doc_minhash_lsh_pairs_fast",
     "doc_simhash_near_dups",
+    "emb_quantization",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "emb_near_dup_pairs",
