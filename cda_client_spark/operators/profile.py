@@ -1,0 +1,55 @@
+"""Table profiling: per-column statistics in ONE pass over the data.
+
+``profile_table`` computes count / nulls / approx-distinct / min / max
+(and mean for numerics) for every requested column as a single wide
+aggregation — partial-combinable, one reduce, no per-column scans. The
+output is tidy (one row per column) so it can be written, diffed between
+loads, and alerted on: the standard data-quality gate in front of a
+100 TB ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass profile of ``columns`` (default: all non-complex columns).
+
+    Returns one row per column: ``(column, dtype, n_rows, n_nulls,
+    approx_distinct, min_repr, max_repr, mean)`` — min/max stringified so
+    heterogeneous column types fit one tidy frame; ``mean`` is null for
+    non-numerics. approx_distinct is HLL++ (exact distinct would add a
+    shuffle per column).
+    """
+    dtypes = dict(df.dtypes)
+    cols = columns or [c for c, t in df.dtypes if not t.startswith(("array", "map", "struct"))]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"))
+        aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        if _is_numeric(dtypes[c]):
+            aggs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
+    wide = df.agg(*aggs)
+    # pivot the single wide row into tidy per-column rows — the wide frame
+    # is ONE row, so this stack is driver-free and trivially cheap
+    entries = []
+    for c in cols:
+        mean_expr = f"`{c}__mean`" if _is_numeric(dtypes[c]) else "cast(null as double)"
+        entries.append(
+            f"struct('{c}' as column, '{dtypes[c]}' as dtype, n_rows,"
+            f" `{c}__nulls` as n_nulls, `{c}__distinct` as approx_distinct,"
+            f" `{c}__min` as min_repr, `{c}__max` as max_repr, {mean_expr} as mean)"
+        )
+    return wide.select(
+        F.explode(F.expr(f"array({', '.join(entries)})")).alias("p")
+    ).select("p.*")

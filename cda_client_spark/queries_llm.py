@@ -1219,6 +1219,39 @@ FROM (
 """
 
 
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the orders table (the gate in
+    front of a large ingest): count/nulls/min/max per column, tidy one
+    row per column. The oracle replays the deterministic stats; the HLL
+    distinct and fp mean stay pytest-verified (engine-specific)."""
+    from cda_client_spark.operators.profile import profile_table
+
+    p = profile_table(
+        t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )
+    return p.select("column", "dtype", "n_rows", "n_nulls", "min_repr", "max_repr")
+
+
+def _profile_col_sql(col: str, dtype: str) -> str:
+    return f"""
+  SELECT '{col}' AS "column", '{dtype}' AS dtype, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(MIN({col}) AS VARCHAR) AS min_repr, CAST(MAX({col}) AS VARCHAR) AS max_repr
+  FROM orders"""
+
+
+PROFILE_ORDERS_SQL = " UNION ALL ".join(
+    _profile_col_sql(c, d)
+    for c, d in [
+        ("o_orderkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_orderpriority", "string"),
+        ("o_orderdate", "timestamp_ntz"),
+    ]
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -1247,6 +1280,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": ann_ivf_recall,
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_quantization": emb_quantization,
+    "profile_orders": profile_orders,
     "media_byte_stats": media_byte_stats,
     "media_histogram_gate": media_histogram_gate,
     "doc_pii_scrub": doc_pii_scrub,
@@ -1279,6 +1313,7 @@ ORACLE_LLM: dict[str, str] = {
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "emb_quantization": EMB_QUANTIZATION_SQL,
+    "profile_orders": PROFILE_ORDERS_SQL,
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,

@@ -2,7 +2,7 @@
 per (table, fingerprint) covering all planned timestamp folders — and the
 multi-format (parquet/json/csv) variant (files.py)."""
 
-from cda_client_spark.sources.files import read_folders_any
+from cda_client_spark.sources.files import read_folders_any, read_folders_quarantine
 from cda_client_spark.sources.parquet import (
     MicroBatch,
     read_folders,
@@ -14,6 +14,7 @@ __all__ = [
     "MicroBatch",
     "read_folders",
     "read_folders_any",
+    "read_folders_quarantine",
     "read_folders_union",
     "read_micro_batch",
 ]

@@ -19,6 +19,7 @@ Format notes for scale:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 SUPPORTED_FORMATS = ("parquet", "json", "csv")
@@ -51,3 +52,40 @@ def read_folders_any(
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     return reader.load(paths)
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_folders_quarantine(
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str,
+    schema: str,
+    options: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """json/csv micro-batch read with malformed-row quarantine: returns
+    ``(good, bad)`` where ``bad`` carries the raw text of every row that
+    failed to parse against the schema.
+
+    PERMISSIVE mode keeps the scan alive on dirty data (one bad row must
+    not kill a 100 TB ingest); the quarantine frame is what you land in a
+    dead-letter location for replay after a schema fix. Spark caches the
+    parsed batch per ``columnNameOfCorruptRecord`` contract — the corrupt
+    column must be part of the declared schema, which this helper manages.
+    """
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"quarantine reads are json/csv only, got {fmt!r}")
+    full_schema = f"{schema}, {CORRUPT_COL} string"
+    opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        **(options or {}),
+    }
+    df = read_folders_any(spark, paths, fmt=fmt, schema=full_schema, options=opts)
+    # Spark requires caching/materialization before filtering on the
+    # corrupt column of the same scan (SPARK-21610 contract)
+    df = df.cache()
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad

@@ -127,3 +127,24 @@ def test_read_folders_any_formats(spark, tmp_path):
         read_folders_any(spark, [f1], fmt="avro")
     with _pytest.raises(ValueError, match="at least one path"):
         read_folders_any(spark, [], fmt="parquet")
+
+
+def test_read_folders_quarantine_json(spark, tmp_path):
+    from cda_client_spark.sources.files import read_folders_quarantine
+
+    d = tmp_path / "dirty"
+    d.mkdir()
+    (d / "part-0.json").write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "not-a-number", "v": "bad type"}\n'
+    )
+    good, bad = read_folders_quarantine(
+        spark, [str(d)], fmt="json", schema="id bigint, v string"
+    )
+    assert {(r["id"], r["v"]) for r in good.collect()} == {(1, "ok"), (2, "also ok")}
+    bad_rows = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_rows) == 2
+    assert any("not json" in b for b in bad_rows)
+    assert any("not-a-number" in b for b in bad_rows)

@@ -122,3 +122,22 @@ def test_token_budget_selection(spark):
     assert {
         r["doc_id"] for r in token_budget_selection(df2, "n_tokens", "q", 200).collect()
     } == {1, 2}
+
+
+def test_profile_table_one_pass(spark):
+    from cda_client_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "b", None), (4, "a", 4.0)],
+        "id bigint, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v"}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_nulls"] == 0
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["min_repr"] == "a"
+    assert prof["v"]["n_nulls"] == 1 and abs(prof["v"]["mean"] - (8.0 / 3)) < 1e-9
+    assert prof["s"]["mean"] is None
+    assert prof["id"]["approx_distinct"] == 4  # exact at this cardinality
+    # arrays are excluded by default
+    df2 = df.withColumn("arr", __import__("pyspark.sql.functions", fromlist=["array"]).array("id"))
+    assert {r["column"] for r in profile_table(df2).collect()} == {"id", "s", "v"}
