@@ -16,6 +16,8 @@ from cda_client_spark.operators.dedup import (
 )
 from cda_client_spark.operators.graph import connected_components, dedup_clusters
 from cda_client_spark.operators.joins import as_of_join, time_range_join
+from cda_client_spark.operators.layout import interleave_bits, zorder_sort
+from cda_client_spark.operators.profile import profile_table
 from cda_client_spark.operators.similarity import (
     ann_topk,
     ann_topk_ivf,
@@ -55,6 +57,9 @@ __all__ = [
     "dedup_clusters",
     "as_of_join",
     "time_range_join",
+    "interleave_bits",
+    "zorder_sort",
+    "profile_table",
     "ann_topk",
     "ann_topk_ivf",
     "dequantize_embeddings",

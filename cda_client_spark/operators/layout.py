@@ -1,0 +1,72 @@
+"""Storage-layout operators: Z-order (Morton) clustering for multi-column
+data skipping.
+
+Parquet scans prune row groups by min/max statistics. Sorting by one
+column gives perfect pruning on that column and none on the others;
+interleaving the bits of several columns' normalized ranks (the Z-order
+curve) gives every listed column locality, so predicates on ANY of them
+skip most row groups — the standard lakehouse technique (Delta/Iceberg
+``OPTIMIZE ZORDER BY``) expressed with plain Spark.
+
+Everything is JVM expressions: per-column min/max come from one tiny
+aggregate (broadcast 1-row cross join), rank normalization and bit
+interleaving are scalar bit ops, and the physical clustering is a
+``repartitionByRange`` + ``sortWithinPartitions`` on the Z key — one
+shuffle, the same cost as any global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
+    """Morton key: bit j of column i lands at position ``j * n + i``.
+    Inputs must already be integer ranks in [0, 2**bits)."""
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("bigint"), j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return key
+
+
+def zorder_sort(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 12,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Cluster ``df`` along the Z-order curve of ``cols`` (numeric).
+
+    Ranks are min/max-normalized per column (nulls sort first via rank 0);
+    ``bits`` trades key resolution against expression size (12 bits ≈ 4096
+    cells per dimension — row-group granularity, not row granularity,
+    which is all data skipping can use anyway).
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__mn"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__mx"))
+    stats = df.agg(*aggs)
+    out = df.join(F.broadcast(stats))
+    top = (1 << bits) - 1
+    ranks = []
+    for c in cols:
+        mn, mx = F.col(f"{c}__mn"), F.col(f"{c}__mx")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        rank = F.floor(
+            (F.coalesce(F.col(c).cast("double"), mn) - mn) / span * top
+        ).cast("bigint")
+        ranks.append(F.least(F.greatest(rank, F.lit(0)), F.lit(top)))
+    keyed = out.withColumn("__zkey", interleave_bits(ranks, bits)).drop(
+        *[f"{c}__mn" for c in cols], *[f"{c}__mx" for c in cols]
+    )
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        keyed.repartitionByRange(n_parts, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

@@ -1,0 +1,72 @@
+"""Z-order clustering tests: key correctness vs a pure-Python Morton
+reference, and MEASURED data-skipping effectiveness via parquet row-group
+min/max statistics (the thing Z-ordering exists for)."""
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.layout import interleave_bits, zorder_sort
+
+
+def morton_ref(vals, bits):
+    key = 0
+    n = len(vals)
+    for j in range(bits):
+        for i, v in enumerate(vals):
+            key |= ((v >> j) & 1) << (j * n + i)
+    return key
+
+
+def test_interleave_bits_matches_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 17), (4095, 4095)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    got = df.select(
+        "x", "y", interleave_bits([F.col("x"), F.col("y")], bits=12).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == morton_ref([r["x"], r["y"]], 12), (r["x"], r["y"])
+
+
+def _rowgroup_spans(path, col, lo, hi):
+    """Average fraction of [lo, hi] each row group's [min, max] covers."""
+    spans = []
+    for piece in __import__("pathlib").Path(path).glob("*.parquet"):
+        md = pq.ParquetFile(piece).metadata
+        for rg in range(md.num_row_groups):
+            cols = {
+                md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+            }
+            st = cols[col].statistics
+            spans.append((st.max - st.min) / (hi - lo))
+    return sum(spans) / len(spans)
+
+
+def test_zorder_tightens_rowgroup_stats(spark, tmp_path):
+    # uniform 2-D grid; x-sorted layout gives y row-group spans ~1.0
+    # (useless for y predicates); z-order must tighten BOTH dimensions
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 449).alias("x"),
+        F.floor(F.col("id") / 449).alias("y"),
+    )
+    xs_path = str(tmp_path / "xsort")
+    zo_path = str(tmp_path / "zorder")
+    df.repartitionByRange(32, "x").sortWithinPartitions("x").write.parquet(xs_path)
+    zorder_sort(df, ["x", "y"], bits=10, partitions=32).write.parquet(zo_path)
+
+    # identical data
+    assert spark.read.parquet(zo_path).count() == n
+    assert (
+        spark.read.parquet(zo_path).agg(F.sum("x"), F.sum("y")).collect()
+        == spark.read.parquet(xs_path).agg(F.sum("x"), F.sum("y")).collect()
+    )
+
+    y_hi = (n - 1) // 449
+    xsort_y = _rowgroup_spans(xs_path, "y", 0, y_hi)
+    z_x = _rowgroup_spans(zo_path, "x", 0, 448)
+    z_y = _rowgroup_spans(zo_path, "y", 0, y_hi)
+    # x-sorted: y stats are useless (each file covers ~the full y range)
+    assert xsort_y > 0.8
+    # z-ordered: BOTH dimensions tighten enough to skip most row groups
+    assert z_x < 0.35 and z_y < 0.35, (z_x, z_y)
