@@ -93,12 +93,15 @@ def stream_table_fingerprint(
     else:
         snapshot = merged_snapshot_path(cfg.output.file_settings.path, table, fingerprint)
         single_file = cfg.output.file_settings.save_as_single_file
+        partition_cols = list(cfg.output.file_settings.partition_by) or None
 
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
             nonlocal n_batches
             n_batches += 1
             df = manage_columns_for_target(batch_df, "file", fingerprint, batch_id)
-            apply_batch_to_snapshot(spark, df, snapshot, single_file=single_file)
+            apply_batch_to_snapshot(
+                spark, df, snapshot, single_file=single_file, partition_cols=partition_cols
+            )
 
     query = (
         spark.readStream.schema(schema)
