@@ -10,6 +10,7 @@ from cda_client_spark.operators.dedup import (
     jaccard_pairs,
     line_dedup,
     lsh_candidate_pairs,
+    lsh_join,
     minhash_signatures,
     simhash_near_dup_pairs,
     simhash_signatures,
@@ -50,6 +51,7 @@ __all__ = [
     "jaccard_pairs",
     "line_dedup",
     "lsh_candidate_pairs",
+    "lsh_join",
     "minhash_signatures",
     "simhash_near_dup_pairs",
     "simhash_signatures",

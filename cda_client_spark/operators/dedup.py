@@ -504,3 +504,93 @@ def line_dedup(
             F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("bigint").alias("n_lines_kept"),
         )
     )
+
+
+def _lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle: int,
+    hash_fn: str,
+) -> DataFrame:
+    """(id, band, key) bucket rows for one corpus — the shared front half
+    of the self-join (lsh_candidate_pairs) and cross-corpus (lsh_join)
+    paths."""
+    rows_per_band = num_hashes // bands
+    with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle, hash_fn)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col("sig")[b * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return with_sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    hash_fn: str = "xxhash64",
+    threshold: float = 0.0,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Cross-corpus similarity join (entity resolution / fuzzy join):
+    candidate (left_id, right_id) pairs whose MinHash bands collide,
+    verified with true n-gram Jaccard when ``threshold`` > 0.
+
+    The scale shape matches the self-join path: each side shuffles only
+    its (id, band, key) bucket rows; candidates come from a band
+    equi-join ACROSS the two sides (never all-pairs), hot buckets are
+    capped per side, and verification touches candidates only. This is
+    the matching step of any dedup-against-reference or record-linkage
+    pipeline (e.g. "which crawl documents duplicate the eval set").
+    """
+    lb = _lsh_buckets(
+        left.select(F.col(left_id), F.col(text_col)),
+        left_id, text_col, num_hashes, bands, shingle, hash_fn,
+    )
+    rb = _lsh_buckets(
+        right.select(F.col(right_id), F.col(text_col)),
+        right_id, text_col, num_hashes, bands, shingle, hash_fn,
+    )
+    if max_bucket_size is not None:
+        lb = cap_buckets(lb, ["band", "key"], max_bucket_size)
+        rb = cap_buckets(rb, ["band", "key"], max_bucket_size)
+    cands = lb.join(rb, ["band", "key"]).select(left_id, right_id).distinct()
+    if threshold <= 0.0:
+        return cands
+    lg = left.select(
+        F.col(left_id), F.array_distinct(ngrams(text_col, shingle)).alias("ga")
+    )
+    rg = right.select(
+        F.col(right_id), F.array_distinct(ngrams(text_col, shingle)).alias("gb")
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.col("ga")) + F.size(F.col("gb")) - inter
+    return (
+        cands.join(lg, left_id)
+        .join(rg, right_id)
+        .select(
+            left_id,
+            right_id,
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

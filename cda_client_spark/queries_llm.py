@@ -30,6 +30,7 @@ from cda_client_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     line_dedup,
+    lsh_join,
     lsh_candidate_pairs,
     minhash_affine_constants,
     simhash_near_dup_pairs,
@@ -1252,6 +1253,55 @@ PROFILE_ORDERS_SQL = " UNION ALL ".join(
 )
 
 
+def doc_crosscorpus_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution join: which documents of the (dup-planted) corpus
+    match the eval set (every 37th base doc), via the cross-corpus
+    MinHash-LSH join with Jaccard >= 0.5 verification. The planted truth:
+    each eval doc matches itself and its planted variants."""
+    left = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 0)
+        .select(F.col("doc_id").alias("id_a"), "text")
+    )
+    right = _docs_with_dups(spark, sf_dir).select(F.col("doc_id").alias("id_b"), "text")
+    return lsh_join(left, right, threshold=0.5, hash_fn="md5").orderBy("id_a", "id_b")
+
+
+def _bucket_cte(prefix: str, id_name: str) -> str:
+    """Per-side CTE chain (words → grams → hashes → sigs → capped band
+    buckets) for the cross-corpus oracle; mirrors _MINHASH_PREFIX."""
+    return f"""
+{prefix}w AS (SELECT {id_name}, regexp_split_to_array(lower(text), '\\s+') AS wds
+              FROM {prefix}c),
+{prefix}g AS (SELECT {id_name}, list_transform(range(1, greatest(len(wds) - 2, 0) + 1),
+        i -> array_to_string(wds[i:i+2], ' ')) AS grams FROM {prefix}w),
+{prefix}h AS (SELECT {id_name}, list_transform(grams, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM {prefix}g WHERE len(grams) > 0),
+{prefix}sigs AS (SELECT {id_name}, [{_MINHASH_SIG_LIST}] AS sig FROM {prefix}h),
+{prefix}b0 AS (SELECT {id_name}, band, array_to_string(sig[band*4+1 : band*4+4], '|') AS key
+      FROM {prefix}sigs, (SELECT unnest([0, 1, 2, 3]) AS band)),
+{prefix}b AS (SELECT {id_name}, band, key FROM {prefix}b0
+      QUALIFY count(*) OVER (PARTITION BY band, key) <= {DEFAULT_MAX_BUCKET_SIZE})"""
+
+
+DOC_CROSSCORPUS_SQL = f"""
+WITH lc AS (SELECT doc_id AS id_a, text FROM documents WHERE doc_id % 37 = 0),
+rc AS (SELECT doc_id AS id_b, text FROM ({DOC_DUPS_SQL})),
+{_bucket_cte('l', 'id_a')},
+{_bucket_cte('r', 'id_b')},
+cand AS (SELECT DISTINCT id_a, id_b FROM lb JOIN rb USING (band, key)),
+lgd AS (SELECT id_a, list_distinct(grams) AS dg FROM lg),
+rgd AS (SELECT id_b, list_distinct(grams) AS dg FROM rg),
+j AS (SELECT id_a, id_b,
+        round(len(list_intersect(a.dg, b2.dg))
+              / greatest(len(a.dg) + len(b2.dg) - len(list_intersect(a.dg, b2.dg)), 1),
+              6) AS jaccard
+      FROM cand JOIN lgd a USING (id_a) JOIN rgd b2 USING (id_b))
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -1281,6 +1331,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_near_dup_pairs": emb_near_dup_pairs,
     "emb_quantization": emb_quantization,
     "profile_orders": profile_orders,
+    "doc_crosscorpus_match": doc_crosscorpus_match,
     "media_byte_stats": media_byte_stats,
     "media_histogram_gate": media_histogram_gate,
     "doc_pii_scrub": doc_pii_scrub,
@@ -1314,6 +1365,7 @@ ORACLE_LLM: dict[str, str] = {
     "emb_near_dup_pairs": EMB_NEAR_DUP_SQL,
     "emb_quantization": EMB_QUANTIZATION_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
+    "doc_crosscorpus_match": DOC_CROSSCORPUS_SQL,
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,

@@ -232,3 +232,52 @@ def test_line_dedup_threshold_not_met(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     out = {r["doc_id"]: r for r in line_dedup(df, min_doc_freq=10).collect()}
     assert out[3]["clean_text"] == "shared line\nmine 3"  # df=5 < 10 -> kept
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus LSH join (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_join_finds_cross_corpus_near_dups(spark):
+    from cda_client_spark.operators.dedup import lsh_join
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "completely different content about spark catalyst optimizer internals",
+        "a third document concerning minhash signatures and band collisions",
+        "unrelated words that match nothing else in either of the corpora",
+    ]
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "id_a bigint, text string"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, base[0] + " tonight"),          # near-dup of left 0
+            (101, base[2]),                       # exact dup of left 2
+            (102, "nothing in common with any left document at all here"),
+        ],
+        "id_b bigint, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_join(left, right, threshold=0.5, hash_fn="md5").collect()
+    }
+    assert (2, 101) in got and got[(2, 101)] == 1.0
+    assert (0, 100) in got and got[(0, 100)] >= 0.5
+    assert all(b != 102 for _, b in got)
+
+
+def test_lsh_join_candidates_only_mode(spark):
+    from cda_client_spark.operators.dedup import lsh_join
+
+    docs = [(i, f"shared prefix tokens one two three four five tail{i}") for i in range(6)]
+    left = spark.createDataFrame(docs, "id_a bigint, text string")
+    right = spark.createDataFrame(
+        [(i + 50, t) for i, t in [(i, t) for i, t in docs]], "id_b bigint, text string"
+    )
+    cands = lsh_join(left, right, hash_fn="md5")
+    assert cands.columns == ["id_a", "id_b"]
+    # every doc collides with its twin at minimum
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert all((i, i + 50) in pairs for i in range(6))
