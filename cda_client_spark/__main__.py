@@ -49,7 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     preexisting = SparkSession.getActiveSession() is not None
-    spark = get_spark(master=cfg.tuning.spark_master or None)
+    spark = get_spark(
+        master=cfg.tuning.spark_master or None,
+        conf=cfg.spark_tuning.session_conf() or None,
+    )
     try:
         if args.streaming:
             from cda_client_spark.streaming.runner import run_streaming

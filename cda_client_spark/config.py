@@ -69,6 +69,9 @@ class FileSettings:
     # engine extension: hive-style partitioned output (parquet only) — the
     # layout that gives Catalyst partition pruning on the written data
     partition_by: tuple[str, ...] = ()
+    # reference parity: raw output under <table>/<fp>/<manifestTs>/ when
+    # true (default), directly under <table>/<fp>/ when false
+    save_into_timestamp_directory: bool = True
 
 
 @dataclass
@@ -118,11 +121,33 @@ class PerformanceTuning:
 
 
 @dataclass
+class SparkTuning:
+    """Reference's sparkTuning block (ClientConfigReader.scala /
+    sample.config.yaml): session-level memory knobs, applied only when a
+    NEW session is launched (sticky confs can't change a live JVM)."""
+
+    max_result_size: str = ""
+    driver_memory: str = ""
+    executor_memory: str = ""
+
+    def session_conf(self) -> dict[str, str]:
+        out = {}
+        if self.max_result_size:
+            out["spark.driver.maxResultSize"] = self.max_result_size
+        if self.driver_memory:
+            out["spark.driver.memory"] = self.driver_memory
+        if self.executor_memory:
+            out["spark.executor.memory"] = self.executor_memory
+        return out
+
+
+@dataclass
 class ClientConfig:
     source_path: str = ""
     savepoints_path: str = ""
     output: OutputSettings = field(default_factory=OutputSettings)
     tuning: PerformanceTuning = field(default_factory=PerformanceTuning)
+    spark_tuning: SparkTuning = field(default_factory=SparkTuning)
 
     def validate(self) -> "ClientConfig":
         if not self.source_path:
@@ -242,6 +267,20 @@ def from_dict(raw: dict[str, Any]) -> ClientConfig:
                     _get(raw, "outputSettings", "fileSettings", "partitionBy", default=[])
                     or []
                 ),
+                save_into_timestamp_directory=bool(
+                    _get(
+                        raw,
+                        "outputSettings",
+                        "saveIntoTimestampDirectory",
+                        default=_get(
+                            raw,
+                            "outputSettings",
+                            "fileSettings",
+                            "saveIntoTimestampDirectory",
+                            default=True,
+                        ),
+                    )
+                ),
             ),
             jdbc_settings=_jdbc_from(_get(raw, "outputSettings", "jdbcSettings", default={}) or {}),
             jdbc_settings_merged=_jdbc_from(jm_block) if isinstance(jm_block, dict) else None,
@@ -251,6 +290,11 @@ def from_dict(raw: dict[str, Any]) -> ClientConfig:
                 _get(raw, "performanceTuning", "numberOfJobsInParallelMaxCount", default=0)
             ),
             spark_master=_get(raw, "performanceTuning", "sparkMaster", default="") or "",
+        ),
+        spark_tuning=SparkTuning(
+            max_result_size=str(_get(raw, "sparkTuning", "maxResultSize", default="") or ""),
+            driver_memory=str(_get(raw, "sparkTuning", "driverMemory", default="") or ""),
+            executor_memory=str(_get(raw, "sparkTuning", "executorMemory", default="") or ""),
         ),
     )
     return cfg.validate()

@@ -262,7 +262,8 @@ def run_job(
         if target == "file":
             fs = cfg.output.file_settings
             if mode in ("raw", "rawandmerged"):
-                path = output_path(fs.path, job.table, job.fingerprint, job.manifest_timestamp)
+                ts = job.manifest_timestamp if fs.save_into_timestamp_directory else None
+                path = output_path(fs.path, job.table, job.fingerprint, ts)
                 if cfg.output.save_into_file_type == "csv":
                     write_csv(
                         df,

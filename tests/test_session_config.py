@@ -78,3 +78,73 @@ def test_invalid_file_save_mode_rejected():
                 },
             }
         )
+
+
+def test_spark_tuning_block_and_timestamp_dir_flag():
+    from cda_client_spark.config import from_dict
+
+    cfg = from_dict(
+        {
+            "sourceLocation": {"path": "/x"},
+            "savepointsLocation": "/sp",
+            "outputSettings": {
+                "exportTarget": "file",
+                "saveIntoTimestampDirectory": False,
+                "fileSettings": {"path": "/o"},
+            },
+            "sparkTuning": {
+                "maxResultSize": "3G",
+                "driverMemory": "6g",
+                "executorMemory": "1g",
+            },
+        }
+    )
+    assert cfg.output.file_settings.save_into_timestamp_directory is False
+    assert cfg.spark_tuning.session_conf() == {
+        "spark.driver.maxResultSize": "3G",
+        "spark.driver.memory": "6g",
+        "spark.executor.memory": "1g",
+    }
+    # defaults: timestamp dir on, no session conf overrides
+    cfg2 = from_dict(
+        {
+            "sourceLocation": {"path": "/x"},
+            "savepointsLocation": "/sp",
+            "outputSettings": {"exportTarget": "file", "fileSettings": {"path": "/o"}},
+        }
+    )
+    assert cfg2.output.file_settings.save_into_timestamp_directory is True
+    assert cfg2.spark_tuning.session_conf() == {}
+
+
+def test_reference_sample_config_parses():
+    """The reference's own sample.config.yaml shape (bucket-style source
+    swapped for a path) must parse: every documented option is accepted."""
+    from cda_client_spark.config import from_dict
+
+    cfg = from_dict(
+        {
+            "sourceLocation": {"path": "/data"},
+            "savepointsLocation": {"path": "/sp"},
+            "outputSettings": {
+                "tablesToInclude": "t1,t2",
+                "exportTarget": "jdbc",
+                "includeColumnNames": True,
+                "saveAsSingleFile": False,
+                "saveIntoTimestampDirectory": True,
+                "largeTextFields": "cc_note.body, pc_datachange.gosu",
+                "jdbcSettings": {
+                    "url": "jdbc:postgresql://localhost/db",
+                    "schema": "public",
+                    "saveMode": "rawandmerged",
+                },
+            },
+            "performanceTuning": {
+                "numberOfJobsInParallelMaxCount": 12,
+                "numberOfThreadsPerJob": 6,
+            },
+            "sparkTuning": {"maxResultSize": "24g"},
+        }
+    )
+    assert cfg.output.tables_to_include == ("t1", "t2")
+    assert cfg.spark_tuning.session_conf() == {"spark.driver.maxResultSize": "24g"}
