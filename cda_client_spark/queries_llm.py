@@ -1302,6 +1302,31 @@ ORDER BY id_a, id_b
 """
 
 
+def sketch_tolerance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the sketch aggregates: HLL++ distinct and
+    approx-percentile must land within tolerance of their exact
+    counterparts on the same data (computed entirely in Spark; the
+    sketches are engine-specific so the oracle is ``SELECT true``, but the
+    tolerance bar itself is engine-independent). Detailed per-accuracy
+    tests live in tests/test_sketch_aggs.py."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("ad"),
+        F.count_distinct("o_custkey").alias("ed"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("ap"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("ep"),
+    )
+    return agg.select(
+        (
+            (F.abs(F.col("ad") - F.col("ed")) <= 0.05 * F.col("ed"))
+            & (F.abs(F.col("ap") - F.col("ep")) <= 0.01 * F.abs(F.col("ep")))
+        ).alias("sketch_ok")
+    )
+
+
+SKETCH_GATE_SQL = "SELECT true AS sketch_ok"
+
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -1332,6 +1357,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_quantization": emb_quantization,
     "profile_orders": profile_orders,
     "doc_crosscorpus_match": doc_crosscorpus_match,
+    "sketch_tolerance_gate": sketch_tolerance_gate,
     "media_byte_stats": media_byte_stats,
     "media_histogram_gate": media_histogram_gate,
     "doc_pii_scrub": doc_pii_scrub,
@@ -1366,6 +1392,7 @@ ORACLE_LLM: dict[str, str] = {
     "emb_quantization": EMB_QUANTIZATION_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
     "doc_crosscorpus_match": DOC_CROSSCORPUS_SQL,
+    "sketch_tolerance_gate": SKETCH_GATE_SQL,
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
