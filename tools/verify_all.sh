@@ -1,0 +1,15 @@
+#!/bin/bash
+# All verification gates, sequentially (never concurrently — contention
+# corrupts bench numbers). Exit nonzero on the first failing gate.
+set -e
+cd "$(dirname "$0")/.."
+echo "=== pytest ==="
+python -m pytest tests/ -x -q
+echo "=== oracle (sf0.01) ==="
+python tools/check_oracle.py /root/testdata/sf0.01
+echo "=== plan audit ==="
+python tools/plan_audit.py > /dev/null
+grep "Unexpected red flags" PLAN_AUDIT.md
+echo "=== bench (sf0.1) ==="
+python3 bench.py 2>/dev/null | tail -1
+echo "=== all gates green ==="
