@@ -9,6 +9,15 @@ into /root/reference (e.g. TableReader.scala:425-433) for parity checking.
 
 from cda_client_spark.session import get_spark, session_builder
 
+
+def register_tables(spark, sf_dir, tables=None):
+    """Register the testdata tables as temp views for spark.sql use
+    (lazy import so the package root stays dependency-light)."""
+    from cda_client_spark.queries import TABLES, register_tables as _rt
+
+    _rt(spark, sf_dir, tables or TABLES)
+
+
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "session_builder", "__version__"]
+__all__ = ["get_spark", "register_tables", "session_builder", "__version__"]

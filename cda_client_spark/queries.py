@@ -1282,3 +1282,14 @@ from cda_client_spark.queries_tpch import ORACLE_TPCH, SPARK_TPCH  # noqa: E402
 
 SPARK.update(SPARK_TPCH)
 ORACLE.update(ORACLE_TPCH)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """SQL front door: register every testdata table as a temp view (with
+    the same loader normalization as ``t``), so users can ``spark.sql``
+    arbitrary queries over the corpus — the engine has no SQL parser of
+    its own because Spark SQL IS the parser."""
+    for name in tables:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)

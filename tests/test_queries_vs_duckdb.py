@@ -59,3 +59,21 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     ns, nd = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"{name}: first mismatches: {mismatches[:3]}"
+
+
+def test_register_tables_sql_front_door(spark, sf_dir):
+    """spark.sql over the registered views — the engine's ad-hoc SQL
+    surface (no parser of our own: Spark SQL is the parser)."""
+    from cda_client_spark import register_tables
+
+    register_tables(spark, sf_dir)
+    got = spark.sql(
+        """
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 3
+        """
+    ).collect()
+    assert len(got) == 3 and all(r["n_cust"] > 0 for r in got)
+    # events view carries the normalized timestamp type
+    assert dict(spark.table("events").dtypes)["ts"] == "timestamp"
