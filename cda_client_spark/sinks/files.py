@@ -69,8 +69,8 @@ def replace_dir(staging: str | Path, final: str | Path) -> None:
     if final.exists():
         final.rename(old)
     staging.rename(final)
-    if old.exists():
-        shutil.rmtree(old)
+    # the displaced version stays as `.old`: one version of history for
+    # rollback / read_previous_snapshot; vacuum_snapshots reclaims it
 
 
 def flatten_structs_for_csv(df: DataFrame) -> DataFrame:
@@ -263,3 +263,30 @@ def compact_parquet(
     replace_dir(staging, path)
     _, after = dir_bytes(spark, path)
     return files, after
+
+
+def vacuum_snapshots(base: str | Path) -> list[str]:
+    """Remove the ``.old`` snapshot versions ``replace_dir`` retains.
+
+    Each merged-snapshot swap keeps exactly one previous version (crash
+    safety + ``read_previous_snapshot``); run this as maintenance once a
+    new snapshot is verified to reclaim the space. Returns the removed
+    paths."""
+    import shutil
+
+    removed = []
+    for old in sorted(Path(base).rglob("*.old")):
+        if old.is_dir():
+            shutil.rmtree(old)
+            removed.append(str(old))
+    return removed
+
+
+def read_previous_snapshot(spark: SparkSession, path: str | Path) -> DataFrame | None:
+    """The pre-swap version of a merged snapshot (one version of history —
+    the ``.old`` dir ``replace_dir`` left), or None if no swap has
+    happened / it was vacuumed."""
+    old = Path(str(path) + ".old")
+    if not old.exists():
+        return None
+    return spark.read.parquet(str(old))

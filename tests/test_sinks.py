@@ -206,3 +206,28 @@ def test_compact_parquet_respects_target_size(spark, tmp_path):
     target = max(1, total // 4)
     b, a = compact_parquet(spark, path, target_file_bytes=target)
     assert b == 60 and 3 <= a <= 6  # ~total/target files, not 1, not 60
+
+
+def test_snapshot_old_version_read_and_vacuum(spark, tmp_path):
+    from cda_client_spark.sinks.files import (
+        read_previous_snapshot,
+        replace_dir,
+        vacuum_snapshots,
+    )
+
+    snap = tmp_path / "t" / "fp" / "merged"
+    spark.range(5).write.parquet(str(snap))
+    assert read_previous_snapshot(spark, snap) is None
+
+    staging = tmp_path / "t" / "fp" / "merged.staging"
+    spark.range(9).write.parquet(str(staging))
+    replace_dir(staging, snap)
+
+    assert spark.read.parquet(str(snap)).count() == 9
+    prev = read_previous_snapshot(spark, snap)
+    assert prev is not None and prev.count() == 5
+
+    removed = vacuum_snapshots(tmp_path)
+    assert len(removed) == 1 and removed[0].endswith("merged.old")
+    assert read_previous_snapshot(spark, snap) is None
+    assert spark.read.parquet(str(snap)).count() == 9  # live snapshot untouched
