@@ -281,3 +281,33 @@ def test_lsh_join_candidates_only_mode(spark):
     # every doc collides with its twin at minimum
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert all((i, i + 50) in pairs for i in range(6))
+
+
+def test_lsh_join_is_symmetric_under_side_swap(spark):
+    """Swapping left/right mirrors the verified pair set (no hidden
+    asymmetry in bucketing, capping, or verification)."""
+    from cda_client_spark.operators.dedup import lsh_join
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2, "totally disjoint content words here nothing shared"),
+    ]
+    a = spark.createDataFrame(docs, "id_a bigint, text string")
+    b = spark.createDataFrame(
+        [(i + 10, t) for i, t in docs], "id_b bigint, text string"
+    )
+    fwd = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in lsh_join(a, b, threshold=0.3, hash_fn="md5").collect()
+    }
+    rev = {
+        (r["id_b"], r["id_a"], r["jaccard"])
+        for r in lsh_join(
+            b.withColumnRenamed("id_b", "id_a"),
+            a.withColumnRenamed("id_a", "id_b"),
+            threshold=0.3,
+            hash_fn="md5",
+        ).collect()
+    }
+    assert fwd == rev and len(fwd) >= 3
