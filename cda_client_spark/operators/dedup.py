@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cda_client_spark.operators.text import ngrams, ngrams_sql, normalize_text
+from cda_client_spark.operators.text import ngrams, ngrams_sql
 
 logger = logging.getLogger(__name__)
 

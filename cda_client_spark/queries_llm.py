@@ -40,7 +40,6 @@ from cda_client_spark.operators.similarity import (
     ann_topk_ivf as _ann_topk_ivf_op,
     band_key_sql,
     dot_sql,
-    dequantize_embeddings,
     embedding_near_dup_pairs,
     hyperplane_weights,
     quantize_embeddings,

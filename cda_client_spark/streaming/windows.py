@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
