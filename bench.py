@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "doc_minhash_lsh_pairs",
     "doc_minhash_lsh_pairs_fast",
     "doc_simhash_near_dups",
+    "doc_simhash_near_dups_fast",
     "emb_quantization",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
@@ -67,9 +68,16 @@ def bench_queries_map():
     a recall query instead of sitting in the registry themselves. Shared
     with tools/scaling_curve.py."""
     from cda_client_spark.queries import SPARK
-    from cda_client_spark.queries_llm import doc_minhash_lsh_pairs_fast
+    from cda_client_spark.queries_llm import (
+        doc_minhash_lsh_pairs_fast,
+        doc_simhash_near_dups_fast,
+    )
 
-    return {**SPARK, "doc_minhash_lsh_pairs_fast": doc_minhash_lsh_pairs_fast}
+    return {
+        **SPARK,
+        "doc_minhash_lsh_pairs_fast": doc_minhash_lsh_pairs_fast,
+        "doc_simhash_near_dups_fast": doc_simhash_near_dups_fast,
+    }
 
 
 def main() -> None:

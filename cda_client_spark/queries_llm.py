@@ -454,6 +454,54 @@ def minhash_fast_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_simhash_near_dups_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION SimHash path: xxhash64 64-bit signatures — same
+    banding/verify as the md5 twin. Benched directly (bench.py) and
+    driver-gated via ``simhash_fast_recall``; xxhash64 isn't replayable in
+    DuckDB so this stays out of the oracle registry."""
+    out = simhash_near_dup_pairs(
+        _docs_with_dups(spark, sf_dir),
+        max_hamming=8,
+        shingle=2,
+        bands=4,
+        bits=64,
+        hash_fn="xxhash64",
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SIMHASH_FAST_RECALL_BAR = 0.65
+
+SIMHASH_FAST_RECALL_SQL = "SELECT true AS recall_ok"
+
+
+def simhash_fast_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the xxhash64 SimHash path: recall of the
+    PLANTED near-dup pairs (ground truth, hash-independent — the md5 twin
+    scores ~0.78 at these parameters, the inherent sensitivity of
+    hamming<=8 banding) must stay >= 0.65. One boolean row; oracle is
+    ``SELECT true``."""
+    base = t(spark, sf_dir, "documents").select("doc_id")
+    planted = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 100000).alias("id_b"))
+        .unionByName(
+            base.filter(F.col("doc_id") % 20 == 0).select(
+                F.col("doc_id").alias("id_a"), (F.col("doc_id") + 200000).alias("id_b")
+            )
+        )
+    )
+    fast = doc_simhash_near_dups_fast(spark, sf_dir).select("id_a", "id_b")
+    hits = planted.join(fast, ["id_a", "id_b"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("hits"))
+        .crossJoin(planted.agg(F.count("*").alias("total")))
+        .select(
+            (F.col("hits") >= SIMHASH_FAST_RECALL_BAR * F.col("total")).alias("recall_ok")
+        )
+    )
+
+
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup CLUSTERS: connected components over the
     MinHash-LSH pair graph (A~B, B~C => {A,B,C} together even if A,C never
@@ -1342,6 +1390,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-gated through minhash_fast_recall: every registry row is
     # fully oracle-checkable
     "minhash_fast_recall": minhash_fast_recall,
+    "simhash_fast_recall": simhash_fast_recall,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_jaccard_lsh": doc_jaccard_lsh,
     "doc_jaccard_allpairs_sample": doc_jaccard_allpairs_sample,
@@ -1380,6 +1429,7 @@ ORACLE_LLM: dict[str, str] = {
     "doc_quality_percentile_filter": _quality_pct_sql(),
     "doc_minhash_lsh_pairs": DOC_MINHASH_SQL,
     "minhash_fast_recall": MINHASH_FAST_RECALL_SQL,
+    "simhash_fast_recall": SIMHASH_FAST_RECALL_SQL,
     "doc_dedup_clusters": DOC_CLUSTERS_SQL,
     "doc_jaccard_lsh": DOC_JACCARD_LSH_SQL,
     "doc_jaccard_allpairs_sample": DOC_JACCARD_ALLPAIRS_SQL,
