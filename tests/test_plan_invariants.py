@@ -29,6 +29,7 @@ BNLJ_OK = {
     "ann_topk_bruteforce",
     "ann_ivf_recall",
     "minhash_fast_recall",
+    "simhash_fast_recall",
     "media_histogram_gate",
     "doc_tfidf_top_terms",
     "doc_quality_percentile_filter",
