@@ -35,7 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--streaming",
         action="store_true",
-        help="run in Structured Streaming mode (file targets; checkpoint replaces savepoints)",
+        help="run in Structured Streaming mode (file targets only from the CLI — "
+        "JDBC streaming needs the Python API's jdbc_executor for replay-safe "
+        "applies; checkpoint replaces savepoints)",
     )
     args = ap.parse_args(argv)
 

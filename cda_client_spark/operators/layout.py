@@ -23,8 +23,19 @@ from pyspark.sql import functions as F
 
 def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
     """Morton key: bit j of column i lands at position ``j * n + i``.
-    Inputs must already be integer ranks in [0, 2**bits)."""
+    Inputs must already be integer ranks in [0, 2**bits).
+
+    ``len(cols) * bits`` must fit a signed 64-bit key: beyond 63 the JVM's
+    shiftleft wraps modulo 64 and silently scrambles the clustering, so
+    that is an error here — shrink ``bits`` (or see ``zorder_sort``, which
+    auto-shrinks)."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"interleave_bits: {n} cols x {bits} bits = {n * bits} key bits "
+            "exceeds the 63 available in a signed bigint; lower bits to "
+            f"<= {63 // n}"
+        )
     key = F.lit(0).cast("bigint")
     for j in range(bits):
         for i, c in enumerate(cols):
@@ -44,8 +55,12 @@ def zorder_sort(
     Ranks are min/max-normalized per column (nulls sort first via rank 0);
     ``bits`` trades key resolution against expression size (12 bits ≈ 4096
     cells per dimension — row-group granularity, not row granularity,
-    which is all data skipping can use anyway).
+    which is all data skipping can use anyway). When ``len(cols) * bits``
+    would overflow the 63 usable key bits (e.g. 6+ columns at the default
+    12), ``bits`` is shrunk to ``63 // len(cols)`` — resolution degrades
+    gracefully instead of the key wrapping modulo 64.
     """
+    bits = min(bits, 63 // len(cols))
     aggs = []
     for c in cols:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__mn"))

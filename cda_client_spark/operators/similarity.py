@@ -198,7 +198,7 @@ def ann_topk(
     method: str = "bruteforce",
     num_planes: int = 32,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     round_digits: int = 6,
     exclude_self: bool = True,
     seed: str = "hp",
@@ -208,6 +208,10 @@ def ann_topk(
     ``method='bruteforce'``: exact — corpus scanned once, queries broadcast.
     ``method='lsh'``: approximate — hyperplane-LSH candidates only (the
     100 TB path: scored rows ~ bucket collisions, not |corpus| x |queries|).
+    Corpus-side hot buckets are dropped at ``max_bucket_size`` (default ON —
+    a degenerate bucket, e.g. zero/boilerplate vectors, would otherwise make
+    every query landing in it scan a large corpus slice; see
+    ``cap_buckets``). Pass ``max_bucket_size=None`` to opt out.
 
     Returns (query_id, neighbor_id, cos_sim, rnk) with rnk 1..k ordered by
     (cos_sim desc, neighbor_id asc) — deterministic under ties.

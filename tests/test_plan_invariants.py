@@ -63,9 +63,12 @@ def test_no_plan_red_flags(spark, sf_dir, name):
 def test_pushdown_reaches_scan(spark, sf_dir):
     for name in ("q1_pricing_summary", "q6_forecast_revenue", "q19_discounted_revenue"):
         plan = plan_of(spark, sf_dir, name)
-        assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan.split(
-            "PushedFilters:"
-        )[1][:4], f"{name}: no pushed filters on the scan"
+        # at least one scan must carry a NON-empty pushed-filter list
+        scans = plan.split("PushedFilters:")[1:]
+        assert scans, f"{name}: no PushedFilters marker in the plan"
+        assert any(
+            not chunk.lstrip().startswith("[]") for chunk in scans
+        ), f"{name}: every scan has an empty pushed-filter list"
 
 
 def test_topk_is_take_ordered(spark, sf_dir):

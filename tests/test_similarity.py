@@ -128,6 +128,50 @@ def test_ann_topk_rejects_unknown_method(vecs):
         ann_topk(vecs, vecs, dim=3, method="nope")
 
 
+def test_ann_lsh_default_cap_drops_hot_bucket(spark):
+    """The ANN LSH path caps corpus-side hot buckets BY DEFAULT (r4 finding:
+    every other LSH entry had the cap on, ann_topk did not): a degenerate
+    bucket bigger than DEFAULT_MAX_BUCKET_SIZE contributes zero candidates,
+    while queries landing in healthy buckets still find their neighbors;
+    ``max_bucket_size=None`` restores the exhaustive behavior."""
+    import random
+
+    from cda_client_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+    rnd = random.Random(11)
+    q0 = [rnd.uniform(-1, 1) for _ in range(16)]
+    hot = [rnd.uniform(-1, 1) for _ in range(16)]
+    n_hot = DEFAULT_MAX_BUCKET_SIZE + 44
+    rows = [(0, q0), (100, list(q0))]  # query + its exact copy (small bucket)
+    rows += [(1000 + i, list(hot)) for i in range(n_hot)]  # one degenerate bucket
+    rows.append((2000, list(hot)))  # query that lands in the hot bucket
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id").isin(0, 2000))
+
+    capped = ann_topk(corpus, queries, dim=16, k=5, method="lsh", num_planes=16, bands=4)
+    by_query = {}
+    for r in capped.collect():
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # healthy bucket: query 0 still finds its planted copy
+    assert 100 in by_query.get(0, [])
+    # degenerate bucket dropped: query 2000 gets no hot neighbors
+    assert not any(1000 <= n < 1000 + n_hot for n in by_query.get(2000, []))
+
+    uncapped = ann_topk(
+        corpus,
+        queries.filter(F.col("vec_id") == 2000),
+        dim=16,
+        k=5,
+        method="lsh",
+        num_planes=16,
+        bands=4,
+        max_bucket_size=None,
+    )
+    hot_neighbors = [r["neighbor_id"] for r in uncapped.collect()]
+    assert len(hot_neighbors) == 5
+    assert all(1000 <= n < 1000 + n_hot for n in hot_neighbors)
+
+
 def test_ann_topk_ivf_recall_on_clustered_data(spark):
     """IVF on the clustered embeddings table: planted exact copy is found,
     and recall@5 vs brute force is high when probing a quarter of cells."""

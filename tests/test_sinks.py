@@ -208,6 +208,44 @@ def test_compact_parquet_respects_target_size(spark, tmp_path):
     assert b == 60 and 3 <= a <= 6  # ~total/target files, not 1, not 60
 
 
+def test_compact_parquet_preserves_hive_partitions_and_sidecar(spark, tmp_path):
+    """Compacting a partitioned folder must keep the col=value layout (and
+    thus partition pruning) and re-emit the _schema.yaml sidecar — r4
+    ADVICE: the flat rewrite silently destroyed both."""
+    from cda_client_spark.sinks.files import (
+        SCHEMA_FILENAME,
+        compact_parquet,
+        dir_bytes,
+        write_schema_yaml,
+    )
+
+    path = str(tmp_path / "part")
+    df = spark.range(5_000).selectExpr("id", "id % 3 AS g", "cast(id as string) AS s")
+    df.repartition(20).write.partitionBy("g").parquet(path)
+    write_schema_yaml(df, path)
+    _, before = dir_bytes(spark, path)
+    assert before >= 30  # ~20 files per partition value
+
+    b, a = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert b == before and a == 3  # one file per partition value
+    # layout survived: col=value dirs still present, pruning still works
+    import os
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("g=")) == [
+        "g=0",
+        "g=1",
+        "g=2",
+    ]
+    got = spark.read.parquet(path)
+    assert got.count() == 5_000
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(5_000))
+    plan = (
+        got.filter("g = 1")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert os.path.exists(os.path.join(path, SCHEMA_FILENAME))
+
+
 def test_snapshot_old_version_read_and_vacuum(spark, tmp_path):
     from cda_client_spark.sinks.files import (
         read_previous_snapshot,

@@ -68,6 +68,33 @@ def test_streaming_two_triggers_match_batch_merge(spark, tmp_path):
     assert {r["id"] for r in spark.read.parquet(snap).collect()} == {1, 3}
 
 
+def test_streaming_rejects_jdbc_target_without_executor(spark, tmp_path):
+    """foreachBatch is at-least-once; without a jdbc_executor the raw path
+    would be a plain append that duplicates rows when a crashed checkpoint
+    replays — the runner must refuse, not silently dup."""
+    root = tmp_path / "src"
+    root.mkdir()
+    build_basic_tree(root)
+    out = tmp_path / "out"
+    cfg = from_dict(
+        {
+            "sourceLocation": {"path": str(root)},
+            "savepointsLocation": str(out / "sp"),
+            "outputSettings": {
+                "exportTarget": "jdbc",
+                "tablesToInclude": "tsimple",
+                "jdbcSettings": {
+                    "url": "jdbc:postgresql://example.invalid/db",
+                    "saveMode": "raw",
+                },
+            },
+        }
+    )
+    results = run_streaming(spark, cfg, jdbc_executor=None)
+    assert results and not any(r.ok for r in results)
+    assert all("jdbc_executor" in (r.error or "") for r in results)
+
+
 def test_parse_cdc_envelope_roundtrip(spark):
     import json
 
