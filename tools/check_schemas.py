@@ -1,0 +1,97 @@
+"""Round-start schema sentinel: fail LOUDLY when the driver-regenerated
+testdata's physical parquet schemas drift from the committed expectation.
+
+The round driver regenerates /root/testdata between rounds and the physical
+types are not stable (r3: events.ts flipped TIMESTAMP(NANOS)->MICROS, which
+silently broke 8 correctness rows and crashed that round's bench). The
+loaders are schema-adaptive where drift has already happened
+(cda_client_spark/queries.py::t), but a NEW drift should be caught in one
+obvious place before it surfaces as red rows mid-round.
+
+Usage:
+    python tools/check_schemas.py            # diff against SCHEMAS.lock
+    python tools/check_schemas.py --update   # rewrite SCHEMAS.lock
+
+Exit 0 when every table at every SF matches the lock; exit 1 with a
+per-field diff otherwise (and on missing files).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pyarrow.parquet as pq
+
+TESTDATA = Path("/root/testdata")
+SFS = ("sf0.001", "sf0.01", "sf0.1")
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+LOCK = Path(__file__).resolve().parent.parent / "SCHEMAS.lock"
+
+
+def current_schemas() -> dict[str, dict[str, str]]:
+    out: dict[str, dict[str, str]] = {}
+    for sf in SFS:
+        for table in TABLES:
+            p = TESTDATA / sf / f"{table}.parquet"
+            key = f"{sf}/{table}"
+            if not p.exists():
+                out[key] = {"__error__": "missing file"}
+                continue
+            schema = pq.read_schema(p)
+            out[key] = {f.name: str(f.type) for f in schema}
+    return out
+
+
+def main() -> int:
+    got = current_schemas()
+    if "--update" in sys.argv:
+        LOCK.write_text(json.dumps(got, indent=2, sort_keys=True) + "\n")
+        print(f"wrote {LOCK} ({len(got)} table schemas)")
+        return 0
+    if not LOCK.exists():
+        print(f"FAIL: {LOCK} missing — run with --update to create it")
+        return 1
+    want = json.loads(LOCK.read_text())
+    drifts: list[str] = []
+    for key in sorted(set(want) | set(got)):
+        w, g = want.get(key), got.get(key)
+        if w == g:
+            continue
+        if w is None:
+            drifts.append(f"{key}: NEW table (not in lock)")
+            continue
+        if g is None:
+            drifts.append(f"{key}: table MISSING from testdata")
+            continue
+        for col in sorted(set(w) | set(g)):
+            if w.get(col) != g.get(col):
+                drifts.append(
+                    f"{key}.{col}: lock={w.get(col, '<absent>')} "
+                    f"actual={g.get(col, '<absent>')}"
+                )
+    if drifts:
+        print("SCHEMA DRIFT — the driver regenerated testdata with different")
+        print("physical types; audit every loader touching these columns")
+        print("(queries.py::t is the adaptive-load point), then --update:")
+        for d in drifts:
+            print(f"  {d}")
+        return 1
+    print(f"schemas OK: {len(got)} tables match {LOCK.name}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

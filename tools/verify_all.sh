@@ -3,6 +3,8 @@
 # corrupts bench numbers). Exit nonzero on the first failing gate.
 set -e
 cd "$(dirname "$0")/.."
+echo "=== schema sentinel ==="
+python tools/check_schemas.py
 echo "=== pytest ==="
 python -m pytest tests/ -x -q
 echo "=== oracle (sf0.01) ==="
