@@ -13,6 +13,11 @@ codegen-cache pressure): each query runs ``SPARK_GRAFT_REPS`` times
 (default 3) and reports the MEDIAN; the first rep of each query absorbs
 its own codegen/compile cost, the median discards one-off GC pauses. Set
 SPARK_GRAFT_REPS=1 for the old behavior.
+
+Coverage (r4 ask): the ENTIRE catalog is timed — the 34 headline queries
+first (stable cross-round comparison set), then every remaining registry
+entry — so a plan regression in any query shows up as a number, not only
+in PLAN_AUDIT. ``SPARK_GRAFT_BENCH=headline`` restores the short set.
 """
 
 from __future__ import annotations
@@ -93,9 +98,13 @@ def main() -> None:
     # not session spin-up
     SPARK["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    names = list(BENCH_QUERIES)
+    if os.environ.get("SPARK_GRAFT_BENCH", "full") != "headline":
+        names += sorted(n for n in SPARK if n not in set(BENCH_QUERIES))
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         samples = []
         for _ in range(reps):
             start = time.perf_counter()

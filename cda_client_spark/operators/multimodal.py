@@ -2,11 +2,13 @@
 opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 ``mapInPandas`` — the north-star plumbing for media-heavy training data.
 
-The container ships no media libraries, so the DECODE step is stubbed: if
-PIL is importable it decodes for real, otherwise a clearly-marked
-deterministic fake derives dimensions from the payload bytes. Everything
-around the stub — schema contract, Arrow batch shape, partition-preserving
-execution, byte-level statistics and features — is real and tested.
+Decoding is layered by what the environment provides: PIL when importable
+(full decode), else a dependency-free header parser for PNG/GIF/JPEG/BMP
+(:func:`parse_image_dims` — real dimensions from the format headers, no
+media library needed), else a clearly-marked deterministic fake for
+unrecognized payloads. The Spark-side plumbing — schema contract, Arrow
+batch shape, partition-preserving execution, byte statistics/features — is
+identical across all three and fully tested.
 
 Scale design:
 
@@ -58,6 +60,56 @@ def _fake_decode_dims(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
+def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """(mime, width, height) from the format header alone — pure Python
+    ``struct`` unpacking, no media library. Supports PNG (IHDR), GIF
+    (logical screen descriptor), BMP (DIB header) and JPEG (marker walk to
+    the first SOF segment). Returns None for anything unrecognized."""
+    import struct
+
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("image/png", w, h)
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("image/gif", w, h)
+    if n >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("image/bmp", w, abs(h))  # negative height = top-down rows
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            # standalone markers carry no length field
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > n:
+                return None
+            (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            # SOF0..SOF15 except DHT/JPG/DAC hold the frame dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return ("image/jpeg", w, h)
+                return None
+            i += 2 + seglen
+    return None
+
+
+def _header_decode_dims(payload: bytes) -> tuple[int, int]:
+    """Default real path without PIL: true dimensions from the format
+    header for recognized images, the deterministic fake otherwise."""
+    parsed = parse_image_dims(payload)
+    if parsed is not None:
+        return parsed[1], parsed[2]
+    return _fake_decode_dims(payload)
+
+
 def _pil_decode_dims(payload: bytes) -> tuple[int, int]:
     """Real decoder (requires PIL): open the payload and read its size."""
     import io
@@ -71,14 +123,16 @@ def decode_images(df: DataFrame, bin_col: str = "media", decoder=None) -> DataFr
 
     ``decoder`` is any ``bytes -> (width, height)`` callable, shipped to
     executors inside the closure; by default the real PIL decoder when PIL
-    is installed, else the deterministic fake above — so the Spark-side
-    plumbing (schema, Arrow batches, partitioning) is identical and fully
-    exercisable in both environments. Output schema = input + width/height.
+    is installed, else the dependency-free header parser (real dimensions
+    for PNG/GIF/JPEG/BMP, deterministic fake for unrecognized payloads) —
+    so the Spark-side plumbing (schema, Arrow batches, partitioning) is
+    identical and fully exercisable in every environment. Output schema =
+    input + width/height.
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     if decoder is None:
-        decoder = _pil_decode_dims if _HAVE_PIL else _fake_decode_dims
+        decoder = _pil_decode_dims if _HAVE_PIL else _header_decode_dims
 
     # StructType.add mutates in place — never call it on df.schema (the
     # DataFrame caches that object); build a fresh StructType instead

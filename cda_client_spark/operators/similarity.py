@@ -228,6 +228,14 @@ def ann_topk(
             id_col, "query_id"
         )
         if max_bucket_size is not None:
+            # window cap: one pass over the corpus (plane dots computed
+            # once), shuffling only (id, band, key). The alternative — a
+            # count-aggregate + broadcast anti-join — avoids that exchange
+            # but recomputes the sketch transform on both consumers, i.e.
+            # scans the corpus twice at scale (and measured slower even at
+            # sf0.1: 3.7s vs 2.9s). The ~0.8s the cap adds locally over
+            # uncapped is stage latency on tiny data, not a scaling cost:
+            # the exchanged rows are 3 longs per (vec, band).
             from cda_client_spark.operators.dedup import cap_buckets
 
             cb = cap_buckets(cb, ["band", "key"], max_bucket_size)

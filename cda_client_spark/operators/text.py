@@ -207,13 +207,45 @@ def fingerprint_fast(col: Column) -> Column:
 # and RE2 so oracles can replay them: no lookaround, no backrefs)
 # ---------------------------------------------------------------------------
 
-#: Redaction order matters: an SSN also matches the phone pattern, so
-#: specific patterns run before general ones. Each entry is
-#: (kind, pattern, replacement token).
+#: Redaction order matters: specific patterns run before general ones —
+#: an SSN or a credit card also matches the phone pattern; a PEM body's
+#: base64 could contain digit runs or AKIA-shaped substrings, so whole
+#: key blocks go first. Each entry is (kind, pattern, replacement token).
+#:
+#: Coverage notes (all patterns valid and equivalent in Java regex, RE2
+#: and Python re — no lookaround, no backrefs):
+#: - pem_key matches one full block; the base64 class excludes '-' so a
+#:   match can never span into a second block.
+#: - credit_card is 4x4 digits with optional space/dash separators (the
+#:   dominant 16-digit card shape); 13/15/19-digit formats fall through
+#:   to the phone rule, which still redacts digit runs >= 9 long.
+#: - ipv6 covers full/mostly-full forms (>= 4 colon groups, so times like
+#:   12:30:45 never match) and '::'-compressed forms with at least one
+#:   group on each side; bare-'::'-prefixed (::1) and '::'-terminated
+#:   forms are documented misses (matching them without lookaround
+#:   over-redacts scope operators and creates engine-divergent
+#:   empty-tail boundary cases).
 PII_RULES: tuple[tuple[str, str, str], ...] = (
+    (
+        "pem_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[A-Za-z0-9+/=\s]*-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    ("aws_key", r"\b(AKIA|ASIA)[0-9A-Z]{16}\b", "<AWS_KEY>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (
+        "credit_card",
+        r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b",
+        "<CARD>",
+    ),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (
+        "ipv6",
+        r"\b(([0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}"
+        r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5})\b",
+        "<IPV6>",
+    ),
     ("phone", r"\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"),
 )
 

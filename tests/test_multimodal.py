@@ -94,17 +94,82 @@ def test_decode_images_injected_real_decoder(spark):
     assert out == {1: (32, 8), 2: (100, 41), 3: (7, 7)}
 
 
-def test_decode_images_real_pil_branch(spark):
-    """With pillow installed, the DEFAULT decoder must do a real decode:
-    true dimensions from valid PNGs. Skip-marked where PIL is absent (this
-    container) — green under any env with `pip install pillow`."""
-    pytest.importorskip("PIL")
+def test_decode_images_default_is_real_for_known_formats(spark):
+    """The DEFAULT decoder does a REAL decode of recognized formats in any
+    environment: with PIL it decodes fully, without it the header parser
+    reads true dimensions from the PNG IHDR — either way these goldens
+    must come back exactly (no fake, no skip)."""
     rows = [(1, _png(20, 10)), (2, _png(3, 99))]
     df = spark.createDataFrame(rows, "doc_id bigint, media binary")
     out = {
         r["doc_id"]: (r["width"], r["height"]) for r in decode_images(df).collect()
     }
     assert out == {1: (20, 10), 2: (3, 99)}
+
+
+def _gif(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def _bmp(width: int, height: int) -> bytes:
+    import struct
+
+    return b"BM" + bytes(16) + struct.pack("<ii", width, height) + bytes(10)
+
+
+def _jpeg(width: int, height: int) -> bytes:
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes(65)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_dims_header_goldens():
+    """Pure-Python header parser: exact dims for PNG/GIF/JPEG/BMP goldens,
+    None for garbage/truncated payloads."""
+    from cda_client_spark.operators.multimodal import parse_image_dims
+
+    assert parse_image_dims(_png(32, 8)) == ("image/png", 32, 8)
+    assert parse_image_dims(_gif(640, 480)) == ("image/gif", 640, 480)
+    assert parse_image_dims(_bmp(123, 45)) == ("image/bmp", 123, 45)
+    assert parse_image_dims(_bmp(123, -45)) == ("image/bmp", 123, 45)  # top-down
+    assert parse_image_dims(_jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080)
+    assert parse_image_dims(b"") is None
+    assert parse_image_dims(b"hello world, not an image at all") is None
+    assert parse_image_dims(_png(32, 8)[:20]) is None  # truncated IHDR
+    assert parse_image_dims(b"\xff\xd8\xff\xd9") is None  # JPEG with no SOF
+
+
+def test_decode_images_mixed_formats_through_arrow(spark):
+    """Mixed-format batch through the default decoder: every recognized
+    payload decodes to its true dimensions; the unrecognized one falls
+    back to the documented deterministic fake."""
+    from cda_client_spark.operators.multimodal import _fake_decode_dims
+
+    blob = b"opaque-not-an-image"
+    rows = [
+        (1, _png(20, 10)),
+        (2, _gif(11, 22)),
+        (3, _jpeg(33, 44)),
+        (4, _bmp(55, 66)),
+        (5, blob),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary").repartition(2)
+    out = {
+        r["doc_id"]: (r["width"], r["height"]) for r in decode_images(df).collect()
+    }
+    expect_blob = _fake_decode_dims(blob)
+    assert out == {1: (20, 10), 2: (11, 22), 3: (33, 44), 4: (55, 66), 5: expect_blob}
 
 
 def test_byte_histogram_features_golden(media):

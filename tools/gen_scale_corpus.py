@@ -1,0 +1,96 @@
+"""Seeded generator for LARGER documents/embeddings corpora than the
+driver-provided testdata (max sf0.1 = 5k docs / 2k vectors — too small to
+measure scaling past fixed overhead).
+
+Mimics the testdata distributions (word-salad text from a small vocab,
+44-577 chars, 5 langs with an English bias, 20 sources; 64-dim embeddings
+clustered around 10 label centroids) at a chosen multiple, writing the
+same schemas so every catalog query runs unchanged against the output dir.
+
+Usage:
+    python tools/gen_scale_corpus.py sf1          # 10x sf0.1 -> scale_data/sf1
+    python tools/gen_scale_corpus.py sf10         # 100x sf0.1 -> scale_data/sf10
+
+Deterministic (numpy RandomState(42)); re-running overwrites the same
+files byte-for-byte. Writes under the repo (scale_data/ is gitignored),
+NEVER to /root/testdata.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_DOCS = 5_000  # sf0.1 documents rows
+BASE_VECS = 2_000  # sf0.1 embeddings rows
+DIM = 64
+SCALES = {"sf1": 10, "sf10": 100}
+
+VOCAB = (
+    "spark line column order small sort fast value scan hash slow group "
+    "batch part query agg table stream filter big merge join window key "
+    "vector data customer the a"
+).split()
+LANGS = ("en", "en", "en", "de", "es", "zh", "fr")  # ~2:1 English bias
+OUT_BASE = Path(__file__).resolve().parent.parent / "scale_data"
+
+
+def gen_documents(n: int, rnd: np.random.RandomState) -> pa.Table:
+    lens = rnd.randint(8, 100, size=n)  # words per doc -> ~44-600 chars
+    vocab = np.array(VOCAB)
+    texts = [" ".join(vocab[rnd.randint(0, len(vocab), size=k)]) for k in lens]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(
+                [LANGS[i] for i in rnd.randint(0, len(LANGS), size=n)],
+                type=pa.string(),
+            ),
+            "source": pa.array(
+                [f"src{i}" for i in rnd.randint(0, 20, size=n)], type=pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, rnd: np.random.RandomState) -> pa.Table:
+    centers = rnd.normal(0.0, 1.0, size=(10, DIM))
+    labels = rnd.randint(0, 10, size=n)
+    vecs = (centers[labels] + rnd.normal(0.0, 0.3, size=(n, DIM))).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32), type=pa.int32()),
+        }
+    )
+
+
+def main() -> int:
+    name = sys.argv[1] if len(sys.argv) > 1 else "sf1"
+    if name not in SCALES:
+        print(f"unknown scale {name!r}; choose from {sorted(SCALES)}")
+        return 1
+    mult = SCALES[name]
+    out = OUT_BASE / name
+    out.mkdir(parents=True, exist_ok=True)
+    rnd = np.random.RandomState(42)
+    docs = gen_documents(BASE_DOCS * mult, rnd)
+    pq.write_table(docs, out / "documents.parquet")
+    embs = gen_embeddings(BASE_VECS * mult, rnd)
+    pq.write_table(embs, out / "embeddings.parquet")
+    print(
+        f"wrote {out}: documents={docs.num_rows} rows, "
+        f"embeddings={embs.num_rows} rows"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
