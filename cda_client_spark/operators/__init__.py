@@ -26,9 +26,11 @@ from cda_client_spark.operators.similarity import (
     embedding_near_dup_pairs,
     quantize_embeddings,
 )
+from cda_client_spark.operators.packing import chunk_assignments, sliding_chunks
 from cda_client_spark.operators.sampling import (
     hash_sample,
     hash_split,
+    per_key_quota,
     token_budget_selection,
     weighted_sample,
 )
@@ -40,6 +42,7 @@ from cda_client_spark.operators.text import (
     pii_scrub,
     quality_score,
     redact_pii,
+    repetition_signals,
     tfidf_top_terms,
 )
 
@@ -67,8 +70,11 @@ __all__ = [
     "dequantize_embeddings",
     "embedding_near_dup_pairs",
     "quantize_embeddings",
+    "chunk_assignments",
+    "sliding_chunks",
     "hash_sample",
     "hash_split",
+    "per_key_quota",
     "token_budget_selection",
     "weighted_sample",
     "salted_join",
@@ -78,5 +84,6 @@ __all__ = [
     "pii_scrub",
     "quality_score",
     "redact_pii",
+    "repetition_signals",
     "tfidf_top_terms",
 ]

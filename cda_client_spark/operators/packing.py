@@ -106,3 +106,95 @@ SELECT {id_col}, shard, CAST(n_tokens AS BIGINT) AS n_tokens, token_offset,
                 CAST(FLOOR(token_offset / {chunk_tokens}) AS BIGINT)) AS last_chunk
 FROM offs
 """
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 32,
+    overlap_words: int = 8,
+) -> DataFrame:
+    """Cut each document into overlapping word windows — the
+    sliding-window chunking used for RAG indexing and long-document
+    training, where ``chunk_assignments`` packs whole documents instead.
+
+    Chunks start every ``chunk_words - overlap_words`` words (the stride)
+    and run for ``chunk_words`` words, the last one clipped at the
+    document end. The sequence stops once a chunk reaches the end —
+    ``ceil((L - overlap) / stride)`` chunks — so no emitted chunk is pure
+    overlap of its predecessor and together they cover every word. A
+    document of ``chunk_words`` or fewer yields exactly one chunk, an
+    empty document none. Output one row per chunk:
+    ``(id, chunk_idx, start_word, n_chunk_words, chunk_text)``.
+
+    Scale: a pure per-row array expression (split → transform over the
+    start sequence → posexplode) — no shuffle, no window, no UDF; row
+    amplification is the output contract (≈ L/stride rows per L-word
+    doc). Assignment is a pure function of the text, so it is invariant
+    to partitioning and engine (the DuckDB oracle replays it exactly).
+    """
+    if overlap_words >= chunk_words:
+        raise ValueError(
+            f"overlap_words ({overlap_words}) must be < chunk_words ({chunk_words})"
+        )
+    stride = chunk_words - overlap_words
+    w = f"split(lower(coalesce({text_col}, '')), '\\\\s+')"
+    # split('') is [''] (size 1) in both engines, so blank-ness is decided
+    # on the trimmed raw text, not the word-array size
+    blank = f"length(trim(coalesce({text_col}, ''))) = 0"
+    n_chunks = (
+        f"if({blank}, 0,"
+        f" greatest((size({w}) - {overlap_words} + {stride - 1}) div {stride}, 1))"
+    )
+    chunks = (
+        f"if({n_chunks} = 0, array(),"
+        f" transform(sequence(0, {n_chunks} - 1),"
+        f" i -> struct(i * {stride} as start_word,"
+        f" slice({w}, i * {stride} + 1, {chunk_words}) as cw)))"
+    )
+    return (
+        df.select(
+            F.col(id_col), F.posexplode(F.expr(chunks)).alias("chunk_idx", "c")
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("c.start_word").cast("bigint").alias("start_word"),
+            F.size("c.cw").cast("bigint").alias("n_chunk_words"),
+            F.concat_ws(" ", F.col("c.cw")).alias("chunk_text"),
+        )
+    )
+
+
+def sliding_chunks_sql(
+    source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 32,
+    overlap_words: int = 8,
+) -> str:
+    """DuckDB replay of ``sliding_chunks`` (1-based inclusive list slices
+    clip exactly like Spark's ``slice``) for the oracle contract."""
+    stride = chunk_words - overlap_words
+    return f"""
+WITH w AS (
+  SELECT {id_col},
+         regexp_split_to_array(lower(coalesce({text_col}, '')), '\\s+') AS w,
+         len(trim(coalesce({text_col}, ''))) = 0 AS blank
+  FROM {source}),
+n AS (
+  SELECT {id_col}, w,
+         CASE WHEN blank THEN 0
+           ELSE greatest((len(w) - {overlap_words} + {stride - 1}) // {stride}, 1)
+         END AS n_chunks
+  FROM w)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS start_word,
+       CAST(len(w[i * {stride} + 1 : i * {stride} + {chunk_words}]) AS BIGINT)
+         AS n_chunk_words,
+       array_to_string(w[i * {stride} + 1 : i * {stride} + {chunk_words}], ' ')
+         AS chunk_text
+FROM n, unnest(range(0, n_chunks)) AS t(i)
+"""

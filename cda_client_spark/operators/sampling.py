@@ -186,3 +186,39 @@ def token_budget_selection(
     return df.join(
         F.broadcast(chosen), qb == F.col("qb"), "left_semi"
     )
+
+
+def per_key_quota(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    id_col: str,
+    seed: str = "quota",
+) -> DataFrame:
+    """Cap the number of rows kept per key — the per-domain / per-source
+    quota every web-scale curation pipeline applies so one crawl host
+    can't dominate the corpus (e.g. "at most N pages per domain").
+
+    Selection within a key is a deterministic random order (md5 of the id,
+    ties broken by id), so the kept subset is stable across runs,
+    partitionings and engines, and nested: the cap-N set is a superset of
+    the cap-M set for M < N.
+
+    Scale: one shuffle keyed by ``key_col`` feeding a rank window. Rank
+    windows stream per key group (no full materialization), but a single
+    pathological key still lands on one task; for corpora where one domain
+    is a double-digit share of ALL rows, pre-thin with ``hash_sample``
+    on that key's rows first, then apply the exact quota. Emits only the
+    original columns — the ordering key never leaks into the result.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("_qrank", F.row_number().over(w))
+        .filter(F.col("_qrank") <= cap)
+        .drop("_qrank")
+    )

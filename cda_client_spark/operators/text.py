@@ -181,6 +181,78 @@ def tfidf_top_terms(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_top_ngram_frac: float = 0.20,
+    max_dup_ngram_frac: float = 0.60,
+) -> DataFrame:
+    """Intra-document repetition measures — the Gopher / RefinedWeb
+    "repetitious text" filters that catch keyword-stuffed, boilerplate and
+    generation-loop documents before expensive dedup stages.
+
+    Per document (word-level; separator-free so it works on prose and on
+    unpunctuated text alike):
+
+    - ``n_words`` — whitespace word count;
+    - ``dup_word_frac`` — fraction of word slots occupied by a word that
+      already appeared (``1 - distinct/total``);
+    - ``dup_ngram_frac`` — same for word ``n``-grams (Gopher's "duplicate
+      n-gram fraction", measured over gram slots rather than characters);
+    - ``top_ngram_frac`` — share of gram slots taken by the single most
+      frequent ``n``-gram (Gopher's "top n-gram fraction");
+    - ``repetition_ok`` — gate on both gram fractions. Defaults follow
+      Gopher's published bars (top 0.20 / dup 0.60, there measured over
+      characters); tune per corpus — clean synthetic text sits far below
+      the web-crawl thresholds.
+
+    Scale: the word-level stats are pure scalar array expressions — no
+    shuffle, no row amplification. ALL gram stats (total, distinct, modal
+    count) come from one explode → ``(doc, gram)`` count → per-doc
+    ``sum/count/max`` chain, so the gram array — the expensive
+    higher-order construction, measured as the bound on the SimHash
+    family too — is built exactly once; both aggregations are
+    partial-combinable, rows stay linear in corpus token count, and
+    per-doc state is bounded by document length. Short documents
+    (< n words) have no grams and report 0 for both gram fractions.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_words = F.size("w")
+    scalar = df.select(F.col(id_col), words(c).alias("w")).select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct("w")) / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    gram_stats = (
+        df.select(F.col(id_col), words(c).alias("w"))
+        .select(F.col(id_col), F.explode(ngrams_from_words("w", n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias(
+                "dup_ngram_frac"
+            ),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"),
+        )
+    )
+    return (
+        scalar.join(gram_stats, id_col, "left")
+        .withColumn("dup_ngram_frac", F.coalesce(F.col("dup_ngram_frac"), F.lit(0.0)))
+        .withColumn("top_ngram_frac", F.coalesce(F.col("top_ngram_frac"), F.lit(0.0)))
+        .withColumn(
+            "repetition_ok",
+            (F.col("top_ngram_frac") <= max_top_ngram_frac)
+            & (F.col("dup_ngram_frac") <= max_dup_ngram_frac),
+        )
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for exact-dup detection: lowercase, collapse
     whitespace, trim."""

@@ -1313,7 +1313,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_rank_orders",
     "sessionize_events",
     "window_stats_orders",
-    "sliding_order_totals",
     "asof_click_before_purchase",
     "range_click_error_pairs",
     "json_props_extract",
@@ -1346,6 +1345,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_tfidf_top_terms",
     "doc_pii_scrub",
     "doc_contamination",
+    "doc_repetition_signals",
     # sampling / packing / capstone
     "doc_train_val_split",
     "doc_weighted_sample",

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cda_client_spark.operators.graph import dedup_clusters
-from cda_client_spark.operators.packing import chunk_assignments, chunk_assignments_sql
+from cda_client_spark.operators.packing import (
+    chunk_assignments,
+    chunk_assignments_sql,
+    sliding_chunks,
+    sliding_chunks_sql,
+)
 from cda_client_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
     MINHASH_PRIME,
@@ -49,6 +54,7 @@ from cda_client_spark.operators.multimodal import byte_histogram_features, media
 from cda_client_spark.operators.sampling import (
     hash_split,
     hash_u01_sql,
+    per_key_quota,
     split_case_sql,
     token_budget_selection,
     weighted_sample,
@@ -62,6 +68,7 @@ from cda_client_spark.operators.text import (
     pii_scrub,
     quality_score,
     redact_pii_sql,
+    repetition_signals,
     tfidf_top_terms,
     token_count,
     word_count,
@@ -1400,14 +1407,21 @@ def sketch_tolerance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterparts on the same data (computed entirely in Spark; the
     sketches are engine-specific so the oracle is ``SELECT true``, but the
     tolerance bar itself is engine-independent). Detailed per-accuracy
-    tests live in tests/test_sketch_aggs.py."""
+    tests live in tests/test_sketch_aggs.py.
+
+    The exact count-distinct runs in its OWN aggregation, crossJoined as a
+    1-row scalar: mixing a distinct aggregate with the sketch aggregates
+    in one agg makes Catalyst Expand every input row, multiplying the rows
+    the (non-codegen) percentile sketches chew through — measured 7x
+    slower at sf0.1 (4.9 s vs 0.7 s, median of 3)."""
     o = t(spark, sf_dir, "orders")
-    agg = o.agg(
+    sketches = o.agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("ad"),
-        F.count_distinct("o_custkey").alias("ed"),
         F.percentile_approx("o_totalprice", 0.5, 10_000).alias("ap"),
         F.expr("percentile(o_totalprice, 0.5)").alias("ep"),
     )
+    exact = o.agg(F.count_distinct("o_custkey").alias("ed"))
+    agg = sketches.crossJoin(F.broadcast(exact))
     return agg.select(
         (
             (F.abs(F.col("ad") - F.col("ed")) <= 0.05 * F.col("ed"))
@@ -1417,6 +1431,113 @@ def sketch_tolerance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SKETCH_GATE_SQL = "SELECT true AS sketch_ok"
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition filters + per-source quotas
+# ---------------------------------------------------------------------------
+
+
+#: corpus-calibrated gate bars (the synthetic word-salad corpus sits far
+#: below Gopher's web-crawl thresholds, which would never discriminate
+#: here — these split the corpus at roughly the 75th percentile)
+REPETITION_TOP_BAR = 0.05
+REPETITION_DUP_BAR = 0.06
+
+
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition measures per document: duplicate
+    word / 2-gram slot fractions, modal-2-gram share, and the gate flag."""
+    return repetition_signals(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=2,
+        max_top_ngram_frac=REPETITION_TOP_BAR,
+        max_dup_ngram_frac=REPETITION_DUP_BAR,
+    ).select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "dup_ngram_frac",
+        "top_ngram_frac",
+        "repetition_ok",
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) >= 2
+      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+      ELSE [] END AS grams
+  FROM w),
+scalar AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(1.0 - len(list_distinct(w)) / greatest(len(w), 1), 6) AS dup_word_frac,
+    CASE WHEN len(grams) = 0 THEN 0.0
+      ELSE round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+    END AS dup_ngram_frac
+  FROM g),
+cnt AS (
+  SELECT doc_id, gr, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gr FROM g)
+  GROUP BY doc_id, gr),
+top AS (
+  SELECT doc_id, round(max(c) / sum(c), 6) AS top_ngram_frac
+  FROM cnt GROUP BY doc_id)
+SELECT s.doc_id, s.n_words, s.dup_word_frac, s.dup_ngram_frac,
+  coalesce(t.top_ngram_frac, 0.0) AS top_ngram_frac,
+  (coalesce(t.top_ngram_frac, 0.0) <= {top_bar}
+    AND s.dup_ngram_frac <= {dup_bar}) AS repetition_ok
+FROM scalar s LEFT JOIN top t USING (doc_id)
+""".format(top_bar=REPETITION_TOP_BAR, dup_bar=REPETITION_DUP_BAR)
+
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (RAG / long-doc training layout):
+    32-word chunks every 24 words, one row per chunk."""
+    return sliding_chunks(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        chunk_words=32,
+        overlap_words=8,
+    )
+
+
+DOC_SLIDING_CHUNKS_SQL = sliding_chunks_sql(
+    "documents", chunk_words=32, overlap_words=8
+)
+
+
+#: at sf0.01 documents has ~500 rows over 20 sources (~25/source), so a
+#: cap of 15 trims most sources — the oracle actually exercises the rank
+SOURCE_QUOTA_CAP = 15
+
+
+def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the per-domain cap of web curation):
+    deterministic md5-ordered keep of at most SOURCE_QUOTA_CAP docs per
+    source."""
+    return per_key_quota(
+        t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        "source",
+        SOURCE_QUOTA_CAP,
+        "doc_id",
+    )
+
+
+DOC_SOURCE_QUOTA_SQL = f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents)
+WHERE r <= {SOURCE_QUOTA_CAP}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1463,6 +1584,9 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_weighted_sample": doc_weighted_sample,
     "doc_token_budget": doc_token_budget,
     "doc_pack_chunks": doc_pack_chunks,
+    "doc_repetition_signals": doc_repetition_signals,
+    "doc_source_quota": doc_source_quota,
+    "doc_sliding_chunks": doc_sliding_chunks,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -1499,4 +1623,7 @@ ORACLE_LLM: dict[str, str] = {
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_token_budget": DOC_TOKEN_BUDGET_SQL.replace("{quality}", DOC_QUALITY_SQL),
     "doc_pack_chunks": DOC_PACK_SQL,
+    "doc_repetition_signals": DOC_REPETITION_SQL,
+    "doc_source_quota": DOC_SOURCE_QUOTA_SQL,
+    "doc_sliding_chunks": DOC_SLIDING_CHUNKS_SQL,
 }

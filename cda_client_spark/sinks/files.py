@@ -326,3 +326,45 @@ def read_previous_snapshot(spark: SparkSession, path: str | Path) -> DataFrame |
     if not old.exists():
         return None
     return spark.read.parquet(str(old))
+
+
+def write_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    shards: int,
+    id_col: str,
+    compression: str | None = "gzip",
+    seed: str = "jsonl",
+) -> None:
+    """Training-data export: newline-delimited JSON in a fixed number of
+    deterministically-assigned shard files — the interchange format LLM
+    data loaders consume (one doc per line, shard membership stable
+    across re-runs so downstream sampling by shard is reproducible).
+
+    Shard assignment is the same engine-portable md5 bucketing the
+    sampling operators use (NOT ``repartition(n)``, whose hashing varies
+    with partitioning and is not reproducible outside Spark). One shuffle
+    keyed by shard; each shard is written by exactly one task, so
+    ``shards`` should be chosen for target file size (~100-500 MB each at
+    scale), not executor count. Spark's native json writer emits the
+    lines — no driver-side iteration, no UDF.
+    """
+    from cda_client_spark.operators.sampling import hash_bucket
+
+    keyed = df.withColumn("_shard", hash_bucket(F.col(id_col), shards, seed))
+    writer = keyed.repartition(shards, "_shard").write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.partitionBy("_shard").json(path)
+
+
+def read_jsonl_shards(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read a ``write_jsonl_sharded`` output back (shard column restored
+    as ``_shard``). Pass the schema for production reads — inference
+    scans the data twice."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -73,3 +73,53 @@ def test_one_shuffle_only(spark):
     df = docs(spark, [(i, "x y z") for i in range(1, 50)])
     plan = chunk_assignments(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_sliding_chunks_golden(spark):
+    from cda_client_spark.operators.packing import sliding_chunks
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 words
+            (2, "only three words"),  # shorter than one chunk
+            (3, ""),  # empty -> no chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    out = sliding_chunks(df, chunk_words=4, overlap_words=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # stride 2, ceil((10-2)/2) = 4 chunks; the would-be start-8 chunk is
+    # pure overlap of its predecessor and is not emitted
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_word"] for r in c1] == [0, 2, 4, 6]
+    assert [r["n_chunk_words"] for r in c1] == [4, 4, 4, 4]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-word overlap
+    assert c1[3]["chunk_text"] == "w6 w7 w8 w9"  # ends exactly at the doc
+    assert [r["chunk_text"] for r in by_doc[2]] == ["only three words"]
+    # blank text yields no chunks (split('') is [''], guarded on trim-length)
+    assert 3 not in by_doc
+
+
+def test_sliding_chunks_reconstruct_and_guard(spark):
+    import pytest as _pytest
+
+    from cda_client_spark.operators.packing import sliding_chunks
+
+    words = [f"t{i}" for i in range(57)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id bigint, text string")
+    rows = sorted(
+        sliding_chunks(df, chunk_words=16, overlap_words=4).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # dropping each chunk's leading overlap (except the first) rebuilds the doc
+    rebuilt = rows[0]["chunk_text"].split()
+    for r in rows[1:]:
+        rebuilt += r["chunk_text"].split()[4:]
+    assert rebuilt == words
+    # every chunk except possibly the last is full-size
+    assert all(r["n_chunk_words"] == 16 for r in rows[:-1])
+    with _pytest.raises(ValueError):
+        sliding_chunks(df, chunk_words=8, overlap_words=8)

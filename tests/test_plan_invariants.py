@@ -39,6 +39,7 @@ BNLJ_OK = {
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
     "doc_clean_corpus",
+    "sketch_tolerance_gate",
 }
 
 ARROW_OK = {"media_histogram_gate"}

@@ -141,3 +141,35 @@ def test_profile_table_one_pass(spark):
     # arrays are excluded by default
     df2 = df.withColumn("arr", __import__("pyspark.sql.functions", fromlist=["array"]).array("id"))
     assert {r["column"] for r in profile_table(df2).collect()} == {"id", "s", "v"}
+
+
+def test_per_key_quota_caps_and_keeps_small_keys(spark):
+    from cda_client_spark.operators.sampling import per_key_quota
+
+    rows = (
+        [(i, "big") for i in range(30)]
+        + [(100 + i, "mid") for i in range(5)]
+        + [(200, "single")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = per_key_quota(df, "source", 10, "doc_id")
+    sizes = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 10, "mid": 5, "single": 1}
+    assert out.columns == ["doc_id", "source"]  # rank column never leaks
+
+
+def test_per_key_quota_deterministic_and_nested(spark):
+    from cda_client_spark.operators.sampling import per_key_quota
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id bigint, source string"
+    )
+    keep10 = {r["doc_id"] for r in per_key_quota(df, "source", 10, "doc_id").collect()}
+    again = {
+        r["doc_id"]
+        for r in per_key_quota(df.repartition(7), "source", 10, "doc_id").collect()
+    }
+    assert keep10 == again  # partitioning-invariant
+    keep5 = {r["doc_id"] for r in per_key_quota(df, "source", 5, "doc_id").collect()}
+    assert keep5 < keep10  # nested: smaller cap is a strict subset

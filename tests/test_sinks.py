@@ -269,3 +269,33 @@ def test_snapshot_old_version_read_and_vacuum(spark, tmp_path):
     assert len(removed) == 1 and removed[0].endswith("merged.old")
     assert read_previous_snapshot(spark, snap) is None
     assert spark.read.parquet(str(snap)).count() == 9  # live snapshot untouched
+
+
+def test_jsonl_sharded_roundtrip_and_determinism(spark, tmp_path):
+    from cda_client_spark.sinks.files import read_jsonl_shards, write_jsonl_sharded
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", f"src{i % 3}") for i in range(200)],
+        "doc_id bigint, text string, source string",
+    )
+    p1 = str(tmp_path / "jsonl1")
+    write_jsonl_sharded(df, p1, shards=4, id_col="doc_id")
+    shard_dirs = sorted(d.name for d in (tmp_path / "jsonl1").iterdir()
+                        if d.name.startswith("_shard="))
+    assert shard_dirs == ["_shard=0", "_shard=1", "_shard=2", "_shard=3"]
+    # gzip actually applied, one file per shard (single writer task each)
+    for d in shard_dirs:
+        files = [f for f in (tmp_path / "jsonl1" / d).iterdir()
+                 if f.name.startswith("part-")]
+        assert len(files) == 1 and files[0].name.endswith(".json.gz")
+    back = read_jsonl_shards(spark, p1)
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.collect()} == set(range(200))
+    # shard assignment is a pure function of the id: a differently
+    # partitioned rewrite produces the identical doc->shard mapping
+    p2 = str(tmp_path / "jsonl2")
+    write_jsonl_sharded(df.repartition(13), p2, shards=4, id_col="doc_id")
+    m1 = {(r["doc_id"], r["_shard"]) for r in back.collect()}
+    m2 = {(r["doc_id"], r["_shard"])
+          for r in read_jsonl_shards(spark, p2).collect()}
+    assert m1 == m2

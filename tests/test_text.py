@@ -300,3 +300,49 @@ def test_ngram_contamination_known_overlap(spark):
     assert out[1]["overlap_ratio"] == 1.0
     assert out[2]["n_shared"] == 1 and out[2]["n_grams"] == 5
     assert abs(out[2]["overlap_ratio"] - 0.2) < 1e-9
+
+
+def test_repetition_signals_golden(spark):
+    from cda_client_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # all dup words, modal gram = 100%
+            (2, "a b c d"),  # no repetition at all
+            (3, "x"),  # fewer words than the gram size
+            (4, "go stop go stop go"),  # alternating: dup grams, split modal
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == pytest.approx(0.75, abs=1e-6)
+    assert r1["dup_ngram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r1["top_ngram_frac"] == pytest.approx(1.0, abs=1e-6)
+    assert not r1["repetition_ok"]  # 1.0 > 0.20 default bar
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup_ngram_frac"] == 0.0
+    assert r2["top_ngram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    r3 = rows[3]  # no grams: fractions defined as 0, gate passes
+    assert r3["n_words"] == 1
+    assert r3["dup_ngram_frac"] == 0.0
+    assert r3["top_ngram_frac"] == 0.0
+    assert r3["repetition_ok"]
+    r4 = rows[4]  # grams: go stop, stop go, go stop, stop go -> 2 distinct
+    assert r4["dup_ngram_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert r4["top_ngram_frac"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_repetition_signals_trigram_and_thresholds(spark):
+    from cda_client_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c")], "doc_id bigint, text string"
+    )
+    r = repetition_signals(df, n=3, max_top_ngram_frac=0.9).collect()[0]
+    # trigrams: 7 slots, 3 distinct (abc, bca, cab)
+    assert r["dup_ngram_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    assert r["top_ngram_frac"] == pytest.approx(3 / 7, abs=1e-6)
+    assert r["repetition_ok"]  # loosened top bar, dup 4/7 <= 0.60 default

@@ -143,3 +143,55 @@ def test_contamination_matches_reference(spark, corpus, bench, n):
         for r in ngram_contamination(cdf, bdf, n=n).collect()
     }
     assert got == contamination_reference(corpus, bench, n)
+
+
+# -- repetition_signals ----------------------------------------------------
+
+words_strategy = st.lists(
+    st.sampled_from(["go", "stop", "spam", "alpha", "beta"]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def repetition_reference(word_lists: list[list[str]], n: int):
+    """Pure-Python repetition_signals: same slot-fraction definitions."""
+    from collections import Counter
+
+    out = {}
+    for i, w in enumerate(word_lists):
+        grams = (
+            [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+            if len(w) >= n
+            else []
+        )
+        dup_w = 1.0 - len(set(w)) / max(len(w), 1)
+        dup_g = 0.0 if not grams else 1.0 - len(set(grams)) / len(grams)
+        top_g = 0.0 if not grams else max(Counter(grams).values()) / len(grams)
+        out[i] = (len(w), dup_w, dup_g, top_g)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word_lists=st.lists(words_strategy, min_size=1, max_size=8),
+    n=st.integers(min_value=2, max_value=4),
+)
+def test_repetition_signals_matches_reference(spark, word_lists, n):
+    from cda_client_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(word_lists)],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in repetition_signals(df, n=n).collect()
+    }
+    ref = repetition_reference(word_lists, n)
+    assert set(got) == set(ref)
+    for i, (n_words, dup_w, dup_g, top_g) in ref.items():
+        r = got[i]
+        assert r["n_words"] == n_words
+        assert abs(r["dup_word_frac"] - dup_w) < 1e-6, (i, "dup_word")
+        assert abs(r["dup_ngram_frac"] - dup_g) < 1e-6, (i, "dup_ngram")
+        assert abs(r["top_ngram_frac"] - top_g) < 1e-6, (i, "top_ngram")
