@@ -1,0 +1,293 @@
+"""Config-driven corpus-curation pipeline: the end-to-end front door that
+chains the training-data operators into one run (north-star extension; the
+reference has no counterpart — its CLI drives the CDC pipeline, this one
+drives corpus preparation).
+
+    python -m cda_client_spark.curation -c curation.yaml
+
+Config shape (every step optional; steps run in the fixed order below):
+
+.. code-block:: yaml
+
+    curation:
+      inputPath: /data/documents.parquet     # parquet with id+text columns
+      idColumn: doc_id
+      textColumn: text
+      outputPath: /data/curated
+      steps:
+        lineDedup: {minDocFreq: 10}          # strip cross-doc boilerplate lines
+        piiScrub: {}                         # redact emails/SSNs/keys/...
+        quality: {minWords: 20, minScore: 0.2}
+        repetition: {maxTopNgramFrac: 0.2, maxDupNgramFrac: 0.6, n: 2}
+        contamination: {benchmarkPath: /data/eval.parquet, n: 8}
+        sourceQuota: {keyColumn: source, cap: 1000}
+      split: {train: 0.98, val: 0.01, test: 0.01}
+      export: {shards: 8, compression: gzip}   # sharded JSONL per split
+
+Design: transforms (line dedup, PII) rewrite the text in place; filters
+never drop rows mid-stream — each tags the FIRST failing stage in a
+``drop_reason`` column instead. One aggregation then yields the per-stage
+funnel (the audit every curation run needs), and only the surviving rows
+are split and exported. That keeps the whole pipeline a single lazy
+lineage: no per-stage ``count()`` actions, no re-execution of upstream
+stages, and the reasons double as a debuggable sample source
+(``WHERE drop_reason = 'quality'``).
+
+Scale: the chain is narrow maps + the operators' own documented shuffles
+(line dedup 2, quota 1 rank window, contamination broadcast-only); the
+funnel is one partial-combinable groupBy on a low-cardinality reason
+column; export is the deterministic sharded JSONL sink. Nothing collects
+rows to the driver — the report carries only the funnel counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cda_client_spark.config import ConfigError
+from cda_client_spark.operators.dedup import line_dedup
+from cda_client_spark.operators.sampling import hash_split
+from cda_client_spark.operators.text import (
+    ngram_contamination,
+    quality_score,
+    redact_pii,
+    repetition_signals,
+    word_count,
+)
+
+log = logging.getLogger(__name__)
+
+#: filter stages in execution order; drop_reason carries the first that fails
+STAGES = ("quality", "repetition", "contamination", "source_quota")
+
+
+@dataclass
+class CurationConfig:
+    input_path: str
+    output_path: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    steps: dict[str, dict[str, Any]] = field(default_factory=dict)
+    split: dict[str, float] = field(default_factory=dict)
+    export_shards: int = 8
+    export_compression: str | None = "gzip"
+
+
+def load_curation_config(path: str | Path) -> CurationConfig:
+    import yaml
+
+    raw = yaml.safe_load(Path(path).read_text())
+    c = (raw or {}).get("curation")
+    if not isinstance(c, dict):
+        raise ConfigError("config must have a top-level 'curation' mapping")
+    for req in ("inputPath", "outputPath"):
+        if not c.get(req):
+            raise ConfigError(f"curation.{req} is required")
+    steps = c.get("steps") or {}
+    known = {"lineDedup", "piiScrub", "quality", "repetition", "contamination", "sourceQuota"}
+    unknown = set(steps) - known
+    if unknown:
+        raise ConfigError(f"unknown curation steps: {sorted(unknown)}")
+    exp = c.get("export") or {}
+    return CurationConfig(
+        input_path=c["inputPath"],
+        output_path=c["outputPath"],
+        id_col=c.get("idColumn", "doc_id"),
+        text_col=c.get("textColumn", "text"),
+        steps={k: (v or {}) for k, v in steps.items()},
+        split=c.get("split") or {},
+        export_shards=int(exp.get("shards", 8)),
+        export_compression=exp.get("compression", "gzip"),
+    )
+
+
+@dataclass
+class CurationReport:
+    total: int
+    kept: int
+    dropped: dict[str, int]  # stage -> rows dropped there
+    splits: dict[str, int]  # split name -> rows exported
+    output_path: str
+
+
+def _tag(df: DataFrame, reason: str, fails: F.Column) -> DataFrame:
+    """Record ``reason`` for rows that fail this stage and are not already
+    dropped — drop_reason always names the FIRST failing stage."""
+    return df.withColumn(
+        "drop_reason",
+        F.when(F.col("drop_reason").isNull() & fails, F.lit(reason)).otherwise(
+            F.col("drop_reason")
+        ),
+    )
+
+
+def curate(spark: SparkSession, cfg: CurationConfig) -> tuple[DataFrame, DataFrame]:
+    """Build the curation lineage. Returns ``(tagged, kept)``: the full
+    frame with ``drop_reason`` (null = kept, possibly with a ``split``
+    column) and its kept-only filter. Lazy — callers choose the action."""
+    id_c, text_c = cfg.id_col, cfg.text_col
+    df = spark.read.parquet(cfg.input_path)
+    steps = cfg.steps
+
+    if "lineDedup" in steps:
+        ld = line_dedup(
+            df.select(id_c, text_c),
+            text_col=text_c,
+            id_col=id_c,
+            min_doc_freq=int(steps["lineDedup"].get("minDocFreq", 10)),
+        ).select(id_c, F.col("clean_text").alias("_ld_text"))
+        df = df.join(ld, id_c).withColumn(text_c, F.col("_ld_text")).drop("_ld_text")
+
+    if "piiScrub" in steps:
+        df = df.withColumn(text_c, redact_pii(F.col(text_c)))
+
+    df = df.withColumn("drop_reason", F.lit(None).cast("string"))
+
+    if "quality" in steps:
+        q = steps["quality"]
+        scored = quality_score(df, text_c)
+        fails = (F.col("n_words") < int(q.get("minWords", 1))) | (
+            F.col("quality_score") < float(q.get("minScore", 0.0))
+        )
+        df = _tag(scored, "quality", fails).select(*df.columns)
+
+    if "repetition" in steps:
+        r = steps["repetition"]
+        sig = repetition_signals(
+            df.select(id_c, text_c),
+            text_c,
+            id_c,
+            n=int(r.get("n", 2)),
+            max_top_ngram_frac=float(r.get("maxTopNgramFrac", 0.20)),
+            max_dup_ngram_frac=float(r.get("maxDupNgramFrac", 0.60)),
+        ).select(id_c, "repetition_ok")
+        df = _tag(df.join(sig, id_c), "repetition", ~F.col("repetition_ok")).select(
+            *df.columns
+        )
+
+    if "contamination" in steps:
+        c = steps["contamination"]
+        bench = spark.read.parquet(c["benchmarkPath"])
+        hits = ngram_contamination(
+            df.select(id_c, text_c), bench, text_c, id_c, n=int(c.get("n", 8))
+        ).select(id_c, F.lit(True).alias("_contaminated"))
+        df = _tag(
+            df.join(hits, id_c, "left"), "contamination", F.col("_contaminated").isNotNull()
+        ).select(*df.columns)
+
+    if "sourceQuota" in steps:
+        sq = steps["sourceQuota"]
+        key = sq["keyColumn"]
+        cap = int(sq["cap"])
+        # rank only over rows that survived earlier stages, so the quota
+        # fills with kept docs first (same md5 order as per_key_quota)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key, F.col("drop_reason").isNull()).orderBy(
+            F.md5(F.concat(F.lit("quota:"), F.col(id_c).cast("string"))), F.col(id_c)
+        )
+        df = _tag(
+            df.withColumn("_qrank", F.row_number().over(w)),
+            "source_quota",
+            F.col("_qrank") > cap,
+        ).drop("_qrank")
+
+    kept = df.filter(F.col("drop_reason").isNull()).drop("drop_reason")
+    if cfg.split:
+        kept = hash_split(kept, cfg.id_col, {k: float(v) for k, v in cfg.split.items()})
+    return df, kept
+
+
+def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
+    """Execute the pipeline: funnel stats, then sharded-JSONL export of
+    every split under ``outputPath/<split>/`` (or ``all`` when no split),
+    plus a ``curation_report.json`` with the funnel."""
+    from cda_client_spark.sinks.files import write_jsonl_sharded
+
+    tagged, kept = curate(spark, cfg)
+    funnel = {
+        r["drop_reason"]: r["n"]
+        for r in tagged.groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_n = funnel.pop(None, 0)
+    total = kept_n + sum(funnel.values())
+
+    splits: dict[str, int] = {}
+    names = list(cfg.split) or ["all"]
+    for name in names:
+        part = kept.filter(F.col("split") == name).drop("split") if cfg.split else kept
+        out = str(Path(cfg.output_path) / name)
+        write_jsonl_sharded(
+            part,
+            out,
+            shards=cfg.export_shards,
+            id_col=cfg.id_col,
+            compression=cfg.export_compression,
+        )
+        # read-back count verifies what actually landed; an empty split
+        # writes no part files and json inference would fail on it
+        has_files = any(Path(out).rglob("part-*"))
+        splits[name] = spark.read.json(out).count() if has_files else 0
+
+    report = CurationReport(
+        total=total,
+        kept=kept_n,
+        dropped={k: v for k, v in sorted(funnel.items())},
+        splits=splits,
+        output_path=cfg.output_path,
+    )
+    Path(cfg.output_path).mkdir(parents=True, exist_ok=True)
+    (Path(cfg.output_path) / "curation_report.json").write_text(
+        json.dumps(
+            {
+                "total": report.total,
+                "kept": report.kept,
+                "dropped": report.dropped,
+                "splits": report.splits,
+            },
+            indent=2,
+        )
+    )
+    return report
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="cda_client_spark.curation",
+        description="Corpus curation: boilerplate/PII/quality/repetition/"
+        "contamination/quota -> split -> sharded JSONL",
+    )
+    ap.add_argument("--configPath", "-c", required=True)
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    cfg = load_curation_config(args.configPath)
+
+    from pyspark.sql import SparkSession
+
+    from cda_client_spark.session import get_spark
+
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="cda_client_spark-curation")
+    try:
+        report = run_curation(spark, cfg)
+    finally:
+        if not preexisting:  # don't tear down a session we merely joined
+            spark.stop()
+    print(
+        f"curated {report.kept}/{report.total} docs -> {report.output_path} "
+        f"(dropped: {report.dropped or 'none'}; splits: {report.splits})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

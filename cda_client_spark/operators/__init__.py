@@ -6,12 +6,14 @@ processing."""
 
 from cda_client_spark.operators.cdc import apply_cdc, latest_changes, merge_cdc
 from cda_client_spark.operators.dedup import (
+    duplicate_spans,
     exact_dedup,
     jaccard_pairs,
     line_dedup,
     lsh_candidate_pairs,
     lsh_join,
     minhash_signatures,
+    remove_spans,
     simhash_near_dup_pairs,
     simhash_signatures,
 )
@@ -50,12 +52,14 @@ __all__ = [
     "apply_cdc",
     "latest_changes",
     "merge_cdc",
+    "duplicate_spans",
     "exact_dedup",
     "jaccard_pairs",
     "line_dedup",
     "lsh_candidate_pairs",
     "lsh_join",
     "minhash_signatures",
+    "remove_spans",
     "simhash_near_dup_pairs",
     "simhash_signatures",
     "connected_components",

@@ -594,3 +594,104 @@ def lsh_join(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Locate cross-document repeated substrings — the span-level exact
+    dedup of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better" (ExactSubstr), at word granularity: every window of
+    ``n`` consecutive words whose normalized form appears in at least
+    ``min_doc_freq`` DISTINCT documents marks its word range, and
+    overlapping/adjacent ranges merge into maximal spans.
+
+    Returns one row per span: ``(id, span_start, span_end, n_windows)``
+    with word-index bounds [start, end) — the flag-level output; feed it
+    to :func:`remove_spans` to cut the spans out of the text.
+
+    Scale: windows are one posexplode (linear in corpus words); the
+    frequency side collapses to DISTINCT grams (count_distinct ids is
+    partial-combinable); the merge is a classic gaps-and-islands over a
+    per-doc window — state is 2 longs per flagged window, never the text.
+    Corpus never self-joins; the only joins are gram-equi against the
+    (small) repeated-gram set.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(ngrams(text_col, n)).alias("pos", "gram"),
+    )
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("gram_df"))
+        .filter(F.col("gram_df") >= min_doc_freq)
+        .select("gram")
+    )
+    flagged = grams.join(repeated, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        flagged.withColumn("prev", F.lag("pos").over(w))
+        # windows [p, p+n) and [q, q+n) merge iff q <= p + n (overlap or
+        # touch); a larger jump starts a new island
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + n), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + n).cast("bigint").alias("span_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    ).drop("island")
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut ``duplicate_spans`` word ranges out of each document, keeping
+    the remaining words in order: ``(id, clean_text, n_words,
+    n_words_kept)``. Documents with no spans pass through unchanged.
+
+    Scale: spans collapse to one array per doc (bounded by doc length),
+    broadcast-friendly next to the text; the cut is a scalar
+    ``filter(words, (w, i) -> no span covers i)`` lambda — no explode of
+    the corpus text, no UDF.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    words_expr = f"split(lower(coalesce({text_col}, '')), '\\\\s+')"
+    kept_expr = (
+        f"filter({words_expr}, (wd, i) -> "
+        f"size(filter(_spans_c, s -> i >= s.span_start and i < s.span_end)) = 0)"
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            "_spans_c",
+            F.coalesce(
+                F.col("_spans"),
+                F.expr(
+                    "cast(array() as array<struct<span_start:bigint,span_end:bigint>>)"
+                ),
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"concat_ws(' ', {kept_expr})").alias("clean_text"),
+            F.expr(f"size({words_expr})").cast("bigint").alias("n_words"),
+            F.expr(f"size({kept_expr})").cast("bigint").alias("n_words_kept"),
+        )
+    )

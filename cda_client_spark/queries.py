@@ -1329,7 +1329,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_minhash_lsh_pairs",
     "minhash_fast_recall",
     "doc_simhash_near_dups",
-    "simhash_fast_recall",
+    "doc_duplicate_spans",
     "doc_dedup_clusters",
     "doc_line_dedup",
     "doc_crosscorpus_match",

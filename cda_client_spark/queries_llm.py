@@ -32,6 +32,7 @@ from cda_client_spark.operators.packing import (
 from cda_client_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET_SIZE,
     MINHASH_PRIME,
+    duplicate_spans,
     exact_dedup,
     jaccard_pairs,
     line_dedup,
@@ -1497,6 +1498,42 @@ SELECT s.doc_id, s.n_words, s.dup_word_frac, s.dup_ngram_frac,
 FROM scalar s LEFT JOIN top t USING (doc_id)
 """.format(top_bar=REPETITION_TOP_BAR, dup_bar=REPETITION_DUP_BAR)
 
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span dedup (Lee et al. 2022) at word granularity:
+    maximal spans of cross-document-repeated 8-grams on the planted-dup
+    corpus."""
+    return duplicate_spans(
+        _docs_with_dups(spark, sf_dir), "text", "doc_id", n=8, min_doc_freq=2
+    )
+
+
+DOC_DUP_SPANS_SQL = f"""
+WITH corpus AS ({DOC_DUPS_SQL}),
+w AS (SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')), '\\s+') AS w
+      FROM corpus),
+g AS (SELECT doc_id, CASE WHEN len(w) >= 8
+        THEN list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))
+        ELSE [] END AS grams FROM w),
+e AS (SELECT doc_id, unnest(grams) AS gram,
+             generate_subscripts(grams, 1) - 1 AS pos FROM g),
+rep AS (SELECT gram FROM e GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+f AS (SELECT doc_id, pos FROM e WHERE gram IN (SELECT gram FROM rep)),
+isl AS (SELECT doc_id, pos,
+          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                 OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+               THEN 1 ELSE 0 END AS ni
+        FROM f),
+isl2 AS (SELECT doc_id, pos,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+             AS island
+         FROM isl)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 8 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (RAG / long-doc training layout):
     32-word chunks every 24 words, one row per chunk."""
@@ -1587,6 +1624,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_signals": doc_repetition_signals,
     "doc_source_quota": doc_source_quota,
     "doc_sliding_chunks": doc_sliding_chunks,
+    "doc_duplicate_spans": doc_duplicate_spans,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -1626,4 +1664,5 @@ ORACLE_LLM: dict[str, str] = {
     "doc_repetition_signals": DOC_REPETITION_SQL,
     "doc_source_quota": DOC_SOURCE_QUOTA_SQL,
     "doc_sliding_chunks": DOC_SLIDING_CHUNKS_SQL,
+    "doc_duplicate_spans": DOC_DUP_SPANS_SQL,
 }

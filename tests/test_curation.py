@@ -1,0 +1,177 @@
+"""End-to-end corpus-curation pipeline: planted defects must fall at the
+right funnel stage, survivors export as sharded JSONL, and the whole run
+is deterministic (north-star capstone — no reference counterpart)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from cda_client_spark.curation import (
+    CurationConfig,
+    load_curation_config,
+    run_curation,
+)
+
+BOILER = "SUBSCRIBE NOW"
+CONTAM = "one two three four five six seven eight"
+
+
+def good_text(i: int) -> str:
+    # 24 distinct words -> passes quality (>=5 words) and repetition
+    return " ".join(f"word{i}x{j}" for j in range(24))
+
+
+def build_corpus(spark, path: str) -> dict[str, set[int]]:
+    """Rows planted to fail exactly one stage each (first-failure-wins
+    order: quality -> repetition -> contamination -> source_quota)."""
+    rows = []
+    # 10 clean docs from source 'big' -> quota cap 4 keeps 4, drops 6
+    for i in range(10):
+        rows.append((i, good_text(i) + f"\n{BOILER}", "big"))
+    # clean docs from small sources, untouched by quota
+    for i in range(10, 16):
+        rows.append((i, good_text(i) + f"\n{BOILER}", f"s{i}"))
+    rows.append((20, "too few words", "s20"))  # quality: 3 < minWords 5
+    rows.append((21, " ".join(["spam"] * 30), "s21"))  # repetition: top frac 1.0
+    rows.append((22, f"prefix {CONTAM} suffix {good_text(22)}", "s22"))  # contamination
+    rows.append((23, f"mail me at a@b.com {good_text(23)}", "s23"))  # PII: kept, redacted
+    spark.createDataFrame(rows, "doc_id bigint, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return {
+        "quality": {20},
+        "repetition": {21},
+        "contamination": {22},
+    }
+
+
+def make_cfg(tmp_path, corpus: str, bench: str, out: str) -> CurationConfig:
+    return CurationConfig(
+        input_path=corpus,
+        output_path=out,
+        steps={
+            "lineDedup": {"minDocFreq": 3},
+            "piiScrub": {},
+            "quality": {"minWords": 5, "minScore": 0.0},
+            "repetition": {},
+            "contamination": {"benchmarkPath": bench, "n": 8},
+            "sourceQuota": {"keyColumn": "source", "cap": 4},
+        },
+        split={"train": 1.0},
+        export_shards=2,
+    )
+
+
+def test_curation_end_to_end(spark, tmp_path):
+    corpus = str(tmp_path / "corpus.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "curated")
+    build_corpus(spark, corpus)
+    spark.createDataFrame([(0, CONTAM)], "doc_id bigint, text string").write.parquet(bench)
+
+    report = run_curation(spark, make_cfg(tmp_path, corpus, bench, out))
+
+    assert report.total == 20
+    assert report.dropped == {
+        "quality": 1,
+        "repetition": 1,
+        "contamination": 1,
+        "source_quota": 6,  # 10 'big' docs, cap 4
+    }
+    assert report.kept == 11 and report.splits == {"train": 11}
+
+    back = {r["doc_id"]: r for r in spark.read.json(str(Path(out) / "train")).collect()}
+    assert len(back) == 11
+    assert 20 not in back and 21 not in back and 22 not in back
+    kept_big = [i for i in back if i < 10]
+    assert len(kept_big) == 4  # quota filled with kept docs only
+    # boilerplate line stripped by lineDedup, PII redacted before export
+    assert all(BOILER not in r["text"] for r in back.values())
+    assert "<EMAIL>" in back[23]["text"] and "a@b.com" not in back[23]["text"]
+
+    funnel = json.loads((Path(out) / "curation_report.json").read_text())
+    assert funnel["kept"] == 11 and funnel["dropped"]["source_quota"] == 6
+
+
+def test_curation_deterministic(spark, tmp_path):
+    corpus = str(tmp_path / "corpus.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    build_corpus(spark, corpus)
+    spark.createDataFrame([(0, CONTAM)], "doc_id bigint, text string").write.parquet(bench)
+
+    r1 = run_curation(spark, make_cfg(tmp_path, corpus, bench, str(tmp_path / "o1")))
+    # same inputs, differently partitioned copy -> identical funnel and ids
+    spark.read.parquet(corpus).repartition(7).write.parquet(str(tmp_path / "c2"))
+    cfg2 = make_cfg(tmp_path, str(tmp_path / "c2"), bench, str(tmp_path / "o2"))
+    r2 = run_curation(spark, cfg2)
+    assert (r1.total, r1.kept, r1.dropped, r1.splits) == (
+        r2.total,
+        r2.kept,
+        r2.dropped,
+        r2.splits,
+    )
+    ids1 = {r["doc_id"] for r in spark.read.json(str(tmp_path / "o1/train")).collect()}
+    ids2 = {r["doc_id"] for r in spark.read.json(str(tmp_path / "o2/train")).collect()}
+    assert ids1 == ids2
+
+
+def test_curation_config_yaml_roundtrip(tmp_path):
+    p = tmp_path / "cur.yaml"
+    p.write_text(
+        """
+curation:
+  inputPath: /in/docs.parquet
+  outputPath: /out
+  idColumn: id
+  steps:
+    quality: {minWords: 10}
+    sourceQuota: {keyColumn: domain, cap: 100}
+  split: {train: 0.9, val: 0.1}
+  export: {shards: 16, compression: null}
+"""
+    )
+    cfg = load_curation_config(p)
+    assert cfg.id_col == "id" and cfg.text_col == "text"
+    assert cfg.steps["quality"]["minWords"] == 10
+    assert cfg.split == {"train": 0.9, "val": 0.1}
+    assert cfg.export_shards == 16 and cfg.export_compression is None
+
+    import pytest
+
+    from cda_client_spark.config import ConfigError
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("curation:\n  inputPath: /x\n  outputPath: /y\n  steps: {nope: {}}\n")
+    with pytest.raises(ConfigError):
+        load_curation_config(bad)
+    noout = tmp_path / "noout.yaml"
+    noout.write_text("curation:\n  inputPath: /x\n")
+    with pytest.raises(ConfigError):
+        load_curation_config(noout)
+
+
+def test_curation_cli_main(spark, tmp_path):
+    from cda_client_spark.curation import main
+
+    corpus = str(tmp_path / "c.parquet")
+    build_corpus(spark, corpus)
+    bench = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(0, CONTAM)], "doc_id bigint, text string").write.parquet(bench)
+    out = str(tmp_path / "out")
+    cfgp = tmp_path / "cur.yaml"
+    cfgp.write_text(
+        f"""
+curation:
+  inputPath: {corpus}
+  outputPath: {out}
+  steps:
+    quality: {{minWords: 5}}
+  export: {{shards: 2}}
+"""
+    )
+    assert main(["-c", str(cfgp)]) == 0
+    report = json.loads((Path(out) / "curation_report.json").read_text())
+    assert report["kept"] == 19 and report["dropped"] == {"quality": 1}
+    # the CLI joined the suite's session and must NOT have stopped it
+    assert spark.range(1).count() == 1

@@ -311,3 +311,39 @@ def test_lsh_join_is_symmetric_under_side_swap(spark):
         ).collect()
     }
     assert fwd == rev and len(fwd) >= 3
+
+
+def test_duplicate_spans_golden(spark):
+    from cda_client_spark.operators.dedup import duplicate_spans, remove_spans
+
+    shared = " ".join(f"s{i}" for i in range(1, 11))  # 10 shared words
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} b1 b2"),
+            (2, f"c1 {shared} d1 d2 d3"),
+            (3, "e1 e2 e3 e4 e5 e6 e7"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = duplicate_spans(df, n=4, min_doc_freq=2)
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in spans.collect()}
+    # 4-word windows fully inside the shared run merge into one span each
+    assert got == {(1, 3, 13, 7), (2, 1, 11, 7)}
+    cleaned = {r["doc_id"]: r for r in remove_spans(df, spans).collect()}
+    assert cleaned[1]["clean_text"] == "a1 a2 a3 b1 b2"
+    assert cleaned[2]["clean_text"] == "c1 d1 d2 d3"
+    assert cleaned[3]["clean_text"] == "e1 e2 e3 e4 e5 e6 e7"
+    assert (cleaned[1]["n_words"], cleaned[1]["n_words_kept"]) == (15, 5)
+
+
+def test_duplicate_spans_within_doc_only_not_flagged(spark):
+    from cda_client_spark.operators.dedup import duplicate_spans
+
+    # the same 4-gram repeats INSIDE one doc but in no other doc:
+    # min_doc_freq counts DISTINCT docs, so nothing is flagged
+    df = spark.createDataFrame(
+        [(1, "x1 x2 x3 x4 mid x1 x2 x3 x4"), (2, "y1 y2 y3 y4 y5")],
+        "doc_id bigint, text string",
+    )
+    assert duplicate_spans(df, n=4, min_doc_freq=2).count() == 0

@@ -195,3 +195,67 @@ def test_repetition_signals_matches_reference(spark, word_lists, n):
         assert abs(r["dup_word_frac"] - dup_w) < 1e-6, (i, "dup_word")
         assert abs(r["dup_ngram_frac"] - dup_g) < 1e-6, (i, "dup_ngram")
         assert abs(r["top_ngram_frac"] - top_g) < 1e-6, (i, "top_ngram")
+
+
+# -- duplicate_spans / remove_spans ---------------------------------------
+
+span_words = st.lists(
+    st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=14
+)
+
+
+def spans_reference(word_lists: list[list[str]], n: int, min_df: int):
+    """Pure-Python duplicate_spans + remove_spans."""
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    windows = {}
+    for d, w in enumerate(word_lists):
+        windows[d] = [(i, " ".join(w[i : i + n])) for i in range(len(w) - n + 1)]
+        for _, g in windows[d]:
+            gram_docs[g].add(d)
+    rep = {g for g, ds in gram_docs.items() if len(ds) >= min_df}
+    spans = {}
+    for d, wins in windows.items():
+        flagged = [i for i, g in wins if g in rep]
+        out = []
+        for i in flagged:
+            if out and i <= out[-1][1] + n:
+                out[-1] = (out[-1][0], max(out[-1][1], i), out[-1][2] + 1)
+            else:
+                out.append((i, i, 1))
+        spans[d] = {(s, e + n, c) for s, e, c in out}
+    removed = {}
+    for d, w in enumerate(word_lists):
+        covered = set()
+        for s, e, _ in spans[d]:
+            covered.update(range(s, e))
+        removed[d] = " ".join(w[i] for i in range(len(w)) if i not in covered)
+    return spans, removed
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word_lists=st.lists(span_words, min_size=2, max_size=6),
+    n=st.integers(min_value=2, max_value=3),
+    min_df=st.integers(min_value=2, max_value=3),
+)
+def test_duplicate_spans_matches_reference(spark, word_lists, n, min_df):
+    from cda_client_spark.operators.dedup import duplicate_spans, remove_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(word_lists)],
+        "doc_id int, text string",
+    )
+    spans_df = duplicate_spans(df, n=n, min_doc_freq=min_df)
+    ref_spans, ref_removed = spans_reference(word_lists, n, min_df)
+    got = {}
+    for r in spans_df.collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+    for d in range(len(word_lists)):
+        assert got.get(d, set()) == ref_spans[d], d
+    cleaned = {r["doc_id"]: r["clean_text"] for r in remove_spans(df, spans_df).collect()}
+    for d in range(len(word_lists)):
+        assert cleaned[d] == ref_removed[d], d
