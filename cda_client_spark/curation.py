@@ -208,9 +208,15 @@ def curate(spark: SparkSession, cfg: CurationConfig) -> tuple[DataFrame, DataFra
 
 
 def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
-    """Execute the pipeline: funnel stats, then sharded-JSONL export of
-    every split under ``outputPath/<split>/`` (or ``all`` when no split),
-    plus a ``curation_report.json`` with the funnel."""
+    """Execute the pipeline: funnel stats, then ONE sharded-JSONL export
+    pass with ``split`` as a hive partition level
+    (``outputPath/split=train/_shard=0/...``; ``split=all`` when no split
+    is configured), plus a ``curation_report.json`` with the funnel.
+
+    Two actions total — the funnel aggregate and the partitioned write —
+    plus a read-back count of the written files; exporting split-by-split
+    would instead re-execute the whole upstream lineage once per split.
+    """
     from cda_client_spark.sinks.files import write_jsonl_sharded
 
     tagged, kept = curate(spark, cfg)
@@ -221,22 +227,24 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
     kept_n = funnel.pop(None, 0)
     total = kept_n + sum(funnel.values())
 
-    splits: dict[str, int] = {}
-    names = list(cfg.split) or ["all"]
-    for name in names:
-        part = kept.filter(F.col("split") == name).drop("split") if cfg.split else kept
-        out = str(Path(cfg.output_path) / name)
-        write_jsonl_sharded(
-            part,
-            out,
-            shards=cfg.export_shards,
-            id_col=cfg.id_col,
-            compression=cfg.export_compression,
-        )
-        # read-back count verifies what actually landed; an empty split
-        # writes no part files and json inference would fail on it
-        has_files = any(Path(out).rglob("part-*"))
-        splits[name] = spark.read.json(out).count() if has_files else 0
+    out = cfg.output_path
+    export = kept if cfg.split else kept.withColumn("split", F.lit("all"))
+    write_jsonl_sharded(
+        export,
+        out,
+        shards=cfg.export_shards,
+        id_col=cfg.id_col,
+        compression=cfg.export_compression,
+        partition_cols=["split"],
+    )
+    # read-back count verifies what actually landed; a fully-empty result
+    # writes no part files and json inference would fail on it
+    splits: dict[str, int] = {name: 0 for name in (list(cfg.split) or ["all"])}
+    if any(Path(out).rglob("part-*")):
+        for r in (
+            spark.read.json(out).groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        ):
+            splits[str(r["split"])] = r["n"]
 
     report = CurationReport(
         total=total,

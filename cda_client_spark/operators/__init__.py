@@ -33,6 +33,7 @@ from cda_client_spark.operators.sampling import (
     hash_sample,
     hash_split,
     per_key_quota,
+    temperature_sample,
     token_budget_selection,
     weighted_sample,
 )
@@ -79,6 +80,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "per_key_quota",
+    "temperature_sample",
     "token_budget_selection",
     "weighted_sample",
     "salted_join",

@@ -222,3 +222,89 @@ def per_key_quota(
         .filter(F.col("_qrank") <= cap)
         .drop("_qrank")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    fraction: float = 0.5,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based source mixing (the GPT-3 / multilingual-corpus
+    rebalancing rule): sample so a key's share of the output is
+    proportional to ``n_key ** alpha`` instead of ``n_key`` — ``alpha < 1``
+    upweights rare sources/languages, ``alpha = 1`` is plain proportional
+    sampling. ``fraction`` sets the expected output size as a share of the
+    input; a key whose target exceeds its rows keeps everything (the
+    deficit is not redistributed — the standard one-shot rule).
+
+    Membership is the same portable md5-bucket rule as ``hash_sample``:
+    a pure function of the id, stable across runs/partitionings/engines,
+    and nested in ``fraction``. Per-key keep thresholds are materialized
+    as INTEGER bucket cutoffs (round(f * 1e6)), so the float ``pow`` —
+    whose last-ulp rounding may differ between libm implementations —
+    would have to land within 1e-10 of a cutoff boundary to change
+    membership.
+
+    Scale: one partial-combinable count per key (tiny frame), two 1-row
+    scalar crossJoins over it, and ONE broadcast equi-join of the cutoffs
+    back to the data — the corpus itself never shuffles.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_total"))
+    wsum = counts.agg(F.sum(F.pow(F.col("_n").cast("double"), alpha)).alias("_wsum"))
+    thresholds = (
+        counts.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(wsum))
+        .select(
+            key_col,
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    fraction
+                    * F.col("_total")
+                    * F.pow(F.col("_n").cast("double"), alpha)
+                    / F.col("_wsum")
+                    / F.col("_n"),
+                )
+                * NUM_BUCKETS
+            )
+            .cast("bigint")
+            .alias("_cut"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thresholds), key_col)
+        .filter(hash_bucket(F.col(id_col), NUM_BUCKETS, seed) < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
+def temperature_sample_sql(
+    source: str,
+    key_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    fraction: float = 0.5,
+    seed: str = "temp",
+) -> str:
+    """DuckDB replay of ``temperature_sample`` (same md5 buckets, same
+    integer cutoffs) for the oracle contract."""
+    bucket = (
+        f"(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {NUM_BUCKETS})"
+    )
+    return f"""
+WITH c AS (SELECT {key_col}, count(*) AS n FROM {source} GROUP BY {key_col}),
+tot AS (SELECT sum(n) AS total FROM c),
+ws AS (SELECT sum(pow(CAST(n AS DOUBLE), {alpha})) AS wsum FROM c),
+th AS (SELECT {key_col},
+         CAST(round(least(1.0,
+           {fraction} * total * pow(CAST(n AS DOUBLE), {alpha}) / wsum / n)
+           * {NUM_BUCKETS}) AS BIGINT) AS cut
+       FROM c, tot, ws)
+SELECT d.* FROM {source} d JOIN th USING ({key_col})
+WHERE {bucket} < th.cut
+"""

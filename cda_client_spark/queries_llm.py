@@ -57,6 +57,8 @@ from cda_client_spark.operators.sampling import (
     hash_u01_sql,
     per_key_quota,
     split_case_sql,
+    temperature_sample,
+    temperature_sample_sql,
     token_budget_selection,
     weighted_sample,
 )
@@ -1498,6 +1500,20 @@ SELECT s.doc_id, s.n_words, s.dup_word_frac, s.dup_ngram_frac,
 FROM scalar s LEFT JOIN top t USING (doc_id)
 """.format(top_bar=REPETITION_TOP_BAR, dup_bar=REPETITION_DUP_BAR)
 
+def doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style temperature rebalancing across sources: keep ~50% of
+    the corpus with per-source share proportional to n^0.5 (rare sources
+    upweighted)."""
+    return temperature_sample(
+        t(spark, sf_dir, "documents"), "source", "doc_id", alpha=0.5, fraction=0.5
+    )
+
+
+DOC_TEMPERATURE_SQL = temperature_sample_sql(
+    "documents", "source", "doc_id", alpha=0.5, fraction=0.5
+)
+
+
 def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style span dedup (Lee et al. 2022) at word granularity:
     maximal spans of cross-document-repeated 8-grams on the planted-dup
@@ -1625,6 +1641,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_source_quota": doc_source_quota,
     "doc_sliding_chunks": doc_sliding_chunks,
     "doc_duplicate_spans": doc_duplicate_spans,
+    "doc_temperature_sample": doc_temperature_sample,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -1665,4 +1682,5 @@ ORACLE_LLM: dict[str, str] = {
     "doc_source_quota": DOC_SOURCE_QUOTA_SQL,
     "doc_sliding_chunks": DOC_SLIDING_CHUNKS_SQL,
     "doc_duplicate_spans": DOC_DUP_SPANS_SQL,
+    "doc_temperature_sample": DOC_TEMPERATURE_SQL,
 }

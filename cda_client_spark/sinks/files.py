@@ -335,6 +335,7 @@ def write_jsonl_sharded(
     id_col: str,
     compression: str | None = "gzip",
     seed: str = "jsonl",
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Training-data export: newline-delimited JSON in a fixed number of
     deterministically-assigned shard files — the interchange format LLM
@@ -344,18 +345,24 @@ def write_jsonl_sharded(
     Shard assignment is the same engine-portable md5 bucketing the
     sampling operators use (NOT ``repartition(n)``, whose hashing varies
     with partitioning and is not reproducible outside Spark). One shuffle
-    keyed by shard; each shard is written by exactly one task, so
+    keyed by shard; each shard dir is written by exactly one task, so
     ``shards`` should be chosen for target file size (~100-500 MB each at
     scale), not executor count. Spark's native json writer emits the
     lines — no driver-side iteration, no UDF.
+
+    ``partition_cols`` prepend hive levels above the shard dirs
+    (``path/split=train/_shard=0/...``) — one pass writes every
+    partition, instead of one filtered re-execution of the upstream
+    lineage per partition value.
     """
     from cda_client_spark.operators.sampling import hash_bucket
 
+    extra = list(partition_cols or [])
     keyed = df.withColumn("_shard", hash_bucket(F.col(id_col), shards, seed))
-    writer = keyed.repartition(shards, "_shard").write.mode("overwrite")
+    writer = keyed.repartition(shards, *extra, "_shard").write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
-    writer.partitionBy("_shard").json(path)
+    writer.partitionBy(*extra, "_shard").json(path)
 
 
 def read_jsonl_shards(

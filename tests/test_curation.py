@@ -81,7 +81,7 @@ def test_curation_end_to_end(spark, tmp_path):
     }
     assert report.kept == 11 and report.splits == {"train": 11}
 
-    back = {r["doc_id"]: r for r in spark.read.json(str(Path(out) / "train")).collect()}
+    back = {r["doc_id"]: r for r in spark.read.json(str(Path(out) / "split=train")).collect()}
     assert len(back) == 11
     assert 20 not in back and 21 not in back and 22 not in back
     kept_big = [i for i in back if i < 10]
@@ -111,8 +111,8 @@ def test_curation_deterministic(spark, tmp_path):
         r2.dropped,
         r2.splits,
     )
-    ids1 = {r["doc_id"] for r in spark.read.json(str(tmp_path / "o1/train")).collect()}
-    ids2 = {r["doc_id"] for r in spark.read.json(str(tmp_path / "o2/train")).collect()}
+    ids1 = {r["doc_id"] for r in spark.read.json(str(tmp_path / "o1/split=train")).collect()}
+    ids2 = {r["doc_id"] for r in spark.read.json(str(tmp_path / "o2/split=train")).collect()}
     assert ids1 == ids2
 
 

@@ -40,6 +40,7 @@ BNLJ_OK = {
     "q22_dormant_customers",
     "doc_clean_corpus",
     "sketch_tolerance_gate",
+    "doc_temperature_sample",
 }
 
 ARROW_OK = {"media_histogram_gate"}

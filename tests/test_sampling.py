@@ -173,3 +173,56 @@ def test_per_key_quota_deterministic_and_nested(spark):
     assert keep10 == again  # partitioning-invariant
     keep5 = {r["doc_id"] for r in per_key_quota(df, "source", 5, "doc_id").collect()}
     assert keep5 < keep10  # nested: smaller cap is a strict subset
+
+
+def _temp_corpus(spark):
+    # sources of very different sizes: 600 / 300 / 60 / 40 rows
+    rows = []
+    sizes = {"huge": 600, "big": 300, "small": 60, "tiny": 40}
+    i = 0
+    for src, k in sizes.items():
+        for _ in range(k):
+            rows.append((i, src))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id bigint, source string"), sizes
+
+
+def test_temperature_sample_rebalances_toward_rare_sources(spark):
+    from cda_client_spark.operators.sampling import temperature_sample
+
+    df, sizes = _temp_corpus(spark)
+    out = temperature_sample(df, "source", "doc_id", alpha=0.5, fraction=0.5)
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    # alpha=0.5 output shares follow sqrt(n): the rare sources' keep RATE
+    # must exceed the huge source's
+    rate = {s: kept.get(s, 0) / n for s, n in sizes.items()}
+    # sqrt targets exceed the two rare sources' sizes -> they keep all
+    # rows (capped at 1.0); the big sources are trimmed progressively
+    assert rate["tiny"] == rate["small"] == 1.0
+    assert 1.0 > rate["big"] > rate["huge"]
+    total_kept = sum(kept.values())
+    assert abs(total_kept - 500) < 60  # expected ~fraction * total
+    # alpha=1 degenerates to plain proportional sampling: uniform rate
+    prop = temperature_sample(df, "source", "doc_id", alpha=1.0, fraction=0.5)
+    pk = {r["source"]: r["n"] for r in prop.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    prates = [pk[s] / n for s, n in sizes.items()]
+    assert max(prates) - min(prates) < 0.25
+
+
+def test_temperature_sample_deterministic_and_nested(spark):
+    from cda_client_spark.operators.sampling import temperature_sample
+
+    df, _ = _temp_corpus(spark)
+    a = {r["doc_id"] for r in temperature_sample(df, "source", "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_sample(df.repartition(11), "source", "doc_id").collect()
+    }
+    assert a == b  # partitioning-invariant
+    smaller = {
+        r["doc_id"]
+        for r in temperature_sample(df, "source", "doc_id", fraction=0.25).collect()
+    }
+    assert smaller < a  # nested in fraction (same md5 buckets)
