@@ -19,6 +19,8 @@ Config shape (every step optional; steps run in the fixed order below):
         piiScrub: {}                         # redact emails/SSNs/keys/...
         quality: {minWords: 20, minScore: 0.2}
         repetition: {maxTopNgramFrac: 0.2, maxDupNgramFrac: 0.6, n: 2}
+        lmPerplexity: {maxPerplexity: 120, smoothing: 0.1}  # CCNet-style LM filter
+        dsir: {targetPath: /data/target.parquet, minWeight: 0.0}  # DSIR selection
         contamination: {benchmarkPath: /data/eval.parquet, n: 8}
         sourceQuota: {keyColumn: source, cap: 1000}
       split: {train: 0.98, val: 0.01, test: 0.01}
@@ -67,7 +69,14 @@ from cda_client_spark.operators.text import (
 log = logging.getLogger(__name__)
 
 #: filter stages in execution order; drop_reason carries the first that fails
-STAGES = ("quality", "repetition", "contamination", "source_quota")
+STAGES = (
+    "quality",
+    "repetition",
+    "lm_perplexity",
+    "dsir",
+    "contamination",
+    "source_quota",
+)
 
 
 @dataclass
@@ -93,7 +102,16 @@ def load_curation_config(path: str | Path) -> CurationConfig:
         if not c.get(req):
             raise ConfigError(f"curation.{req} is required")
     steps = c.get("steps") or {}
-    known = {"lineDedup", "piiScrub", "quality", "repetition", "contamination", "sourceQuota"}
+    known = {
+        "lineDedup",
+        "piiScrub",
+        "quality",
+        "repetition",
+        "lmPerplexity",
+        "dsir",
+        "contamination",
+        "sourceQuota",
+    }
     unknown = set(steps) - known
     if unknown:
         raise ConfigError(f"unknown curation steps: {sorted(unknown)}")
@@ -173,6 +191,55 @@ def curate(spark: SparkSession, cfg: CurationConfig) -> tuple[DataFrame, DataFra
         df = _tag(df.join(sig, id_c), "repetition", ~F.col("repetition_ok")).select(
             *df.columns
         )
+
+    if "lmPerplexity" in steps:
+        lp = steps["lmPerplexity"]
+        # CCNet-style filter: the bigram LM trains on the in-flight corpus
+        # itself (post line-dedup/PII text), so "fluent" means fluent
+        # relative to THIS corpus; docs too short to have a bigram can't be
+        # scored and fail the stage (configure quality.minWords >= 2 to
+        # catch them earlier with a clearer reason)
+        from cda_client_spark.operators.text import bigram_lm_scores
+
+        ppl = bigram_lm_scores(
+            df.select(id_c, text_c),
+            id_col=id_c,
+            text_col=text_c,
+            k=float(lp.get("smoothing", 0.1)),
+        ).select(id_c, "perplexity")
+        df = _tag(
+            df.join(ppl, id_c, "left"),
+            "lm_perplexity",
+            F.col("perplexity").isNull()
+            | (F.col("perplexity") > float(lp.get("maxPerplexity", 1e9))),
+        ).select(*df.columns)
+
+    if "dsir" in steps:
+        ds = steps["dsir"]
+        # DSIR selection (threshold form): keep documents whose hashed-
+        # unigram distribution is at least minWeight log-likelihood-ratio
+        # closer to the target corpus than to the raw corpus — a pure
+        # map-side filter once the broadcast model is built, unlike the
+        # paper's fixed-size resample (a global top-k); unscorable docs
+        # (zero tokens) fail
+        from cda_client_spark.operators.sampling import dsir_importance_weights
+
+        target = spark.read.parquet(ds["targetPath"])
+        # smoothing must stay well under target_tokens / n_buckets or the
+        # additive mass swamps a small target and every weight goes negative
+        wts = dsir_importance_weights(
+            df.select(id_c, text_c),
+            target.select(F.col(ds.get("targetTextColumn", text_c)).alias(text_c)),
+            id_col=id_c,
+            text_col=text_c,
+            alpha=float(ds.get("smoothing", 1.0)),
+        ).select(id_c, "dsir_weight")
+        df = _tag(
+            df.join(wts, id_c, "left"),
+            "dsir",
+            F.col("dsir_weight").isNull()
+            | (F.col("dsir_weight") < float(ds.get("minWeight", 0.0))),
+        ).select(*df.columns)
 
     if "contamination" in steps:
         c = steps["contamination"]

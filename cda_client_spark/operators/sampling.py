@@ -308,3 +308,136 @@ th AS (SELECT {key_col},
 SELECT d.* FROM {source} d JOIN th USING ({key_col})
 WHERE {bucket} < th.cut
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169). Select raw-corpus documents whose hashed-n-gram
+# feature distribution looks like a (small, high-quality) target corpus.
+
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_bucket(token: Column, buckets: int = DSIR_BUCKETS, seed: str = "dsir") -> Column:
+    """Hashing-trick feature bucket for a token — the same engine-portable
+    md5 rule as ``hash_bucket`` (DuckDB replays it verbatim)."""
+    return hash_bucket(token, buckets, seed)
+
+
+def dsir_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """The DSIR importance model: per feature bucket,
+    ``ln p_target(b) - ln p_raw(b)`` with add-``alpha`` smoothing over the
+    ``buckets``-sized hashed unigram vocabulary. Returns the TINY
+    ``(bucket, lr)`` frame (≤ ``buckets`` rows — broadcast it).
+
+    Scale shape: both corpora explode to tokens and aggregate straight to
+    bucket counts (map-side combinable, state bounded by ``buckets``);
+    the raw side drives (every document bucket appears in it), the target
+    side left-joins on. Nothing corpus-sized survives the aggregation.
+    Log-ratios round to 9 decimals so the downstream per-doc weighted sums
+    agree across engines (see ``bigram_lm_scores``).
+    """
+    from cda_client_spark.operators.text import TOKEN_REGEX
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.regexp_extract_all(
+                        F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0
+                    )
+                ).alias("token")
+            )
+            .select(dsir_bucket(F.col("token"), buckets, seed).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    raw_c = bucket_counts(raw, "c_raw")
+    tgt_c = bucket_counts(target, "c_tgt")
+    joined = raw_c.join(tgt_c, "bucket", "left").na.fill({"c_tgt": 0})
+    totals = joined.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.col("c_tgt") + alpha) / (F.col("t_tgt") + alpha * buckets))
+                - F.log((F.col("c_raw") + alpha) / (F.col("t_raw") + alpha * buckets)),
+                9,
+            ).alias("lr"),
+        )
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Per-document DSIR importance weight: mean over the document's token
+    buckets of the target/raw log-ratio. Positive ⇒ the document's
+    vocabulary looks more like the target corpus than the raw corpus.
+    Returns ``(id, n_tokens, dsir_weight)``.
+
+    Scale shape: the model from ``dsir_log_ratios`` is ≤ ``buckets`` rows
+    and **broadcast**; the raw corpus explodes once to per-doc bucket
+    counts (map-side combinable) and the weight is one more per-doc
+    aggregation — no corpus-sized shuffle beyond the (doc, bucket) counts.
+    """
+    from cda_client_spark.operators.text import TOKEN_REGEX
+
+    model = dsir_log_ratios(raw, target, text_col, buckets, alpha, seed)
+    doc_b = (
+        raw.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+            ).alias("token"),
+        )
+        .select(F.col(id_col), dsir_bucket(F.col("token"), buckets, seed).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        doc_b.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("lr")) / F.sum("tf"), 6).alias(
+                "dsir_weight"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Top-``k`` raw documents by DSIR importance weight (deterministic
+    ``id`` tiebreak) — the selection step of importance resampling. One
+    distributed top-k (per-partition heaps via orderBy+limit), no global
+    sort of the corpus."""
+    w = dsir_importance_weights(raw, target, id_col, text_col, buckets, alpha, seed)
+    return w.orderBy(F.desc("dsir_weight"), F.col(id_col)).limit(k)

@@ -400,3 +400,89 @@ def dequantize_embeddings(
         out_col,
         F.expr(f"transform({qvec_col}, q -> cast(q as double) * {scale_col})"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via embedding clusters (Abbas et al.
+# 2023, arXiv:2303.09540): k-means the embedding space, then prune
+# near-identical vectors WITHIN each cluster only.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nlist: int = 16,
+    max_cluster_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    round_digits: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup: drop every vector that has a semantically near-identical
+    (cosine >= ``threshold``) lower-id neighbor in its k-means cluster.
+    Returns the input rows annotated ``(cluster, is_dup)`` — filter
+    ``~is_dup`` for the deduplicated corpus.
+
+    Versus LSH near-dup (``embedding_near_dup_pairs``): clusters respect
+    the embedding geometry (LSH bands are random cuts), so paraphrase-level
+    duplicates that straddle random hyperplanes still land in one cluster.
+    The price is a trained partitioner instead of a stateless sketch.
+
+    Scale shape (100 TB): k-means training samples the corpus (Spark ML);
+    assignment is one model pass. Pairing is an equi-join on the cluster
+    id — the quadratic term is bounded per cluster, so ``nlist`` must grow
+    with the corpus (the paper uses ~100k clusters for web scale; cluster
+    size n/nlist stays ~constant). ``max_cluster_size`` is the same
+    skew-bomb guard as the LSH bucket cap: clusters over the cap are
+    skipped for pairwise pruning (deterministically kept) rather than
+    allowed to go quadratic. KMeans isn't SQL-replayable, so correctness
+    is gated (planted exact duplicates must be pruned; see the
+    ``semdedup_gate`` catalog entry) rather than oracle-matched.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(fc)
+    assigned = df.join(
+        model.transform(fc).select(id_col, "cluster"), id_col
+    )
+    members = assigned.select(
+        F.col("cluster"),
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        norm_col(vec_col).alias("n"),
+    )
+    if max_cluster_size is not None:
+        w = Window.partitionBy("cluster")
+        members = (
+            members.withColumn("_sz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_sz") <= max_cluster_size)
+            .drop("_sz")
+        )
+    a = members.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("q_vec"),
+        F.col("n").alias("q_norm"),
+    )
+    b = members.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("c_vec"),
+        F.col("n").alias("c_norm"),
+    )
+    dups = (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", _scored(round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dups.withColumn("_dup", F.lit(True)), id_col, "left"
+    ).withColumn("is_dup", F.coalesce(F.col("_dup"), F.lit(False))).drop("_dup")

@@ -411,3 +411,167 @@ def ngram_contamination(
             F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("overlap_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained n-gram LM scoring (CCNet-style) and BM25 retrieval.
+# The reference has no text operators at all (SURVEY.md §2.11: its one UDF
+# is a struct stringifier, FileBasedOutputWriter.scala:170-187); both of
+# these are north-star LLM-data-pipeline extensions, JVM-only expressions.
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: train an add-k-smoothed
+    word-bigram LM on the corpus itself, then score every document by the
+    mean negative log-likelihood of its bigrams (``perplexity = exp`` of
+    it). Low perplexity ≈ fluent, in-distribution text; high perplexity
+    flags gibberish and boilerplate — the classic CCNet/KenLM filter, here
+    with the LM trained distributed instead of shipped as a binary model.
+
+    Returns ``(id, n_bigrams, avg_nll, perplexity)`` for every document
+    with at least one bigram.
+
+    Scale shape (100 TB): documents explode ONCE into per-doc bigram
+    counts (map-side combinable); the LM — bigram counts, left-context
+    counts, vocabulary size — aggregates from that same frame (two keyed
+    shuffles over distinct grams, not over text); scoring re-joins the
+    per-doc counts with the model on the gram key (AQE picks broadcast
+    when the model fits, sort-merge otherwise). Per-gram log-probs are
+    rounded to 9 decimals BEFORE the weighted per-doc sum so both engines
+    sum identical values and the final ``round(x, 6)`` agrees regardless
+    of floating-point association order.
+    """
+    w = df.select(F.col(id_col), words(F.coalesce(F.col(text_col), F.lit(""))).alias("wds"))
+    doc_tf = (
+        w.select(F.col(id_col), F.explode(ngrams_from_words("wds", 2)).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    model = (
+        doc_tf.groupBy("gram")
+        .agg(F.sum("tf").alias("c_bg"))
+        .withColumn("w1", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+    )
+    ctx = model.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = w.select(F.explode("wds").alias("word")).agg(
+        F.count_distinct("word").alias("v")
+    )
+    probs = (
+        model.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.round(
+                F.log((F.col("c_bg") + F.lit(k)) / (F.col("c_ctx") + F.lit(k) * F.col("v"))),
+                9,
+            ).alias("lp"),
+        )
+    )
+    nll = -F.sum(F.col("tf") * F.col("lp")) / F.sum("tf")
+    return (
+        doc_tf.join(probs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.round(nll, 6).alias("avg_nll"),
+        )
+        # exp of the ROUNDED nll: both engines exponentiate an identical
+        # double, so the 2-decimal rounding can't straddle an fp boundary
+        .withColumn("perplexity", F.round(F.exp(F.col("avg_nll")), 2))
+    )
+
+
+def bm25_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 5,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``top_k`` documents per query, the
+    standard lexical-search baseline a corpus-curation / RAG pipeline runs
+    alongside embedding ANN. Okapi BM25 with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    Scale shape (100 TB): the query term set is exploded, DISTINCT'd and
+    **broadcast** — the corpus token stream is filtered to query terms by
+    a map-side join before anything shuffles, so the scored frame is
+    |matching (doc, term) pairs|, never |corpus| × |queries|. Document
+    frequency comes from that same matched frame (a window count per term
+    — only queried terms pay it); document length and corpus stats ride
+    along as a 1-row broadcast. Per-term idf and per-pair scores round to
+    9 decimals before the per-(query, doc) sum (engine-order-proof, as in
+    ``bigram_lm_scores``); final top-k is a row_number window per query —
+    |queries| × candidates rows, not corpus-scaled.
+    """
+    from pyspark.sql.window import Window
+
+    toks = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_REGEX), 0)
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = corpus.select(F.col(id_col), word_count(F.col(text_col)).alias("dl"))
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(word_count(F.col(text_col))).alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(query_text_col)), F.lit(TOKEN_REGEX), 0
+            )
+        ).alias("token"),
+    ).distinct()
+    matched = tf.join(
+        F.broadcast(qterms.select("token").distinct()), "token", "left_semi"
+    )
+    wdf = matched.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    scored = (
+        wdf.join(F.broadcast(qterms), "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df_docs") + 0.5)
+                    / (F.col("df_docs") + 0.5)
+                ),
+                9,
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.round(
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                9,
+            ),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= top_k)
+        .select(query_id_col, id_col, "bm25", "rnk")
+    )

@@ -1319,15 +1319,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "order_line_maps",
     "scalar_zoo_parts",
     "grouping_sets_revenue",
-    "median_order_by_priority",
-    "part_name_tokens",
+    "doc_bm25_search",
+    "doc_lm_perplexity",
     "union_orders_extremes",
     "customers_with_open_orders",
     "orders_above_customer_avg",
     # Training-data pipeline: dedup families
     "doc_exact_dedup",
     "doc_minhash_lsh_pairs",
-    "minhash_fast_recall",
+    "semdedup_gate",
     "doc_simhash_near_dups",
     "doc_duplicate_spans",
     "doc_dedup_clusters",
@@ -1348,7 +1348,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_repetition_signals",
     # sampling / packing / capstone
     "doc_train_val_split",
-    "doc_weighted_sample",
+    "doc_dsir_select",
     "doc_token_budget",
     "doc_pack_chunks",
     "doc_clean_corpus",

@@ -50,9 +50,12 @@ from cda_client_spark.operators.similarity import (
     hyperplane_weights,
     quantize_embeddings,
     norm_sql,
+    semantic_dedup,
 )
 from cda_client_spark.operators.multimodal import byte_histogram_features, media_stats
 from cda_client_spark.operators.sampling import (
+    DSIR_BUCKETS,
+    dsir_select,
     hash_split,
     hash_u01_sql,
     per_key_quota,
@@ -65,6 +68,8 @@ from cda_client_spark.operators.sampling import (
 from cda_client_spark.operators.text import (
     STOPWORDS,
     TOKEN_REGEX,
+    bigram_lm_scores,
+    bm25_scores,
     fingerprint,
     language_id,
     ngram_contamination,
@@ -1594,6 +1599,157 @@ WHERE r <= {SOURCE_QUOTA_CAP}
 
 
 # ---------------------------------------------------------------------------
+# Corpus-trained LM scoring / DSIR selection / BM25 retrieval / SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scores (add-0.1 smoothing, LM trained
+    on the full corpus; operators/text.py ``bigram_lm_scores``). The gate
+    subsets output to doc_id < 100 but the LM trains on ALL documents in
+    both engines."""
+    d = t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d).filter(F.col("doc_id") < 100)
+
+
+DOC_LM_PPL_SQL = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wds
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(wds) - 1, 0) + 1),
+        i -> array_to_string(wds[i:i+1], ' '))) AS gram FROM w),
+tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram),
+model AS (SELECT gram, sum(tf) AS c_bg, split_part(gram, ' ', 1) AS w1
+          FROM tf GROUP BY gram),
+ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM model GROUP BY w1),
+vocab AS (SELECT count(DISTINCT word) AS v
+          FROM (SELECT unnest(wds) AS word FROM w)),
+probs AS (SELECT gram, round(ln((c_bg + 0.1) / (c_ctx + 0.1 * v)), 9) AS lp
+          FROM model JOIN ctx USING (w1) CROSS JOIN vocab),
+s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        round(-sum(tf * lp) / sum(tf), 6) AS avg_nll
+      FROM tf JOIN probs USING (gram) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 2) AS perplexity
+FROM s WHERE doc_id < 100
+"""
+
+
+DSIR_TOP_K = 50
+
+
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    importance weights of every document against the English subset as the
+    target distribution, top-50 selected (operators/sampling.py
+    ``dsir_select``; the 1024-bucket model broadcasts)."""
+    d = t(spark, sf_dir, "documents")
+    return dsir_select(d, d.filter(F.col("lang") == "en"), DSIR_TOP_K)
+
+
+DOC_DSIR_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS token
+              FROM documents),
+b AS (SELECT doc_id,
+        (('0x' || substr(md5('dsir:' || token), 1, 8))::BIGINT % {DSIR_BUCKETS}) AS bucket
+      FROM toks),
+raw_c AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY bucket),
+tgt_c AS (SELECT bucket, count(*) AS c_tgt
+          FROM b JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket),
+j AS (SELECT bucket, c_raw, coalesce(c_tgt, 0) AS c_tgt
+      FROM raw_c LEFT JOIN tgt_c USING (bucket)),
+tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM j),
+model AS (SELECT bucket,
+            round(ln((c_tgt + 1.0) / (t_tgt + 1.0 * {DSIR_BUCKETS}))
+                - ln((c_raw + 1.0) / (t_raw + 1.0 * {DSIR_BUCKETS})), 9) AS lr
+          FROM j CROSS JOIN tot),
+doc_b AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY doc_id, bucket),
+wts AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+          round(sum(tf * lr) / sum(tf), 6) AS dsir_weight
+        FROM doc_b JOIN model USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_tokens, dsir_weight FROM wts
+ORDER BY dsir_weight DESC, doc_id LIMIT {DSIR_TOP_K}
+"""
+
+
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark window batch"),
+    (1, "hash join table"),
+    (2, "stream filter value"),
+]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-5 documents for three probe queries
+    (operators/text.py ``bm25_scores``; query terms broadcast, corpus
+    filtered map-side before any shuffle)."""
+    d = t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id int, qtext string")
+    return bm25_scores(d, q, k1=BM25_K1, b=BM25_B, top_k=5)
+
+
+_BM25_VALUES = ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES)
+
+DOC_BM25_SQL = f"""
+WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+qt AS (SELECT DISTINCT query_id,
+         unnest(regexp_extract_all(lower(qtext), '{TOKEN_REGEX}')) AS token FROM q),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS token
+         FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+matched AS (SELECT * FROM tf WHERE token IN (SELECT token FROM qt)),
+wdf AS (SELECT *, count(*) OVER (PARTITION BY token) AS df_docs FROM matched),
+dl AS (SELECT doc_id, len(regexp_split_to_array(lower(text), '\\s+')) AS dl
+       FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+            avg(len(regexp_split_to_array(lower(text), '\\s+'))) AS avgdl
+          FROM documents),
+s AS (SELECT query_id, wdf.doc_id,
+        round(round(ln(1 + (n_docs - df_docs + 0.5) / (df_docs + 0.5)), 9)
+          * tf * ({BM25_K1} + 1)
+          / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)), 9) AS term_score
+      FROM wdf JOIN qt USING (token) JOIN dl ON wdf.doc_id = dl.doc_id
+      CROSS JOIN stats),
+agg AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS bm25
+        FROM s GROUP BY query_id, doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS rnk FROM agg)
+SELECT query_id, doc_id, bm25, rnk FROM r WHERE rnk <= 5
+"""
+
+
+SEMDEDUP_BAR = 0.8
+
+SEMDEDUP_GATE_SQL = "SELECT true AS semdedup_ok"
+
+
+def semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for SemDeDup (operators/similarity.py
+    ``semantic_dedup``): on the planted-duplicate embedding corpus
+    (1.01-scaled copies, cosine 1.0 with their originals), at least
+    ``SEMDEDUP_BAR`` of the planted copies must be flagged as semantic
+    duplicates. One row ``semdedup_ok=true``; the oracle is
+    ``SELECT true`` because KMeans training isn't SQL-replayable but the
+    planted-recall bar is engine-independent (same pattern as
+    ``ann_ivf_recall`` / ``media_histogram_gate``)."""
+    e = _embs_with_dups(spark, sf_dir)
+    marked = semantic_dedup(e, threshold=0.999, nlist=16)
+    planted = marked.filter(F.col("vec_id") >= 100000)
+    return (
+        planted.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("is_dup").cast("int")).alias("flagged"),
+        )
+        .select(
+            (
+                (F.col("total") > 0)
+                & (F.col("flagged") >= SEMDEDUP_BAR * F.col("total"))
+            ).alias("semdedup_ok")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
 
@@ -1642,6 +1798,12 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sliding_chunks": doc_sliding_chunks,
     "doc_duplicate_spans": doc_duplicate_spans,
     "doc_temperature_sample": doc_temperature_sample,
+    "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_dsir_select": doc_dsir_select,
+    "doc_bm25_search": doc_bm25_search,
+    # semantic_dedup (KMeans) is exercised and gated through semdedup_gate,
+    # same pattern as ann_topk_ivf / media_histogram_features
+    "semdedup_gate": semdedup_gate,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -1683,4 +1845,8 @@ ORACLE_LLM: dict[str, str] = {
     "doc_sliding_chunks": DOC_SLIDING_CHUNKS_SQL,
     "doc_duplicate_spans": DOC_DUP_SPANS_SQL,
     "doc_temperature_sample": DOC_TEMPERATURE_SQL,
+    "doc_lm_perplexity": DOC_LM_PPL_SQL,
+    "doc_dsir_select": DOC_DSIR_SQL,
+    "doc_bm25_search": DOC_BM25_SQL,
+    "semdedup_gate": SEMDEDUP_GATE_SQL,
 }

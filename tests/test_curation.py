@@ -175,3 +175,71 @@ curation:
     assert report["kept"] == 19 and report["dropped"] == {"quality": 1}
     # the CLI joined the suite's session and must NOT have stopped it
     assert spark.range(1).count() == 1
+
+
+def test_curation_lm_and_dsir_stages(spark, tmp_path):
+    """The two model-based stages: a doc pairing COMMON contexts with
+    never-seen continuations (the add-k bigram LM's genuine surprise
+    signal — all-unique bigrams from all-unique contexts would score LOW)
+    falls at lm_perplexity; the matching docs sail through dsir because
+    they mirror the target distribution."""
+    corpus = str(tmp_path / "c2.parquet")
+    target = str(tmp_path / "t2.parquet")
+    out = str(tmp_path / "curated2")
+
+    common = "the data pipeline runs spark jobs over the data lake nightly"
+    rows = [(i, common, "s") for i in range(20)]
+    # 'the' is a heavy context (40 occurrences in the common docs); gluing
+    # unseen words after it makes each bigram genuinely improbable
+    rows.append((30, " ".join(f"the zz{j}" for j in range(6)), "s"))
+    spark.createDataFrame(rows, "doc_id bigint, text string, source string").write.parquet(
+        corpus
+    )
+    spark.createDataFrame(
+        [(i, common) for i in range(50)], "doc_id bigint, text string"
+    ).write.parquet(target)
+
+    cfg = CurationConfig(
+        input_path=corpus,
+        output_path=out,
+        steps={
+            "lmPerplexity": {"maxPerplexity": 5.0},
+            "dsir": {"targetPath": target, "minWeight": 0.0},
+        },
+        export_shards=1,
+    )
+    report = run_curation(spark, cfg)
+    assert report.total == 21
+    # doc 30 fails the FIRST model stage (lm_perplexity), none survive to
+    # fail dsir (the common docs match the target exactly -> weight > 0)
+    assert report.dropped.get("lm_perplexity") == 1
+    assert "dsir" not in report.dropped
+    assert report.kept == 20
+
+
+def test_curation_dsir_threshold_drops_off_target(spark, tmp_path):
+    corpus = str(tmp_path / "c3.parquet")
+    target = str(tmp_path / "t3.parquet")
+    out = str(tmp_path / "curated3")
+
+    on_target = [(i, "alpha beta gamma delta alpha beta", "s") for i in range(10)]
+    off_target = [(i + 50, "zeta eta theta iota kappa lambda", "s") for i in range(10)]
+    spark.createDataFrame(
+        on_target + off_target, "doc_id bigint, text string, source string"
+    ).write.parquet(corpus)
+    # the target needs enough tokens that add-alpha smoothing over the
+    # 1024 hash buckets doesn't swamp its distribution
+    spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(100)],
+        "doc_id bigint, text string",
+    ).write.parquet(target)
+
+    cfg = CurationConfig(
+        input_path=corpus,
+        output_path=out,
+        steps={"dsir": {"targetPath": target, "minWeight": 0.0}},
+        export_shards=1,
+    )
+    report = run_curation(spark, cfg)
+    assert report.dropped.get("dsir") == 10
+    assert report.kept == 10

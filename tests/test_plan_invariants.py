@@ -41,6 +41,10 @@ BNLJ_OK = {
     "doc_clean_corpus",
     "sketch_tolerance_gate",
     "doc_temperature_sample",
+    # 1-row scalar broadcasts (vocab size / corpus totals / corpus stats)
+    "doc_lm_perplexity",
+    "doc_dsir_select",
+    "doc_bm25_search",
 }
 
 ARROW_OK = {"media_histogram_gate"}

@@ -226,3 +226,33 @@ def test_temperature_sample_deterministic_and_nested(spark):
         for r in temperature_sample(df, "source", "doc_id", fraction=0.25).collect()
     }
     assert smaller < a  # nested in fraction (same md5 buckets)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from cda_client_spark.operators.sampling import dsir_importance_weights
+
+    target_like = [(i, "alpha beta alpha beta gamma") for i in range(10)]
+    off_target = [(i + 100, "zeta eta theta iota kappa") for i in range(10)]
+    raw = spark.createDataFrame(target_like + off_target, "doc_id bigint, text string")
+    target = spark.createDataFrame(target_like, "doc_id bigint, text string")
+    w = {r["doc_id"]: r["dsir_weight"] for r in
+         dsir_importance_weights(raw, target).collect()}
+    assert min(w[i] for i in range(10)) > max(w[i + 100] for i in range(10))
+
+
+def test_dsir_select_top_k_deterministic(spark):
+    from cda_client_spark.operators.sampling import dsir_select
+
+    rows = [(i, f"alpha beta w{i % 7} w{i % 11}") for i in range(50)]
+    raw = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = spark.createDataFrame(rows[:5], "doc_id bigint, text string")
+    a = [tuple(r) for r in dsir_select(raw, target, 10).collect()]
+    b = [tuple(r) for r in dsir_select(raw.repartition(9), target, 10).collect()]
+    assert len(a) == 10 and a == b
+    weights = [r[2] for r in a]
+    assert weights == sorted(weights, reverse=True)

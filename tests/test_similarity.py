@@ -232,3 +232,48 @@ def test_quantize_roundtrip_error_bound(spark):
     )
     for r in err.collect():
         assert r["max_err"] <= r["qscale"] / 2 + 1e-12, r
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-scoped semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_frame(spark):
+    import math
+
+    base = [
+        [math.cos(i * 0.37 + d * 0.11) for d in range(8)] for i in range(20)
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # planted duplicates: scaled copies of vectors 0..4 under higher ids
+    rows += [
+        (100 + i, [float(x * 1.01) for x in base[i]]) for i in range(5)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_semantic_dedup_flags_planted_copies(spark):
+    from cda_client_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _semdedup_frame(spark), threshold=0.999, nlist=4
+    ).collect()
+    flags = {r["vec_id"]: r["is_dup"] for r in out}
+    assert len(flags) == 25  # every input row comes back annotated
+    planted = [flags[100 + i] for i in range(5)]
+    assert all(planted), "scaled copies must be flagged as semantic dups"
+    # originals keep their slot (lowest id in the dup pair survives)
+    assert not any(flags[i] for i in range(5))
+
+
+def test_semantic_dedup_cluster_cap_guard(spark):
+    from cda_client_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _semdedup_frame(spark), threshold=0.999, nlist=2, max_cluster_size=1
+    ).collect()
+    # every multi-member cluster is over the cap: pairwise pruning is
+    # skipped (nothing flagged) instead of going quadratic
+    assert not any(r["is_dup"] for r in out)
+    assert len(out) == 25  # skipped clusters are kept, not dropped

@@ -346,3 +346,83 @@ def test_repetition_signals_trigram_and_thresholds(spark):
     assert r["dup_ngram_frac"] == pytest.approx(4 / 7, abs=1e-6)
     assert r["top_ngram_frac"] == pytest.approx(3 / 7, abs=1e-6)
     assert r["repetition_ok"]  # loosened top bar, dup 4/7 <= 0.60 default
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring and BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lm_docs(spark):
+    return spark.createDataFrame(
+        [(1, "a a b"), (2, "a b b")], "doc_id bigint, text string"
+    )
+
+
+def test_bigram_lm_scores_hand_computed(lm_docs):
+    import math
+
+    from cda_client_spark.operators.text import bigram_lm_scores
+
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(lm_docs, k=0.1).collect()}
+    # model: c(a a)=1, c(a b)=2, c(b b)=1; ctx a=3, b=1; V=2
+    lp = {
+        "a a": round(math.log(1.1 / 3.2), 9),
+        "a b": round(math.log(2.1 / 3.2), 9),
+        "b b": round(math.log(1.1 / 1.2), 9),
+    }
+    nll1 = round(-(lp["a a"] + lp["a b"]) / 2, 6)
+    nll2 = round(-(lp["a b"] + lp["b b"]) / 2, 6)
+    assert rows[1]["n_bigrams"] == 2 and rows[2]["n_bigrams"] == 2
+    assert rows[1]["avg_nll"] == nll1
+    assert rows[2]["avg_nll"] == nll2
+    assert rows[1]["perplexity"] == round(math.exp(nll1), 2)
+    # doc 2 repeats the rarer context 'b b' but also the common 'a b';
+    # fluency ordering: doc 2 scores LOWER nll (b b is high-prob: 1.1/1.2)
+    assert rows[2]["avg_nll"] < rows[1]["avg_nll"]
+
+
+def test_bigram_lm_short_docs_excluded(spark):
+    from cda_client_spark.operators.text import bigram_lm_scores
+
+    d = spark.createDataFrame(
+        [(1, "hello"), (2, "one two three")], "doc_id bigint, text string"
+    )
+    out = bigram_lm_scores(d).collect()
+    assert {r["doc_id"] for r in out} == {2}  # single-word doc has no bigram
+
+
+def test_bm25_ranks_matching_docs(spark):
+    from cda_client_spark.operators.text import bm25_scores
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark is here"),
+            (3, "nothing relevant at all in this one"),
+            (4, "other words entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame([(0, "spark")], "query_id int, qtext string")
+    out = bm25_scores(corpus, q, top_k=3).collect()
+    got = {r["rnk"]: r["doc_id"] for r in out}
+    # only docs 1 and 2 contain the term; tf=3 beats tf=1
+    assert got == {1: 1, 2: 2}
+    assert all(r["bm25"] > 0 for r in out)
+
+
+def test_bm25_deterministic_across_partitioning(spark):
+    from cda_client_spark.operators.text import bm25_scores
+
+    corpus = spark.createDataFrame(
+        [(i, f"term{i % 5} term{i % 3} filler words here") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "term1 term2"), (1, "term0")], "query_id int, qtext string"
+    )
+    a = sorted(map(tuple, bm25_scores(corpus, q).collect()))
+    b = sorted(map(tuple, bm25_scores(corpus.repartition(7), q).collect()))
+    assert a == b
