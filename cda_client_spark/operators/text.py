@@ -575,3 +575,55 @@ def bm25_scores(
         .filter(F.col("rnk") <= top_k)
         .select(query_id_col, id_col, "bm25", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-quality signals (mojibake / control chars / replacement chars)
+# — the cheap byte-sanity filters a web-crawl pipeline runs before any
+# model-based scoring; all JVM regexp, RE2-portable for the oracles.
+
+
+#: U+FFFD — the decoder's "something was undecodable" marker
+REPLACEMENT_CHAR_REGEX = "\ufffd"
+#: C0 control characters (minus \t \n \r) + DEL
+CONTROL_CHAR_REGEX = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+#: classic UTF-8-decoded-as-Latin-1 artifacts ("caf\u00c3\u00a9", "\u00e2\u0080\u0099", "\u00c2 ")
+MOJIBAKE_REGEX = (
+    "\u00c3[\u00a9\u00a8\u00a4\u00b6\u00bc\u00a7\u00b1]"
+    "|\u00e2\u0080[\u0099\u009c\u009d]"
+    "|\u00c2\u00a0"
+)
+NON_ASCII_REGEX = "[^\\x00-\\x7f]"
+
+
+def encoding_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document encoding health: replacement-character count, stray
+    C0-control count, mojibake-artifact count, non-ASCII character ratio,
+    and an ``encoding_ok`` gate (zero of the first three). Catches the
+    three dominant crawl corruptions — lossy transcodes, binary spill-in,
+    and double-decoded UTF-8 — before they pollute dedup signatures and
+    LM scores.
+
+    One pass of JVM regexps per row — no shuffle, no UDF; the ratio
+    rounds to 6 decimals for engine parity.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(c)
+    repl = F.regexp_count(c, F.lit(REPLACEMENT_CHAR_REGEX))
+    ctrl = F.regexp_count(c, F.lit(CONTROL_CHAR_REGEX))
+    moji = F.regexp_count(c, F.lit(MOJIBAKE_REGEX))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars_e"),
+        repl.cast("bigint").alias("replacement_count"),
+        ctrl.cast("bigint").alias("control_count"),
+        moji.cast("bigint").alias("mojibake_count"),
+        F.round(
+            F.regexp_count(c, F.lit(NON_ASCII_REGEX)) / F.greatest(n, F.lit(1)), 6
+        ).alias("non_ascii_ratio"),
+        ((repl + ctrl + moji) == 0).alias("encoding_ok"),
+    )

@@ -50,6 +50,7 @@ from cda_client_spark.operators.similarity import (
     hyperplane_weights,
     quantize_embeddings,
     norm_sql,
+    pq_topk_rerank,
     semantic_dedup,
 )
 from cda_client_spark.operators.multimodal import byte_histogram_features, media_stats
@@ -66,10 +67,15 @@ from cda_client_spark.operators.sampling import (
     weighted_sample,
 )
 from cda_client_spark.operators.text import (
+    CONTROL_CHAR_REGEX,
+    MOJIBAKE_REGEX,
+    NON_ASCII_REGEX,
+    REPLACEMENT_CHAR_REGEX,
     STOPWORDS,
     TOKEN_REGEX,
     bigram_lm_scores,
     bm25_scores,
+    encoding_signals,
     fingerprint,
     language_id,
     ngram_contamination,
@@ -1718,6 +1724,39 @@ SELECT query_id, doc_id, bm25, rnk FROM r WHERE rnk <= 5
 """
 
 
+PQ_RECALL_BAR = 0.6
+
+PQ_RECALL_SQL = "SELECT true AS recall_ok"
+
+
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for product-quantization ANN
+    (operators/similarity.py ``pq_topk_rerank``): recall@5 of the
+    ADC-shortlist + exact-rerank pipeline vs the brute-force baseline.
+    One row ``recall_ok=true``; the oracle is ``SELECT true`` because the
+    Lloyd-trained codebooks aren't SQL-replayable but the recall bar is
+    engine-independent (same pattern as ``ann_ivf_recall``)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    pq = pq_topk_rerank(e, q, dim=EMB_DIM, k=5, iters=3).select(
+        "query_id", "neighbor_id"
+    )
+    brute = ann_topk(e, q, dim=EMB_DIM, k=5, method="bruteforce").select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(pq, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("hits"))
+        .crossJoin(brute.agg(F.count("*").alias("total")))
+        .select(
+            (
+                (F.col("total") > 0)
+                & (F.col("hits") >= PQ_RECALL_BAR * F.col("total"))
+            ).alias("recall_ok")
+        )
+    )
+
+
 SEMDEDUP_BAR = 0.8
 
 SEMDEDUP_GATE_SQL = "SELECT true AS semdedup_ok"
@@ -1747,6 +1786,54 @@ def semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("semdedup_ok")
         )
     )
+
+
+def _docs_with_encoding_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic encoding defects planted on modular
+    doc_id classes (the synthetic corpus is pure ASCII, so every hit is
+    planted): mojibake, a replacement char, a stray C0 control, and a
+    LEGITIMATE non-ASCII word that must NOT trip the gate."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    add = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 6 == 0, F.lit(" caf\u00c3\u00a9 menu")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 8 == 0, F.lit("\ufffd")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit("\x07")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" na\u00efve")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", add.alias("text"))
+
+
+def doc_encoding_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health facets over the planted-defect corpus
+    (operators/text.py ``encoding_signals``): one regexp pass per row, no
+    shuffle; the accented-but-valid plant keeps ``encoding_ok`` honest."""
+    return encoding_signals(_docs_with_encoding_defects(spark, sf_dir))
+
+
+DOC_ENCODING_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 6 = 0 THEN ' caf\u00c3\u00a9 menu' ELSE '' END
+    || CASE WHEN doc_id % 8 = 0 THEN '\ufffd' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0 THEN chr(7) ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' na\u00efve' ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_e,
+  CAST(len(regexp_extract_all(text, '{REPLACEMENT_CHAR_REGEX}')) AS BIGINT)
+    AS replacement_count,
+  CAST(len(regexp_extract_all(text, '{CONTROL_CHAR_REGEX}')) AS BIGINT)
+    AS control_count,
+  CAST(len(regexp_extract_all(text, '{MOJIBAKE_REGEX}')) AS BIGINT)
+    AS mojibake_count,
+  round(len(regexp_extract_all(text, '{NON_ASCII_REGEX}'))
+    / greatest(length(text), 1), 6) AS non_ascii_ratio,
+  (len(regexp_extract_all(text, '{REPLACEMENT_CHAR_REGEX}'))
+   + len(regexp_extract_all(text, '{CONTROL_CHAR_REGEX}'))
+   + len(regexp_extract_all(text, '{MOJIBAKE_REGEX}'))) = 0 AS encoding_ok
+FROM corpus
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1804,6 +1891,9 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # semantic_dedup (KMeans) is exercised and gated through semdedup_gate,
     # same pattern as ann_topk_ivf / media_histogram_features
     "semdedup_gate": semdedup_gate,
+    # pq_train/pq_encode/pq_topk are exercised and gated through pq_recall
+    "pq_recall": pq_recall,
+    "doc_encoding_signals": doc_encoding_signals,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -1849,4 +1939,6 @@ ORACLE_LLM: dict[str, str] = {
     "doc_dsir_select": DOC_DSIR_SQL,
     "doc_bm25_search": DOC_BM25_SQL,
     "semdedup_gate": SEMDEDUP_GATE_SQL,
+    "pq_recall": PQ_RECALL_SQL,
+    "doc_encoding_signals": DOC_ENCODING_SQL,
 }

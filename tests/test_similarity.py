@@ -277,3 +277,76 @@ def test_semantic_dedup_cluster_cap_guard(spark):
     # skipped (nothing flagged) instead of going quadratic
     assert not any(r["is_dup"] for r in out)
     assert len(out) == 25  # skipped clusters are kept, not dropped
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ADC scan + exact rerank)
+# ---------------------------------------------------------------------------
+
+
+def _pq_frame(spark, n=60, dim=16):
+    import math
+
+    rows = [
+        (i, [float(math.sin(i * 0.31 + d * 0.17)) for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_pq_train_shape_and_determinism(spark):
+    from cda_client_spark.operators.similarity import pq_train
+
+    df = _pq_frame(spark)
+    b1 = pq_train(df, dim=16, m=4, codewords=4, iters=2)
+    b2 = pq_train(df.repartition(5), dim=16, m=4, codewords=4, iters=2)
+    assert len(b1) == 4 and len(b1[0]) == 4 and len(b1[0][0]) == 4
+    assert b1 == b2  # md5 init + exact averaging: partitioning-invariant
+
+
+def test_pq_encode_codes_in_range(spark):
+    from cda_client_spark.operators.similarity import pq_encode, pq_train
+
+    df = _pq_frame(spark)
+    books = pq_train(df, dim=16, m=4, codewords=4, iters=2)
+    codes = pq_encode(df, books).select("pq_code").collect()
+    for r in codes:
+        assert len(r["pq_code"]) == 4
+        assert all(0 <= c < 4 for c in r["pq_code"])
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import ann_topk, pq_topk_rerank
+
+    df = _pq_frame(spark, n=80)
+    q = df.filter(F.col("vec_id") < 5)
+    pq = pq_topk_rerank(
+        df, q, dim=16, m=4, codewords=8, iters=3, k=5, shortlist=25
+    ).select("query_id", "neighbor_id")
+    brute = ann_topk(df, q, dim=16, k=5, method="bruteforce").select(
+        "query_id", "neighbor_id"
+    )
+    total = brute.count()
+    hits = brute.join(pq, ["query_id", "neighbor_id"], "left_semi").count()
+    assert total == 25
+    assert hits / total >= 0.6
+    # the rerank step scores candidates EXACTLY: every returned cos_sim of a
+    # true top-k hit must match the brute-force value
+    full_pq = pq_topk_rerank(df, q, dim=16, m=4, codewords=8, iters=3, k=5, shortlist=25)
+    full_b = ann_topk(df, q, dim=16, k=5, method="bruteforce")
+    joined = full_pq.join(
+        full_b.select("query_id", "neighbor_id", F.col("cos_sim").alias("exact")),
+        ["query_id", "neighbor_id"],
+    )
+    assert joined.filter(F.col("cos_sim") != F.col("exact")).count() == 0
+
+
+def test_pq_train_dim_not_divisible(spark):
+    import pytest as _pytest
+
+    from cda_client_spark.operators.similarity import pq_train
+
+    with _pytest.raises(ValueError):
+        pq_train(_pq_frame(spark), dim=16, m=3)

@@ -426,3 +426,25 @@ def test_bm25_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, bm25_scores(corpus, q).collect()))
     b = sorted(map(tuple, bm25_scores(corpus.repartition(7), q).collect()))
     assert a == b
+
+
+def test_encoding_signals_planted_defects(spark):
+    from cda_client_spark.operators.text import encoding_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "bad cafÃ© mojibake"),
+            (3, "lost char � here"),
+            (4, "bell \x07 noise"),
+            (5, "naïve but legitimate résumé"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in encoding_signals(docs).collect()}
+    assert rows[1]["encoding_ok"] and rows[1]["non_ascii_ratio"] == 0.0
+    assert rows[2]["mojibake_count"] == 1 and not rows[2]["encoding_ok"]
+    assert rows[3]["replacement_count"] == 1 and not rows[3]["encoding_ok"]
+    assert rows[4]["control_count"] == 1 and not rows[4]["encoding_ok"]
+    # accented-but-valid text is non-ASCII yet OK
+    assert rows[5]["encoding_ok"] and rows[5]["non_ascii_ratio"] > 0
