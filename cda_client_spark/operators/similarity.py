@@ -746,3 +746,25 @@ def pq_topk_rerank(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )
+
+
+def save_codebooks(books: list[list[list[float]]], path: str) -> None:
+    """Persist PQ codebooks as JSON (they are KBs — a sidecar file, not a
+    dataset): train once on a corpus sample, reuse across encode/search
+    jobs and incremental deliveries."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(p.suffix + ".tmp")
+    tmp.write_text(json.dumps(books))
+    tmp.replace(p)  # atomic publish, same recipe as the savepoint store
+
+
+def load_codebooks(path: str) -> list[list[list[float]]]:
+    """Inverse of :func:`save_codebooks`."""
+    import json
+    from pathlib import Path
+
+    return json.loads(Path(path).read_text())

@@ -2,6 +2,11 @@
 and the Kafka CDC source (kafka.py). See SURVEY.md §2.9 — the streaming
 checkpoint replaces savepoints for exactly-once folder consumption."""
 
+from cda_client_spark.streaming.incremental import (
+    incremental_dedup_batch,
+    incremental_dedup_stream,
+    read_curated,
+)
 from cda_client_spark.streaming.kafka import kafka_cdc_stream, parse_cdc_envelope
 from cda_client_spark.streaming.runner import run_streaming, stream_table_fingerprint
 from cda_client_spark.streaming.windows import (
@@ -13,6 +18,9 @@ from cda_client_spark.streaming.windows import (
 )
 
 __all__ = [
+    "incremental_dedup_batch",
+    "incremental_dedup_stream",
+    "read_curated",
     "kafka_cdc_stream",
     "parse_cdc_envelope",
     "run_streaming",

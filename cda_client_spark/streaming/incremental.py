@@ -1,0 +1,173 @@
+"""Incremental streaming near-dup curation: dedup arriving documents
+against BOTH the current micro-batch and every previously-accepted
+document, via a persistent MinHash-bucket store (north-star extension —
+the reference's streaming is a re-run batch CDC copy, SURVEY.md §2.9; it
+has no content dedup at all).
+
+Why this shape at 100 TB: a corpus under continuous ingestion can't
+re-run full-corpus dedup per delivery. The signature store holds
+``bands`` small (id, band, key) rows per ACCEPTED document — a few tens
+of bytes per doc regardless of document size — so each micro-batch costs:
+
+- one signature pass over the new documents only,
+- one bucket equi-join new-vs-store (shuffles bucket keys, never text),
+- one bucket self-join within the batch (lowest id wins),
+- one append of the survivors' bucket rows.
+
+Both joins ride the same hot-bucket cap as every LSH path
+(``cap_buckets``), so a boilerplate bucket in the store can't go
+quadratic against a hot batch.
+
+Exactly-once: ``foreachBatch`` is at-least-once, so every write lands in
+a ``batch=<id>`` partition directory with per-batch overwrite — a
+checkpoint replay rewrites the same partitions byte-identically instead
+of duplicating rows (same recipe as the JDBC raw sink's idempotent
+replay, sinks/jdbc.py).
+
+Precedence: earlier batches win (their signatures are already in the
+store when later batches arrive); within a batch the lowest id wins —
+the same deterministic keep rule as ``exact_dedup``/``dedup_clusters``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cda_client_spark.operators.dedup import (
+    DEFAULT_MAX_BUCKET_SIZE,
+    _lsh_buckets,
+    cap_buckets,
+)
+
+BUCKET_SCHEMA = "doc_id bigint, band int, key string"
+
+
+def _store_frame(
+    spark: SparkSession, store_dir: str, before_batch: int
+) -> DataFrame | None:
+    """Accepted signatures from batches STRICTLY BEFORE ``before_batch``,
+    or None when there are none. The exclusion is what makes replay safe:
+    a crashed batch may have committed its own ``batch=<id>`` store
+    partition before the checkpoint advanced — comparing the replayed
+    batch against its own signatures would reject every row and overwrite
+    the output partition with nothing. Read with an explicit schema: an
+    empty dir must not fail inference."""
+    p = Path(store_dir)
+    if not p.exists() or not any(p.rglob("*.parquet")):
+        return None
+    store = spark.read.schema(f"{BUCKET_SCHEMA}, batch int").parquet(store_dir)
+    store = store.filter(F.col("batch") < before_batch).drop("batch")
+    return store
+
+
+def incremental_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> None:
+    """Apply one micro-batch: survivors land in ``out_dir/batch=<id>``,
+    their bucket rows in ``store_dir/batch=<id>`` (both overwritten on
+    replay — idempotent)."""
+    batch_df = batch_df.persist()
+    try:
+        new_b = _lsh_buckets(
+            batch_df.select(F.col(id_col), F.col(text_col)),
+            id_col, text_col, num_hashes, bands, shingle, hash_fn,
+        )
+        if max_bucket_size is not None:
+            new_b = cap_buckets(new_b, ["band", "key"], max_bucket_size)
+        new_b = new_b.persist()
+        try:
+            dup_ids = None
+            store = _store_frame(spark, store_dir, batch_id)
+            if store is not None:
+                sb = store.select(
+                    F.col("doc_id").alias("_stored_id"), "band", "key"
+                )
+                if max_bucket_size is not None:
+                    sb = cap_buckets(sb, ["band", "key"], max_bucket_size)
+                dup_ids = (
+                    new_b.join(sb, ["band", "key"])
+                    .select(F.col(id_col))
+                    .distinct()
+                )
+            a, b = new_b.alias("a"), new_b.alias("b")
+            within = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+                )
+                .select(F.col(f"a.{id_col}").alias(id_col))
+                .distinct()
+            )
+            dup_ids = within if dup_ids is None else dup_ids.unionByName(within).distinct()
+            survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
+            try:
+                survivors.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+                new_b.join(survivors.select(id_col), id_col, "left_semi").select(
+                    F.col(id_col).alias("doc_id"), "band", "key"
+                ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+            finally:
+                survivors.unpersist()
+        finally:
+            new_b.unpersist()
+    finally:
+        batch_df.unpersist()
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType | str,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kwargs,
+) -> None:
+    """Run the incremental curation as a checkpointed AvailableNow stream
+    over a landing folder: each delivery is deduped against everything
+    accepted before it, then committed. Re-running after new files land
+    processes ONLY the new files (the checkpoint tracks consumption);
+    re-running after a crash replays the in-flight batch onto the same
+    ``batch=<id>`` partitions."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_dedup_batch(
+            spark, batch_df, batch_id, store_dir, out_dir,
+            id_col, text_col, **dedup_kwargs,
+        )
+
+    (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_curated(spark: SparkSession, out_dir: str, schema: StructType | str) -> DataFrame:
+    """All accepted documents across batches (explicit schema — safe on an
+    empty store)."""
+    p = Path(out_dir)
+    if not p.exists() or not any(p.rglob("*.parquet")):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(f"{out_dir}/batch=*")

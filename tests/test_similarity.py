@@ -350,3 +350,22 @@ def test_pq_train_dim_not_divisible(spark):
 
     with _pytest.raises(ValueError):
         pq_train(_pq_frame(spark), dim=16, m=3)
+
+
+def test_pq_codebook_roundtrip(spark, tmp_path):
+    from cda_client_spark.operators.similarity import (
+        load_codebooks,
+        pq_encode,
+        pq_train,
+        save_codebooks,
+    )
+
+    df = _pq_frame(spark)
+    books = pq_train(df, dim=16, m=4, codewords=4, iters=2)
+    path = str(tmp_path / "pq" / "codebooks.json")
+    save_codebooks(books, path)
+    loaded = load_codebooks(path)
+    assert loaded == books
+    a = sorted(map(tuple, pq_encode(df, books).select("vec_id", "pq_code").collect()))
+    b = sorted(map(tuple, pq_encode(df, loaded).select("vec_id", "pq_code").collect()))
+    assert a == b

@@ -1,0 +1,112 @@
+"""Incremental streaming near-dup curation: documents arriving in later
+deliveries are deduped against everything accepted before them via the
+persistent MinHash-bucket store (streaming/incremental.py; no reference
+counterpart — reference streaming is batch CDC re-run, SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cda_client_spark.streaming.incremental import (
+    incremental_dedup_stream,
+    read_curated,
+)
+
+SCHEMA = "doc_id bigint, text string"
+
+
+def _doc(i: int, salt: str = "") -> tuple[int, str]:
+    base = " ".join(f"w{i}x{j}" for j in range(12))
+    return (i, base + (" " + salt if salt else ""))
+
+
+def _land(spark, path: str, rows, name: str) -> None:
+    """Move one flat parquet file into the landing dir (the file stream
+    source lists files, not non-partition subdirectories)."""
+    import shutil
+    from pathlib import Path
+
+    Path(path).mkdir(exist_ok=True)
+    staging = Path(path).parent / f"_stage_{name}"
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(staging))
+    part = next(staging.glob("part-*.parquet"))
+    shutil.move(str(part), f"{path}/{name}.parquet")
+    shutil.rmtree(staging)
+
+
+def _dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "store", "out", "ckpt")}
+    return d["in"], d["store"], d["out"], d["ckpt"]
+
+
+def _run(spark, ind, store, out, ckpt):
+    incremental_dedup_stream(
+        spark, ind, SCHEMA, store, out, ckpt, shingle=2, max_bucket_size=64
+    )
+
+
+def test_cross_delivery_dedup_and_within_batch_keep_lowest(spark, tmp_path):
+    ind, store, out, ckpt = _dirs(tmp_path)
+
+    # delivery 1: docs 0..4, plus an in-batch near-copy of doc 0 (id 50)
+    rows1 = [_doc(i) for i in range(5)]
+    rows1.append((50, _doc(0)[1] + " zz"))  # near-dup of 0, higher id
+    _land(spark, ind, rows1, "d1")
+    _run(spark, ind, store, out, ckpt)
+
+    kept1 = {r["doc_id"] for r in read_curated(spark, out, SCHEMA).collect()}
+    assert kept1 == {0, 1, 2, 3, 4}  # 50 lost to lowest-id-wins
+
+    # delivery 2: a near-copy of doc 3 (cross-delivery), one fresh doc
+    rows2 = [(60, _doc(3)[1] + " yy"), _doc(70)]
+    _land(spark, ind, rows2, "d2")
+    _run(spark, ind, store, out, ckpt)
+
+    kept2 = {r["doc_id"] for r in read_curated(spark, out, SCHEMA).collect()}
+    assert kept2 == {0, 1, 2, 3, 4, 70}  # 60 rejected against the store
+
+
+def test_replay_same_checkpoint_is_idempotent(spark, tmp_path):
+    ind, store, out, ckpt = _dirs(tmp_path)
+    _land(spark, ind, [_doc(i) for i in range(4)], "d1")
+    _run(spark, ind, store, out, ckpt)
+    first = sorted(map(tuple, read_curated(spark, out, SCHEMA).collect()))
+
+    # nothing new landed: a re-run consumes zero files and changes nothing
+    _run(spark, ind, store, out, ckpt)
+    again = sorted(map(tuple, read_curated(spark, out, SCHEMA).collect()))
+    assert again == first
+
+
+def test_crash_replay_overwrites_batch_partition(spark, tmp_path):
+    """Simulated crash after output committed but before the checkpoint:
+    re-processing the same delivery with a FRESH checkpoint rewrites the
+    same batch=0 partitions instead of duplicating rows."""
+    ind, store, out, ckpt = _dirs(tmp_path)
+    rows = [_doc(i) for i in range(4)]
+    _land(spark, ind, rows, "d1")
+    _run(spark, ind, store, out, ckpt)
+    first = sorted(map(tuple, read_curated(spark, out, SCHEMA).collect()))
+
+    _run(spark, ind, store, out, str(tmp_path / "ckpt2"))  # replay batch 0
+    again = sorted(map(tuple, read_curated(spark, out, SCHEMA).collect()))
+    assert again == first
+
+    # and the store carries exactly one bucket-row set per survivor
+    buckets = spark.read.schema("doc_id bigint, band int, key string").parquet(
+        f"{store}/batch=*"
+    )
+    per_doc = buckets.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)  # bands=4, no duplicates
+
+
+def test_exact_duplicate_across_three_deliveries(spark, tmp_path):
+    ind, store, out, ckpt = _dirs(tmp_path)
+    _land(spark, ind, [_doc(1)], "d1")
+    _run(spark, ind, store, out, ckpt)
+    _land(spark, ind, [(200, _doc(1)[1])], "d2")  # exact copy
+    _run(spark, ind, store, out, ckpt)
+    _land(spark, ind, [(300, _doc(1)[1])], "d3")  # exact copy again
+    _run(spark, ind, store, out, ckpt)
+    kept = {r["doc_id"] for r in read_curated(spark, out, SCHEMA).collect()}
+    assert kept == {1}
