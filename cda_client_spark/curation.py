@@ -25,6 +25,13 @@ Config shape (every step optional; steps run in the fixed order below):
         sourceQuota: {keyColumn: source, cap: 1000}
       split: {train: 0.98, val: 0.01, test: 0.01}
       export: {shards: 8, compression: gzip}   # sharded JSONL per split
+      # OPTIONAL streaming mode: curate each delivery as it lands, with a
+      # final near_dup stage against everything previously accepted
+      # (persistent MinHash store; see run_incremental_curation)
+      incremental:
+        landingPath: /data/landing
+        storePath: /data/sig_store
+        checkpointPath: /data/ckpt
 
 Design: transforms (line dedup, PII) rewrite the text in place; filters
 never drop rows mid-stream — each tags the FIRST failing stage in a
@@ -68,7 +75,8 @@ from cda_client_spark.operators.text import (
 
 log = logging.getLogger(__name__)
 
-#: filter stages in execution order; drop_reason carries the first that fails
+#: filter stages in execution order; drop_reason carries the first that
+#: fails ("near_dup" runs last, incremental mode only)
 STAGES = (
     "quality",
     "repetition",
@@ -76,6 +84,7 @@ STAGES = (
     "dsir",
     "contamination",
     "source_quota",
+    "near_dup",
 )
 
 
@@ -89,6 +98,8 @@ class CurationConfig:
     split: dict[str, float] = field(default_factory=dict)
     export_shards: int = 8
     export_compression: str | None = "gzip"
+    #: streaming mode: {landingPath, storePath, checkpointPath, [nearDup kwargs]}
+    incremental: dict[str, Any] | None = None
 
 
 def load_curation_config(path: str | Path) -> CurationConfig:
@@ -98,7 +109,13 @@ def load_curation_config(path: str | Path) -> CurationConfig:
     c = (raw or {}).get("curation")
     if not isinstance(c, dict):
         raise ConfigError("config must have a top-level 'curation' mapping")
-    for req in ("inputPath", "outputPath"):
+    inc = c.get("incremental")
+    if inc is not None:
+        for req in ("landingPath", "storePath", "checkpointPath"):
+            if not inc.get(req):
+                raise ConfigError(f"curation.incremental.{req} is required")
+    required = ("outputPath",) if inc else ("inputPath", "outputPath")
+    for req in required:
         if not c.get(req):
             raise ConfigError(f"curation.{req} is required")
     steps = c.get("steps") or {}
@@ -117,7 +134,7 @@ def load_curation_config(path: str | Path) -> CurationConfig:
         raise ConfigError(f"unknown curation steps: {sorted(unknown)}")
     exp = c.get("export") or {}
     return CurationConfig(
-        input_path=c["inputPath"],
+        input_path=c.get("inputPath", ""),
         output_path=c["outputPath"],
         id_col=c.get("idColumn", "doc_id"),
         text_col=c.get("textColumn", "text"),
@@ -125,6 +142,7 @@ def load_curation_config(path: str | Path) -> CurationConfig:
         split=c.get("split") or {},
         export_shards=int(exp.get("shards", 8)),
         export_compression=exp.get("compression", "gzip"),
+        incremental=inc,
     )
 
 
@@ -149,11 +167,21 @@ def _tag(df: DataFrame, reason: str, fails: F.Column) -> DataFrame:
 
 
 def curate(spark: SparkSession, cfg: CurationConfig) -> tuple[DataFrame, DataFrame]:
-    """Build the curation lineage. Returns ``(tagged, kept)``: the full
-    frame with ``drop_reason`` (null = kept, possibly with a ``split``
-    column) and its kept-only filter. Lazy — callers choose the action."""
+    """Build the curation lineage over ``cfg.input_path``. Returns
+    ``(tagged, kept)``: the full frame with ``drop_reason`` (null = kept,
+    possibly with a ``split`` column) and its kept-only filter. Lazy —
+    callers choose the action."""
+    return curate_frame(spark, spark.read.parquet(cfg.input_path), cfg)
+
+
+def curate_frame(
+    spark: SparkSession, df: DataFrame, cfg: CurationConfig
+) -> tuple[DataFrame, DataFrame]:
+    """The stage chain over an ALREADY-LOADED frame — shared by the batch
+    run (whole corpus) and the incremental run (one delivery at a time;
+    corpus-trained stages like lineDedup/lmPerplexity then see one
+    delivery's statistics, which is the honest per-delivery semantics)."""
     id_c, text_c = cfg.id_col, cfg.text_col
-    df = spark.read.parquet(cfg.input_path)
     steps = cfg.steps
 
     if "lineDedup" in steps:
@@ -335,6 +363,163 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
     return report
 
 
+def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
+    """Streaming curation over a landing folder: each delivery runs the
+    SAME stage chain as the batch pipeline, then a ``near_dup`` stage that
+    rejects documents near-duplicating anything previously ACCEPTED (a
+    persistent MinHash-bucket store — see streaming/incremental.py for the
+    scale and replay-safety story). Survivors export as sharded JSONL
+    under ``outputPath/batch=<id>/`` (replay overwrites the same batch
+    partition).
+
+    Only fully-kept documents enter the store: a document rejected for
+    quality is re-evaluated (and re-rejected for the same reason) if it
+    arrives again, so the funnel stays truthful. ``total/kept/dropped``
+    in the report cover THIS run's deliveries; ``splits`` counts
+    everything exported so far (cumulative read-back).
+    """
+    from cda_client_spark.sinks.files import write_jsonl_sharded
+    from cda_client_spark.streaming.incremental import (
+        batch_buckets,
+        near_dup_ids,
+        write_store_batch,
+    )
+
+    inc = dict(cfg.incremental or {})
+    landing, store_dir = inc["landingPath"], inc["storePath"]
+    ckpt = inc["checkpointPath"]
+    dedup_kwargs = {
+        k: inc[k]
+        for k in ("num_hashes", "bands", "shingle", "hash_fn", "max_bucket_size")
+        if k in inc
+    }
+    out = cfg.output_path
+    funnels: list[dict] = []
+
+    # schema from the landed files (at least one delivery must exist —
+    # the stream source needs an explicit schema)
+    schema = spark.read.parquet(landing).schema
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # AvailableNow can emit a trailing empty batch;
+            return  # an empty batch dir would poison partition discovery
+        tagged, _ = curate_frame(spark, batch_df, cfg)
+        tagged = tagged.persist()
+        try:
+            kept_rows = tagged.filter(F.col("drop_reason").isNull())
+            buckets = batch_buckets(
+                kept_rows.select(cfg.id_col, cfg.text_col),
+                cfg.id_col,
+                cfg.text_col,
+                **dedup_kwargs,
+            ).persist()
+            try:
+                from cda_client_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+
+                dups = near_dup_ids(
+                    spark, buckets, batch_id, store_dir, cfg.id_col,
+                    dedup_kwargs.get("max_bucket_size", DEFAULT_MAX_BUCKET_SIZE),
+                )
+                tagged2 = _tag(
+                    tagged.join(
+                        dups.withColumn("_nd", F.lit(True)), cfg.id_col, "left"
+                    ),
+                    "near_dup",
+                    F.col("_nd").isNotNull(),
+                ).drop("_nd").persist()
+                try:
+                    funnels.append(
+                        {
+                            r["drop_reason"]: r["n"]
+                            for r in tagged2.groupBy("drop_reason")
+                            .agg(F.count(F.lit(1)).alias("n"))
+                            .collect()
+                        }
+                    )
+                    kept = tagged2.filter(F.col("drop_reason").isNull()).drop(
+                        "drop_reason"
+                    )
+                    if cfg.split:
+                        kept = hash_split(
+                            kept, cfg.id_col, {k: float(v) for k, v in cfg.split.items()}
+                        )
+                    else:
+                        kept = kept.withColumn("split", F.lit("all"))
+                    write_jsonl_sharded(
+                        kept,
+                        f"{out}/batch={batch_id}",
+                        shards=cfg.export_shards,
+                        id_col=cfg.id_col,
+                        compression=cfg.export_compression,
+                        partition_cols=["split"],
+                    )
+                    write_store_batch(
+                        buckets,
+                        tagged2.filter(F.col("drop_reason").isNull()).select(cfg.id_col),
+                        store_dir,
+                        batch_id,
+                        cfg.id_col,
+                    )
+                finally:
+                    tagged2.unpersist()
+            finally:
+                buckets.unpersist()
+        finally:
+            tagged.unpersist()
+
+    (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .writeStream.foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    dropped: dict[str, int] = {}
+    kept_n = 0
+    for f in funnels:
+        for reason, n in f.items():
+            if reason is None:
+                kept_n += n
+            else:
+                dropped[reason] = dropped.get(reason, 0) + n
+    total = kept_n + sum(dropped.values())
+
+    splits: dict[str, int] = {name: 0 for name in (list(cfg.split) or ["all"])}
+    if any(Path(out).rglob("part-*")):
+        for r in (
+            spark.read.option("basePath", out)
+            .json(f"{out}/batch=*")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ):
+            splits[str(r["split"])] = r["n"]
+
+    report = CurationReport(
+        total=total,
+        kept=kept_n,
+        dropped={k: v for k, v in sorted(dropped.items())},
+        splits=splits,
+        output_path=out,
+    )
+    Path(out).mkdir(parents=True, exist_ok=True)
+    (Path(out) / "curation_report.json").write_text(
+        json.dumps(
+            {
+                "total": report.total,
+                "kept": report.kept,
+                "dropped": report.dropped,
+                "splits": report.splits,
+            },
+            indent=2,
+        )
+    )
+    return report
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="cda_client_spark.curation",
@@ -353,7 +538,10 @@ def main(argv: list[str] | None = None) -> int:
     preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="cda_client_spark-curation")
     try:
-        report = run_curation(spark, cfg)
+        if cfg.incremental:
+            report = run_incremental_curation(spark, cfg)
+        else:
+            report = run_curation(spark, cfg)
     finally:
         if not preexisting:  # don't tear down a session we merely joined
             spark.stop()

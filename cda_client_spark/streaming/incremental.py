@@ -64,6 +64,72 @@ def _store_frame(
     return store
 
 
+def batch_buckets(
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """MinHash bucket rows (id, band, key) for one delivery, hot buckets
+    capped — the unit both the dup check and the store work with."""
+    b = _lsh_buckets(
+        batch_df.select(F.col(id_col), F.col(text_col)),
+        id_col, text_col, num_hashes, bands, shingle, hash_fn,
+    )
+    if max_bucket_size is not None:
+        b = cap_buckets(b, ["band", "key"], max_bucket_size)
+    return b
+
+
+def near_dup_ids(
+    spark: SparkSession,
+    buckets: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Ids in this delivery that near-duplicate an earlier-accepted doc
+    (store bucket collision) or a lower-id doc in the same delivery."""
+    dup_ids = None
+    store = _store_frame(spark, store_dir, batch_id)
+    if store is not None:
+        sb = store.select(F.col("doc_id").alias("_stored_id"), "band", "key")
+        if max_bucket_size is not None:
+            sb = cap_buckets(sb, ["band", "key"], max_bucket_size)
+        dup_ids = buckets.join(sb, ["band", "key"]).select(F.col(id_col)).distinct()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return within if dup_ids is None else dup_ids.unionByName(within).distinct()
+
+
+def write_store_batch(
+    buckets: DataFrame,
+    accepted_ids: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Commit the accepted docs' bucket rows under ``batch=<id>``
+    (overwritten byte-identically on replay)."""
+    buckets.join(accepted_ids, id_col, "left_semi").select(
+        F.col(id_col).alias("doc_id"), "band", "key"
+    ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+
+
 def incremental_dedup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -80,48 +146,27 @@ def incremental_dedup_batch(
 ) -> None:
     """Apply one micro-batch: survivors land in ``out_dir/batch=<id>``,
     their bucket rows in ``store_dir/batch=<id>`` (both overwritten on
-    replay — idempotent)."""
+    replay — idempotent). Empty batches (AvailableNow sometimes emits a
+    trailing one) are skipped — a bare ``batch=<id>`` dir with no files
+    breaks partition discovery on read-back."""
+    if batch_df.isEmpty():
+        return
     batch_df = batch_df.persist()
     try:
-        new_b = _lsh_buckets(
-            batch_df.select(F.col(id_col), F.col(text_col)),
-            id_col, text_col, num_hashes, bands, shingle, hash_fn,
-        )
-        if max_bucket_size is not None:
-            new_b = cap_buckets(new_b, ["band", "key"], max_bucket_size)
-        new_b = new_b.persist()
+        new_b = batch_buckets(
+            batch_df, id_col, text_col, num_hashes, bands, shingle, hash_fn,
+            max_bucket_size,
+        ).persist()
         try:
-            dup_ids = None
-            store = _store_frame(spark, store_dir, batch_id)
-            if store is not None:
-                sb = store.select(
-                    F.col("doc_id").alias("_stored_id"), "band", "key"
-                )
-                if max_bucket_size is not None:
-                    sb = cap_buckets(sb, ["band", "key"], max_bucket_size)
-                dup_ids = (
-                    new_b.join(sb, ["band", "key"])
-                    .select(F.col(id_col))
-                    .distinct()
-                )
-            a, b = new_b.alias("a"), new_b.alias("b")
-            within = (
-                a.join(
-                    b,
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.key") == F.col("b.key"))
-                    & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
-                )
-                .select(F.col(f"a.{id_col}").alias(id_col))
-                .distinct()
+            dups = near_dup_ids(
+                spark, new_b, batch_id, store_dir, id_col, max_bucket_size
             )
-            dup_ids = within if dup_ids is None else dup_ids.unionByName(within).distinct()
-            survivors = batch_df.join(dup_ids, id_col, "left_anti").persist()
+            survivors = batch_df.join(dups, id_col, "left_anti").persist()
             try:
                 survivors.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
-                new_b.join(survivors.select(id_col), id_col, "left_semi").select(
-                    F.col(id_col).alias("doc_id"), "band", "key"
-                ).write.mode("overwrite").parquet(f"{store_dir}/batch={batch_id}")
+                write_store_batch(
+                    new_b, survivors.select(id_col), store_dir, batch_id, id_col
+                )
             finally:
                 survivors.unpersist()
         finally:

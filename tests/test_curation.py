@@ -243,3 +243,60 @@ def test_curation_dsir_threshold_drops_off_target(spark, tmp_path):
     report = run_curation(spark, cfg)
     assert report.dropped.get("dsir") == 10
     assert report.kept == 10
+
+
+def test_incremental_curation_two_deliveries(spark, tmp_path):
+    """Streaming curation: delivery 2's near-copy of an ACCEPTED delivery-1
+    doc falls at near_dup; its near-copy of a REJECTED doc is re-evaluated
+    and falls at quality again (rejected docs never enter the store)."""
+    import shutil
+
+    from cda_client_spark.curation import run_incremental_curation
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(rows, name):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string"
+        ).coalesce(1).write.parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.move(str(part), str(landing / f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    cfg = CurationConfig(
+        input_path="",
+        output_path=str(tmp_path / "out"),
+        steps={"quality": {"minWords": 5, "minScore": 0.0}},
+        export_shards=1,
+        export_compression=None,
+        incremental={
+            "landingPath": str(landing),
+            "storePath": str(tmp_path / "store"),
+            "checkpointPath": str(tmp_path / "ckpt"),
+            "shingle": 2,
+            "max_bucket_size": 64,
+        },
+    )
+
+    land([(i, good_text(i), "s") for i in range(3)] + [(9, "too few", "s")], "d1")
+    r1 = run_incremental_curation(spark, cfg)
+    assert r1.kept == 3 and r1.dropped == {"quality": 1}
+
+    # delivery 2: near-copy of accepted doc 0, near-copy of rejected doc 9,
+    # one fresh doc
+    land(
+        [
+            (20, good_text(0) + " zz", "s"),
+            (21, "too few", "s"),
+            (22, good_text(22), "s"),
+        ],
+        "d2",
+    )
+    r2 = run_incremental_curation(spark, cfg)
+    assert r2.dropped.get("near_dup") == 1  # doc 20 vs stored doc 0
+    assert r2.dropped.get("quality") == 1  # doc 21 re-rejected, not near_dup
+    assert r2.kept == 1  # doc 22
+    # cumulative export: 3 (d1) + 1 (d2)
+    assert r2.splits == {"all": 4}

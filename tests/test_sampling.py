@@ -256,3 +256,49 @@ def test_dsir_select_top_k_deterministic(spark):
     assert len(a) == 10 and a == b
     weights = [r[2] for r in a]
     assert weights == sorted(weights, reverse=True)
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """dsir_importance_weights vs an independent pure-Python replay of the
+    hashed-bucket log-ratio model (same md5 rule, same rounding)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from cda_client_spark.operators.sampling import DSIR_BUCKETS, dsir_importance_weights
+
+    tokre = re.compile(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]")
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(f"dsir:{tok}".encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    raw_rows = [(i, f"alpha w{i % 3} beta w{i % 5} gamma") for i in range(12)]
+    tgt_rows = raw_rows[:4]
+
+    raw_c, tgt_c = Counter(), Counter()
+    for _, t in raw_rows:
+        raw_c.update(bucket(tok) for tok in tokre.findall(t.lower()))
+    for _, t in tgt_rows:
+        tgt_c.update(bucket(tok) for tok in tokre.findall(t.lower()))
+    t_raw, t_tgt = sum(raw_c.values()), sum(tgt_c.values())
+    lr = {
+        b: round(
+            math.log((tgt_c[b] + 1.0) / (t_tgt + DSIR_BUCKETS))
+            - math.log((raw_c[b] + 1.0) / (t_raw + DSIR_BUCKETS)),
+            9,
+        )
+        for b in raw_c
+    }
+    expect = {}
+    for i, t in raw_rows:
+        bs = [bucket(tok) for tok in tokre.findall(t.lower())]
+        expect[i] = (len(bs), round(sum(lr[b] for b in bs) / len(bs), 6))
+
+    raw = spark.createDataFrame(raw_rows, "doc_id bigint, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_weight"])
+        for r in dsir_importance_weights(raw, tgt).collect()
+    }
+    assert got == expect

@@ -259,3 +259,124 @@ def test_duplicate_spans_matches_reference(spark, word_lists, n, min_df):
     cleaned = {r["doc_id"]: r["clean_text"] for r in remove_spans(df, spans_df).collect()}
     for d in range(len(word_lists)):
         assert cleaned[d] == ref_removed[d], d
+
+
+# -- bigram_lm_scores ------------------------------------------------------
+
+lm_words = st.sampled_from(["a", "b", "c", "dd", "e1"])
+lm_docs = st.lists(
+    st.lists(lm_words, min_size=1, max_size=8), min_size=2, max_size=10
+)
+
+
+def bigram_lm_reference(docs: list[list[str]], k: float = 0.1):
+    """Pure-Python add-k bigram LM trained on the corpus, scoring each doc
+    by mean NLL of its bigrams — same rounding protocol as the operator
+    (per-gram log-prob to 9 before the weighted mean, mean to 6)."""
+    import math
+    from collections import Counter
+
+    bi, ctx, vocab = Counter(), Counter(), set()
+    for words in docs:
+        vocab.update(words)
+        for x, y in zip(words, words[1:]):
+            bi[(x, y)] += 1
+            ctx[x] += 1
+    v = len(vocab)
+    out = {}
+    for i, words in enumerate(docs):
+        grams = list(zip(words, words[1:]))
+        if not grams:
+            continue
+        lps = [
+            round(math.log((bi[g] + k) / (ctx[g[0]] + k * v)), 9) for g in grams
+        ]
+        nll = round(-sum(lps) / len(lps), 6)
+        out[i] = (len(grams), nll, round(math.exp(nll), 2))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=lm_docs)
+def test_bigram_lm_matches_reference(spark, docs):
+    from cda_client_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["perplexity"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert got == bigram_lm_reference(docs)
+
+
+# -- bm25_scores -----------------------------------------------------------
+
+
+def bm25_reference(docs, queries, k1=1.2, b=0.75, top_k=5):
+    """Pure-Python Okapi BM25 with the operator's exact rounding."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    tokre = _re.compile(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]")
+
+    def toks(s):
+        return tokre.findall(s.lower())
+
+    def wcount(s):
+        return len(_re.split(r"\s+", s.lower()))
+
+    n = len(docs)
+    avgdl = sum(wcount(t) for _, t in docs) / n
+    df = Counter()
+    for _, t in docs:
+        for term in set(toks(t)):
+            df[term] += 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        qterms = set(toks(qtext))
+        for did, t in docs:
+            tf = Counter(toks(t))
+            s = 0.0
+            hit = False
+            for term in qterms:
+                if tf[term] == 0:
+                    continue
+                hit = True
+                idf = round(math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5)), 9)
+                s += round(
+                    idf * tf[term] * (k1 + 1)
+                    / (tf[term] + k1 * (1 - b + b * wcount(t) / avgdl)),
+                    9,
+                )
+            if hit:
+                scores[did] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        for rnk, (did, s) in enumerate(ranked, 1):
+            out[(qid, did)] = (s, rnk)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(lm_words, min_size=1, max_size=6), min_size=2, max_size=8
+    ),
+    qwords=st.lists(lm_words, min_size=1, max_size=2),
+)
+def test_bm25_matches_reference(spark, docs, qwords):
+    from cda_client_spark.operators.text import bm25_scores
+
+    doc_rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    q_rows = [(0, " ".join(qwords))]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["bm25"], r["rnk"])
+        for r in bm25_scores(
+            spark.createDataFrame(doc_rows, "doc_id int, text string"),
+            spark.createDataFrame(q_rows, "query_id int, qtext string"),
+        ).collect()
+    }
+    assert got == bm25_reference(doc_rows, q_rows)
