@@ -1,0 +1,172 @@
+"""Distributed BPE (byte-pair encoding) tokenizer: train the merge table
+on the corpus with Spark aggregations, apply it with pure Catalyst
+expressions — no Python in either path (north-star extension; the
+reference has no tokenizer, SURVEY.md §2.11; the engine's other token
+counter is the regex pre-split in operators/text.py).
+
+Training (Sennrich et al. 2016) at scale:
+
+- the corpus collapses ONCE to (distinct word, count) — pair statistics
+  only ever aggregate over the vocabulary, not the corpus, so each merge
+  round costs a shuffle of |vocab| rows, and the corpus text is read
+  exactly once;
+- each round, ONE row (the argmax pair) returns to the driver — the
+  model grows one merge per round and is KBs total;
+- the symbol frame's lineage is localCheckpoint-truncated per round
+  (same iterative-plan discipline as connected components,
+  operators/graph.py).
+
+Ties break deterministically (count desc, then pair lexicographic), so
+the trained table is identical across runs, partitionings and cluster
+sizes — a reproducibility property real tokenizer training pipelines
+have to work for.
+
+Application is a chain of ``aggregate`` folds (one per merge, greedy
+left-to-right — standard BPE single-rule-per-pass semantics) nested
+inside a ``transform`` over the document's words: scalar JVM expressions
+per row, no shuffle, no UDF. Correctness is property-tested against an
+independent pure-Python reference and gated on the lossless-roundtrip
+invariant (concatenating a word's tokens reproduces the word).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cda_client_spark.operators.text import words
+
+
+def _esc(s: str) -> str:
+    """Escape a symbol for a single-quoted Spark SQL string literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _merge_fold(arr_expr: str, a: str, b: str, level: int) -> str:
+    """SQL fold applying ONE merge rule (a, b) -> ab greedily left-to-
+    right over a symbol array. Lambda variable names are suffixed per
+    nesting level — chained folds otherwise shadow each other."""
+    ac, x = f"acc{level}", f"x{level}"
+    ea, eb, eab = _esc(a), _esc(b), _esc(a + b)
+    return (
+        f"aggregate({arr_expr}, cast(array() as array<string>), ({ac}, {x}) -> "
+        f"if(size({ac}) > 0 and element_at({ac}, -1) = '{ea}' and {x} = '{eb}', "
+        f"concat(slice({ac}, 1, size({ac}) - 1), array('{eab}')), "
+        f"concat({ac}, array({x}))))"
+    )
+
+
+def merge_chain_expr(word_var: str, merges: list[tuple[str, str]]) -> str:
+    """The full encode expression for one word (a lambda variable name):
+    char split, then every merge rule in training order."""
+    expr = f"split({word_var}, '')"
+    for level, (a, b) in enumerate(merges):
+        expr = _merge_fold(expr, a, b, level)
+    return expr
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 32,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Train the merge table. Returns the ordered merge list (driver-side,
+    one row per round — KBs). Stops early when no pair repeats at least
+    ``min_pair_count`` times."""
+    wc = (
+        df.select(F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = wc.select(F.expr("split(w, '')").alias("sym"), "cnt").persist()
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(num_merges):
+            pairs = (
+                syms.select(
+                    F.expr(
+                        "if(size(sym) >= 2,"
+                        " transform(sequence(1, size(sym) - 1),"
+                        " i -> struct(sym[i-1] as a, sym[i] as b)), array())"
+                    ).alias("ps"),
+                    "cnt",
+                )
+                .select(F.explode("ps").alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+            )
+            top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+            if not top or top[0]["n"] < min_pair_count:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            new_syms = syms.select(
+                F.expr(_merge_fold("sym", a, b, 0)).alias("sym"), "cnt"
+            ).localCheckpoint()
+            syms.unpersist()
+            syms = new_syms
+    finally:
+        syms.unpersist()
+    return merges
+
+
+def bpe_token_arrays(text_col_name: str, merges: list[tuple[str, str]]) -> Column:
+    """array<array<string>>: BPE tokens per word of the document — the
+    scalar encode expression (words with the module's whitespace split)."""
+    chain = merge_chain_expr("wd", merges)
+    return F.expr(
+        f"transform(filter(split(lower({text_col_name}), '\\\\s+'), wd -> wd != ''),"
+        f" wd -> {chain})"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flat: bool = True,
+) -> DataFrame:
+    """Per-document BPE tokens (``bpe_tokens``, flattened by default) and
+    token count — one scalar expression per row, no shuffle."""
+    arrays = bpe_token_arrays(text_col, merges)
+    out = df.withColumn("_tok2", arrays).withColumn(
+        "n_bpe_tokens",
+        F.expr("aggregate(_tok2, 0, (acc, ws) -> acc + size(ws))").cast("bigint"),
+    )
+    tok = F.flatten(F.col("_tok2")) if flat else F.col("_tok2")
+    return out.select(F.col(id_col), tok.alias("bpe_tokens"), "n_bpe_tokens")
+
+
+def bpe_roundtrip_ok(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """One row ``(roundtrip_ok, compresses)``: every word's tokens concat
+    back to the word (lossless), and the merge table strictly reduces the
+    token count vs characters whenever it is non-empty."""
+    # pair each word with its tokens so the roundtrip check stays scalar
+    chain = merge_chain_expr("wd", merges)
+    paired = df.withColumn(
+        "_t2",
+        F.expr(
+            f"transform(filter(split(lower({text_col}), '\\\\s+'), wd -> wd != ''),"
+            f" wd -> struct(wd as wd, {chain} as toks))"
+        ),
+    )
+    per_doc = paired.select(
+        F.expr(
+            "aggregate(_t2, true, (acc, ws) -> acc and concat_ws('', ws.toks) = ws.wd)"
+        ).alias("rt"),
+        F.expr("aggregate(_t2, 0, (acc, ws) -> acc + size(ws.toks))").alias("n_tok"),
+        F.expr("aggregate(_t2, 0, (acc, ws) -> acc + length(ws.wd))").alias("n_chr"),
+    )
+    return per_doc.agg(
+        F.min("rt").alias("roundtrip_ok"),
+        (
+            (F.sum("n_tok") < F.sum("n_chr")) | (F.lit(len(merges)) == 0)
+        ).alias("compresses"),
+    )

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cda_client_spark.operators.bpe import bpe_roundtrip_ok, bpe_train
 from cda_client_spark.operators.graph import dedup_clusters
 from cda_client_spark.operators.packing import (
     chunk_assignments,
@@ -1836,6 +1837,58 @@ FROM corpus
 """
 
 
+def doc_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report: one row per (source, lang) with volume,
+    length, quality and short-doc fraction — the summary every curation
+    run prints before and after filtering. One partial-combinable
+    aggregation over the per-doc quality features (shuffle = distinct
+    source x lang groups)."""
+    d = t(spark, sf_dir, "documents")
+    q = quality_score(d)
+    return q.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.round(F.avg("n_words"), 2).alias("avg_words"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.avg((F.col("n_words") < 10).cast("double")), 6).alias("short_frac"),
+    )
+
+
+DOC_CORPUS_REPORT_SQL = f"""
+WITH q AS ({DOC_QUALITY_SQL}),
+j AS (SELECT d.source, d.lang, d.text, q.n_words, q.quality_score
+      FROM documents d JOIN q USING (doc_id))
+SELECT source, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+  round(avg(n_words), 2) AS avg_words,
+  round(avg(quality_score), 6) AS avg_quality,
+  round(avg(CASE WHEN n_words < 10 THEN 1.0 ELSE 0.0 END), 6) AS short_frac
+FROM j GROUP BY source, lang
+"""
+
+
+BPE_GATE_SQL = "SELECT true AS bpe_ok"
+
+
+def bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the distributed BPE tokenizer
+    (operators/bpe.py): train 12 merges on the corpus, then assert the
+    lossless-roundtrip invariant (every word's tokens concatenate back to
+    the word), actual compression, and a non-empty merge table. One row
+    ``bpe_ok=true``; the oracle is ``SELECT true`` because the iterative
+    trainer isn't single-SQL-expressible — the invariants are
+    engine-independent and the merge semantics are property-tested against
+    a pure-Python reference (tests/test_bpe.py)."""
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=12)
+    return bpe_roundtrip_ok(d, merges).select(
+        (
+            F.col("roundtrip_ok") & F.col("compresses") & F.lit(len(merges) > 0)
+        ).alias("bpe_ok")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry (merged into cda_client_spark.queries)
 # ---------------------------------------------------------------------------
@@ -1894,6 +1947,9 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pq_train/pq_encode/pq_topk are exercised and gated through pq_recall
     "pq_recall": pq_recall,
     "doc_encoding_signals": doc_encoding_signals,
+    "doc_corpus_report": doc_corpus_report,
+    # bpe_train/bpe_encode are exercised and gated through bpe_gate
+    "bpe_gate": bpe_gate,
 }
 
 ORACLE_LLM: dict[str, str] = {
@@ -1941,4 +1997,6 @@ ORACLE_LLM: dict[str, str] = {
     "semdedup_gate": SEMDEDUP_GATE_SQL,
     "pq_recall": PQ_RECALL_SQL,
     "doc_encoding_signals": DOC_ENCODING_SQL,
+    "doc_corpus_report": DOC_CORPUS_REPORT_SQL,
+    "bpe_gate": BPE_GATE_SQL,
 }

@@ -27,6 +27,10 @@ replay, sinks/jdbc.py).
 Precedence: earlier batches win (their signatures are already in the
 store when later batches arrive); within a batch the lowest id wins —
 the same deterministic keep rule as ``exact_dedup``/``dedup_clusters``.
+
+Assumption: document ids are globally unique across deliveries (they key
+the store and the keep rule); derive them from a content hash or a
+delivery-scoped prefix when the upstream can't guarantee it.
 """
 
 from __future__ import annotations

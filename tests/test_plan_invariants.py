@@ -23,7 +23,7 @@ from cda_client_spark.queries import SPARK
 # queries whose CONSTRUCTION executes Spark jobs (iterative connected
 # components, gates that train/evaluate) — excluded from the cheap sweep;
 # their plans are covered by tools/plan_audit.py and their own tests
-EAGER = {"doc_dedup_clusters", "doc_neardedup_corpus", "pq_recall"}
+EAGER = {"doc_dedup_clusters", "doc_neardedup_corpus", "pq_recall", "bpe_gate"}
 
 BNLJ_OK = {
     "ann_topk_bruteforce",
