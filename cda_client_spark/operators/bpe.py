@@ -56,13 +56,68 @@ def _merge_fold(arr_expr: str, a: str, b: str, level: int) -> str:
     )
 
 
+def merges_literal(merges: list[tuple[str, str]]) -> str:
+    """The merge table as a literal array<struct<a,b>> SQL expression."""
+    if not merges:
+        return "cast(array() as array<struct<a:string,b:string>>)"
+    entries = ", ".join(
+        f"named_struct('a', '{_esc(a)}', 'b', '{_esc(b)}')" for a, b in merges
+    )
+    return f"array({entries})"
+
+
 def merge_chain_expr(word_var: str, merges: list[tuple[str, str]]) -> str:
     """The full encode expression for one word (a lambda variable name):
-    char split, then every merge rule in training order."""
-    expr = f"split({word_var}, '')"
-    for level, (a, b) in enumerate(merges):
-        expr = _merge_fold(expr, a, b, level)
-    return expr
+    char split, then every merge rule in training order.
+
+    The merge table rides as DATA (a literal array folded over), not as
+    one nested expression per merge — expression depth stays constant
+    regardless of table size, so analysis cost and plan size don't grow
+    with the vocabulary (a 10-merge nested-fold chain measured 12s for
+    the corpus pass this double fold does in ~2s)."""
+    return (
+        f"aggregate({merges_literal(merges)}, split({word_var}, ''), (ms, m) -> "
+        f"aggregate(ms, cast(array() as array<string>), (acc, x) -> "
+        f"if(size(acc) > 0 and element_at(acc, -1) = m.a and x = m.b, "
+        f"concat(slice(acc, 1, size(acc) - 1), array(concat(m.a, m.b))), "
+        f"concat(acc, array(x)))))"
+    )
+
+
+def _train_local(
+    word_counts: list[tuple[str, int]],
+    num_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """Driver-side merge iteration over collected (word, count) pairs —
+    bit-identical semantics to the distributed rounds (same greedy
+    left-to-right merge, same count-desc/pair-asc tie-break)."""
+    from collections import Counter
+
+    syms = {w: list(w) for w, _ in word_counts}
+    counts = dict(word_counts)
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pc: Counter = Counter()
+        for w, cnt in counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
 
 
 def bpe_train(
@@ -70,45 +125,74 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 32,
     min_pair_count: int = 2,
+    checkpoint_every: int = 3,
+    driver_vocab_threshold: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Train the merge table. Returns the ordered merge list (driver-side,
     one row per round — KBs). Stops early when no pair repeats at least
-    ``min_pair_count`` times."""
+    ``min_pair_count`` times.
+
+    Two-phase, like production tokenizer trainers: the CORPUS-sized work —
+    collapsing text to (distinct word, count) — is one distributed
+    aggregation; the merge iteration is vocabulary-sized by construction,
+    so when the vocab fits the driver (``driver_vocab_threshold``) it
+    runs in-process with bit-identical semantics. Vocabularies beyond the
+    threshold fall back to the distributed rounds (one pair-count shuffle
+    + 1-row argmax per merge; lineage localCheckpoint-truncated every
+    ``checkpoint_every`` rounds — each round's fresh merge literals force
+    a codegen compile, which is the measured per-round bound, so fewer
+    materializations help but the driver path is ~10x faster when legal).
+    """
     wc = (
         df.select(F.explode(words(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    syms = wc.select(F.expr("split(w, '')").alias("sym"), "cnt").persist()
+    wc = wc.persist()
+    if wc.count() <= driver_vocab_threshold:
+        pairs = [(r["w"], r["cnt"]) for r in wc.collect()]
+        wc.unpersist()
+        return _train_local(pairs, num_merges, min_pair_count)
+    # the vocabulary is tiny next to the corpus — a handful of partitions
+    # keeps every training round from scheduling default-parallelism tasks
+    # (the rounds are fixed-overhead-bound, not data-bound)
+    syms = (
+        wc.select(F.expr("split(w, '')").alias("sym"), "cnt")
+        .coalesce(4)
+        .localCheckpoint()
+    )
+    wc.unpersist()
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(num_merges):
-            pairs = (
-                syms.select(
-                    F.expr(
-                        "if(size(sym) >= 2,"
-                        " transform(sequence(1, size(sym) - 1),"
-                        " i -> struct(sym[i-1] as a, sym[i] as b)), array())"
-                    ).alias("ps"),
-                    "cnt",
-                )
-                .select(F.explode("ps").alias("p"), "cnt")
-                .groupBy("p.a", "p.b")
-                .agg(F.sum("cnt").alias("n"))
+    pending = 0
+    for _ in range(num_merges):
+        pairs = (
+            syms.select(
+                F.expr(
+                    "if(size(sym) >= 2,"
+                    " transform(sequence(1, size(sym) - 1),"
+                    " i -> struct(sym[i-1] as a, sym[i] as b)), array())"
+                ).alias("ps"),
+                "cnt",
             )
-            top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
-            if not top or top[0]["n"] < min_pair_count:
-                break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            new_syms = syms.select(
-                F.expr(_merge_fold("sym", a, b, 0)).alias("sym"), "cnt"
-            ).localCheckpoint()
-            syms.unpersist()
-            syms = new_syms
-    finally:
-        syms.unpersist()
+            .select(F.explode("ps").alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # unique lambda level per round: un-checkpointed folds collapse into
+        # ONE nested expression, where repeated lambda names would shadow
+        syms = syms.select(
+            F.expr(_merge_fold("sym", a, b, len(merges))).alias("sym"), "cnt"
+        )
+        pending += 1
+        if pending >= checkpoint_every:
+            syms = syms.localCheckpoint()
+            pending = 0
     return merges
 
 

@@ -109,3 +109,13 @@ def test_bpe_no_merges_degenerate(spark):
     assert merges == []
     row = bpe_roundtrip_ok(df, merges).collect()[0]
     assert row["roundtrip_ok"] and row["compresses"]  # vacuous-compress branch
+
+
+def test_bpe_distributed_path_matches_local(spark):
+    """Forcing the distributed merge rounds (threshold 0) must reproduce
+    the driver-side iteration bit-for-bit — same greedy semantics, same
+    tie-break."""
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    local = bpe_train(df, num_merges=8)
+    dist = bpe_train(df, num_merges=8, driver_vocab_threshold=0)
+    assert dist == local
