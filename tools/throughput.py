@@ -100,16 +100,18 @@ def build_tree(root: Path, total_rows: int) -> None:
     )
 
 
-def one_run(spark, root: Path, out: Path, mode: str, total_rows: int) -> float:
+def one_run(spark, root: Path, out: Path, mode: str, total_rows: int, rep: int = 0) -> float:
+    # fresh savepoint/output dirs per rep: the pipeline is incremental, so
+    # reusing a savepoint would turn later reps into no-ops
     cfg = from_dict(
         {
             "sourceLocation": {"path": str(root)},
-            "savepointsLocation": str(out / f"sp_{mode}"),
+            "savepointsLocation": str(out / f"sp_{mode}_{rep}"),
             "outputSettings": {
                 "exportTarget": "file",
                 "saveIntoFileType": "parquet",
                 "saveMode": mode,
-                "fileSettings": {"path": str(out / f"files_{mode}")},
+                "fileSettings": {"path": str(out / f"files_{mode}_{rep}")},
             },
         }
     )
@@ -138,19 +140,26 @@ def main() -> None:
             "",
             "Synthetic CDC tree (1 table, 8 timestamp folders, 4 files each;",
             f"{total_rows:,} change rows), full `pipeline.run`: manifest scan →",
-            "planning → scan → column management → sink. The reference's only",
+            "planning → scan → column management → sink (median of reps, fresh\nsavepoints per rep — page-cache state makes single runs swing ~2x).\nThe reference's only",
             "published number is 102k rows/s JDBC-ingest-bound (BASELINE.md);",
             "these are the engine's file-path numbers on one node.",
             "",
             "| mode | wall s | rows/s |",
             "|---|---|---|",
         ]
+        import statistics
+
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
         for mode in ("raw", "merged"):
-            elapsed = one_run(spark, root, work / "out", mode, total_rows)
+            times = [
+                one_run(spark, root, work / "out", mode, total_rows, rep)
+                for rep in range(reps)
+            ]
+            elapsed = statistics.median(times)
             lines.append(
                 f"| {mode} | {elapsed:.1f} | {total_rows / elapsed:,.0f} |"
             )
-            print(lines[-1])
+            print(lines[-1], "reps:", [round(t, 1) for t in times])
         spark.stop()
         block = "\n".join(lines)
         scale = Path(__file__).resolve().parent.parent / "SCALE.md"
