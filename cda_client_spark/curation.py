@@ -18,6 +18,7 @@ Config shape (every step optional; steps run in the fixed order below):
         lineDedup: {minDocFreq: 10}          # strip cross-doc boilerplate lines
         piiScrub: {}                         # redact emails/SSNs/keys/...
         quality: {minWords: 20, minScore: 0.2}
+        encoding: {maxNonAsciiRatio: 1.0}     # mojibake/control-char sanity
         repetition: {maxTopNgramFrac: 0.2, maxDupNgramFrac: 0.6, n: 2}
         lmPerplexity: {maxPerplexity: 120, smoothing: 0.1}  # CCNet-style LM filter
         dsir: {targetPath: /data/target.parquet, minWeight: 0.0}  # DSIR selection
@@ -79,6 +80,7 @@ log = logging.getLogger(__name__)
 #: fails ("near_dup" runs last, incremental mode only)
 STAGES = (
     "quality",
+    "encoding",
     "repetition",
     "lm_perplexity",
     "dsir",
@@ -123,6 +125,7 @@ def load_curation_config(path: str | Path) -> CurationConfig:
         "lineDedup",
         "piiScrub",
         "quality",
+        "encoding",
         "repetition",
         "lmPerplexity",
         "dsir",
@@ -205,6 +208,18 @@ def curate_frame(
             F.col("quality_score") < float(q.get("minScore", 0.0))
         )
         df = _tag(scored, "quality", fails).select(*df.columns)
+
+    if "encoding" in steps:
+        en = steps["encoding"]
+        from cda_client_spark.operators.text import encoding_signals
+
+        sig = encoding_signals(df.select(id_c, text_c), text_c, id_c).select(
+            id_c, "encoding_ok", "non_ascii_ratio"
+        )
+        fails = ~F.col("encoding_ok") | (
+            F.col("non_ascii_ratio") > float(en.get("maxNonAsciiRatio", 1.0))
+        )
+        df = _tag(df.join(sig, id_c), "encoding", fails).select(*df.columns)
 
     if "repetition" in steps:
         r = steps["repetition"]

@@ -300,3 +300,39 @@ def test_incremental_curation_two_deliveries(spark, tmp_path):
     assert r2.kept == 1  # doc 22
     # cumulative export: 3 (d1) + 1 (d2)
     assert r2.splits == {"all": 4}
+
+
+def test_curation_encoding_stage(spark, tmp_path):
+    """Planted mojibake/control-char docs fall at the encoding stage;
+    accented-but-valid text passes (unless the non-ASCII cap says no)."""
+    corpus = str(tmp_path / "c4.parquet")
+    out = str(tmp_path / "curated4")
+    rows = [
+        (1, good_text(1), "s"),
+        (2, good_text(2) + " cafÃ©", "s"),  # mojibake
+        (3, good_text(3) + " \x07", "s"),  # control char
+        (4, good_text(4) + " naïve résumé", "s"),  # valid accents
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string, source string").write.parquet(
+        corpus
+    )
+    cfg = CurationConfig(
+        input_path=corpus,
+        output_path=out,
+        steps={"encoding": {}},
+        export_shards=1,
+    )
+    report = run_curation(spark, cfg)
+    assert report.dropped == {"encoding": 2}
+    assert report.kept == 2
+
+    # tight non-ASCII cap also drops the accented doc
+    cfg2 = CurationConfig(
+        input_path=corpus,
+        output_path=str(tmp_path / "curated5"),
+        steps={"encoding": {"maxNonAsciiRatio": 0.001}},
+        export_shards=1,
+    )
+    r2 = run_curation(spark, cfg2)
+    assert r2.dropped == {"encoding": 3}
+    assert r2.kept == 1
