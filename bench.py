@@ -18,6 +18,12 @@ Coverage (r4 ask): the ENTIRE catalog is timed — the 34 headline queries
 first (stable cross-round comparison set), then every remaining registry
 entry — so a plan regression in any query shows up as a number, not only
 in PLAN_AUDIT. ``SPARK_GRAFT_BENCH=headline`` restores the short set.
+
+Emission (r5 postmortem: the single full-catalog JSON line overflowed the
+driver's stdout tail capture and BENCH_r05.json recorded ``parsed: null``):
+the FINAL stdout line is now a compact headline-only JSON (34 timings, the
+size that parsed fine in r4), and the full per-query map is written to
+``BENCH_FULL.json`` next to this script, which is committed per round.
 """
 
 from __future__ import annotations
@@ -116,13 +122,32 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    headline = {n: t for n, t in timings.items() if n in set(BENCH_QUERIES)}
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "catalog_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "reps": reps,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+    # The driver parses the LAST stdout line only, with a bounded tail
+    # capture — keep this line headline-sized (see module docstring).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(headline.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
                 "sf": sf,
             }
         )
