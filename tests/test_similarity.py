@@ -277,6 +277,20 @@ def test_semantic_dedup_cluster_cap_guard(spark):
     # skipped (nothing flagged) instead of going quadratic
     assert not any(r["is_dup"] for r in out)
     assert len(out) == 25  # skipped clusters are kept, not dropped
+    # ...and the degradation is SIGNALLED, not silent (r5 advice): every
+    # row in an over-cap cluster carries cluster_capped=true
+    assert all(r["cluster_capped"] for r in out if not r["is_dup"])
+
+
+def test_semantic_dedup_uncapped_rows_not_flagged(spark):
+    from cda_client_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(_semdedup_frame(spark), threshold=0.999, nlist=4).collect()
+    assert not any(r["cluster_capped"] for r in out)
+    out_nocap = semantic_dedup(
+        _semdedup_frame(spark), threshold=0.999, nlist=4, max_cluster_size=None
+    ).collect()
+    assert not any(r["cluster_capped"] for r in out_nocap)
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +316,75 @@ def test_pq_train_shape_and_determinism(spark):
     b2 = pq_train(df.repartition(5), dim=16, m=4, codewords=4, iters=2)
     assert len(b1) == 4 and len(b1[0]) == 4 and len(b1[0][0]) == 4
     assert b1 == b2  # md5 init + exact averaging: partitioning-invariant
+
+
+def test_pq_init_two_stage_matches_single_window_and_is_bounded(spark):
+    """The salted two-stage init must select the exact multiset the naive
+    single window (partitioned only by j) would, on a corpus large enough
+    that every salt bucket is populated — and the stage-1 survivor frame
+    must stay under the m * PQ_INIT_SALTS * codewords bound."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from cda_client_spark.operators.similarity import (
+        PQ_INIT_SALTS,
+        _pq_init_rows,
+    )
+
+    dim, m, codewords, seed = 8, 2, 4, "pq"
+    sub = dim // m
+    df = _pq_frame(spark, n=5000, dim=dim)
+    subs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(
+                            F.col("embedding").cast("array<double>"),
+                            j * sub + 1,
+                            sub,
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s")
+    ).select("s.j", "s.sv")
+
+    got = {(r["j"], r["r"]): r["sv"] for r in _pq_init_rows(subs, codewords, seed)}
+    ref_rows = (
+        subs.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("j").orderBy(
+                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("sv").cast("string"))),
+                    F.col("sv").cast("string"),
+                )
+            ),
+        )
+        .filter(F.col("r") <= codewords)
+        .collect()
+    )
+    ref = {(r["j"], r["r"]): r["sv"] for r in ref_rows}
+    assert got == ref
+    assert len(got) == m * codewords
+
+    # stage-1 bound: with the two-stage form, what reaches the final global
+    # window is at most m * salts * codewords rows regardless of corpus size
+    keyed = subs.withColumn("_svs", F.col("sv").cast("string")).withColumn(
+        "_k", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_svs")))
+    )
+    survivors = (
+        keyed.withColumn("_s", F.pmod(F.xxhash64("_k"), F.lit(PQ_INIT_SALTS)))
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("j", "_s").orderBy("_k", "_svs"))
+        )
+        .filter(F.col("r") <= codewords)
+        .count()
+    )
+    assert survivors <= m * PQ_INIT_SALTS * codewords
+    assert survivors < subs.count()  # it actually pruned the oversized corpus
 
 
 def test_pq_encode_codes_in_range(spark):
