@@ -1312,7 +1312,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "latest_event_per_user",
     "window_rank_orders",
     "sessionize_events",
-    "window_stats_orders",
     "asof_click_before_purchase",
     "range_click_error_pairs",
     "json_props_extract",
@@ -1321,8 +1320,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "grouping_sets_revenue",
     "doc_bm25_search",
     "doc_lm_perplexity",
-    "union_orders_extremes",
-    "customers_with_open_orders",
     "orders_above_customer_avg",
     # Training-data pipeline: dedup families
     "doc_exact_dedup",
@@ -1336,22 +1333,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # similarity / embeddings
     "ann_topk_lsh",
     "ann_ivf_recall",
+    "pq_recall",
     "emb_near_dup_pairs",
     "emb_quantization",
     # text analysis
     "doc_quality_scores",
     "doc_language_id",
-    "doc_token_stats",
+    "doc_encoding_signals",
     "doc_tfidf_top_terms",
     "doc_pii_scrub",
     "doc_contamination",
     "doc_repetition_signals",
-    # sampling / packing / capstone
+    # sampling / packing / tokenization / capstone
     "doc_train_val_split",
     "doc_dsir_select",
     "doc_token_budget",
     "doc_pack_chunks",
+    "bpe_gate",
     "doc_clean_corpus",
+    "doc_corpus_report",
     # profiling / media / sketches
     "profile_orders",
     "media_histogram_gate",
