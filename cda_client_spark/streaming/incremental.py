@@ -35,6 +35,8 @@ delivery-scoped prefix when the upstream can't guarantee it.
 
 from __future__ import annotations
 
+import json
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,6 +50,85 @@ from cda_client_spark.operators.dedup import (
 )
 
 BUCKET_SCHEMA = "doc_id bigint, band int, key string"
+
+_COMPACT_STAGING = ".compact_staging"
+_COMPACT_META = "_COMPACT_META.json"
+
+
+def _store_batch_ids(store_dir: str) -> list[int]:
+    """Committed ``batch=<id>`` partition ids in the store (driver-side
+    directory listing — no Spark job)."""
+    p = Path(store_dir)
+    if not p.exists():
+        return []
+    ids = []
+    for d in p.iterdir():
+        if d.is_dir() and d.name.startswith("batch="):
+            try:
+                ids.append(int(d.name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def _finish_compaction(store_dir: str) -> None:
+    """Complete (or roll back) an interrupted compaction. The staging dir
+    name starts with '.' so Spark reads ignore it; the meta marker is
+    written only AFTER the merged parquet lands, so staging-without-meta
+    means an incomplete write (roll back) and staging-with-meta means the
+    merge is durable (finish: drop sources, promote staging)."""
+    staging = Path(store_dir) / _COMPACT_STAGING
+    if not staging.exists():
+        return
+    meta_path = staging / _COMPACT_META
+    if not meta_path.exists():
+        shutil.rmtree(staging)  # merge never completed; sources intact
+        return
+    meta = json.loads(meta_path.read_text())
+    for b in meta["ids"]:
+        src = Path(store_dir) / f"batch={b}"
+        if src.exists():
+            shutil.rmtree(src)
+    staging.rename(Path(store_dir) / f"batch={meta['target']}")
+
+
+def compact_store(
+    spark: SparkSession,
+    store_dir: str,
+    before_batch: int,
+    num_files: int = 1,
+) -> None:
+    """Merge every store partition with ``batch < before_batch`` into ONE
+    ``batch=<max merged id>`` partition — the store otherwise grows one
+    directory (plus its files) per delivery forever, and ``_store_frame``
+    re-lists the whole tree every batch (r5 verdict #5).
+
+    Replay contract preserved: the merged partition keeps the LARGEST
+    merged id, so it still satisfies the ``batch < current`` exclusion for
+    every batch at-or-after ``before_batch``, and it can never collide
+    with a replayed batch's per-partition overwrite (a replay only re-runs
+    the current in-flight batch, which is ``>= before_batch``). MUST NOT
+    run concurrently with the stream — call it from the foreachBatch hook
+    (``compact_every``) or between runs. Crash-convergent: the merge lands
+    in a dot-prefixed staging dir (invisible to reads) with a meta marker
+    written last; an interrupted run is finished or rolled back by the
+    next call. ``num_files`` sizes the merged partition — at 100 TB set it
+    to ~store-bytes/128MB; the default 1 fits the few-KB-per-doc store of
+    any single-cluster corpus.
+    """
+    _finish_compaction(store_dir)
+    ids = [b for b in _store_batch_ids(store_dir) if b < before_batch]
+    if len(ids) <= 1:
+        return
+    staging = Path(store_dir) / _COMPACT_STAGING
+    merged = spark.read.schema(BUCKET_SCHEMA).parquet(
+        *[f"{store_dir}/batch={b}" for b in ids]
+    )
+    merged.repartition(num_files).write.mode("overwrite").parquet(str(staging))
+    (staging / _COMPACT_META).write_text(
+        json.dumps({"before": before_batch, "ids": ids, "target": max(ids)})
+    )
+    _finish_compaction(store_dir)
 
 
 def _store_frame(
@@ -152,9 +233,25 @@ def incremental_dedup_batch(
     their bucket rows in ``store_dir/batch=<id>`` (both overwritten on
     replay — idempotent). Empty batches (AvailableNow sometimes emits a
     trailing one) are skipped — a bare ``batch=<id>`` dir with no files
-    breaks partition discovery on read-back."""
+    breaks partition discovery on read-back.
+
+    Lineage guard (r5 advice): store partitions with ``batch > batch_id``
+    mean the checkpoint was discarded and batch numbering restarted
+    against an old store — the ``batch < current`` exclusion would then
+    hide ALL prior signatures (silently re-accepting duplicates) while
+    stale higher-numbered output partitions duplicate re-accepted docs.
+    Fail fast instead: checkpoint, store and output dirs must be retained
+    or discarded together. ``batch == batch_id`` is the legitimate
+    crash-replay case and stays allowed."""
     if batch_df.isEmpty():
         return
+    stale = [b for b in _store_batch_ids(store_dir) if b > batch_id]
+    if stale:
+        raise ValueError(
+            f"store {store_dir} already holds batches {stale} > current "
+            f"batch {batch_id}: the checkpoint lineage restarted against an "
+            "old store. Retain or discard checkpoint/store/output together."
+        )
     batch_df = batch_df.persist()
     try:
         new_b = batch_buckets(
@@ -188,6 +285,7 @@ def incremental_dedup_stream(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = 16,
     **dedup_kwargs,
 ) -> None:
     """Run the incremental curation as a checkpointed AvailableNow stream
@@ -195,7 +293,14 @@ def incremental_dedup_stream(
     accepted before it, then committed. Re-running after new files land
     processes ONLY the new files (the checkpoint tracks consumption);
     re-running after a crash replays the in-flight batch onto the same
-    ``batch=<id>`` partitions."""
+    ``batch=<id>`` partitions.
+
+    Every ``compact_every`` batches the signature store's history is
+    folded into one partition (``compact_store``) so store directories —
+    and the per-delivery listing cost — stay bounded at thousands of
+    deliveries. Compacting right after batch N commits only partitions
+    ``< N``, which every later (or replayed-N) exclusion still includes.
+    """
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -203,6 +308,8 @@ def incremental_dedup_stream(
             spark, batch_df, batch_id, store_dir, out_dir,
             id_col, text_col, **dedup_kwargs,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_store(spark, store_dir, batch_id)
 
     (
         stream.writeStream.foreachBatch(apply)

@@ -100,6 +100,125 @@ def test_crash_replay_overwrites_batch_partition(spark, tmp_path):
     assert all(r["count"] == 4 for r in per_doc)  # bands=4, no duplicates
 
 
+def test_store_compaction_preserves_decisions_and_bounds_dirs(spark, tmp_path):
+    """30 tiny deliveries, compacting every 8: accept/reject decisions must
+    be identical to the uncompacted store, and the store directory count
+    stays bounded instead of growing one per delivery (r5 verdict #5)."""
+    from pathlib import Path
+
+    from cda_client_spark.streaming.incremental import (
+        _store_batch_ids,
+        compact_store,
+        incremental_dedup_batch,
+    )
+
+    def delivery(i: int):
+        rows = [_doc(100 * i)]  # one fresh doc per delivery
+        if i >= 5:  # plus a near-copy of a doc accepted 5 deliveries ago
+            rows.append((100 * i + 1, _doc(100 * (i - 5))[1] + " zz"))
+        return spark.createDataFrame(rows, SCHEMA)
+
+    def run(root: Path, compact_every: int | None):
+        store, out = str(root / "store"), str(root / "out")
+        for i in range(30):
+            incremental_dedup_batch(
+                spark, delivery(i), i, store, out, shingle=2, max_bucket_size=64
+            )
+            if compact_every and i > 0 and i % compact_every == 0:
+                compact_store(spark, store, i)
+        kept = {r["doc_id"] for r in read_curated(spark, out, SCHEMA).collect()}
+        return kept, store
+
+    kept_plain, _ = run(tmp_path / "plain", None)
+    kept_compact, store_c = run(tmp_path / "compact", 8)
+    assert kept_compact == kept_plain
+    assert {100 * i for i in range(30)} <= kept_plain  # fresh docs accepted
+    assert not any(d % 100 == 1 for d in kept_plain)  # near-copies rejected
+    # last compaction at batch 24 folded 0..23 into one dir; 24..29 add six
+    assert len(_store_batch_ids(store_c)) <= 8
+
+
+def test_compaction_crash_convergence(spark, tmp_path):
+    """An interrupted compaction (staging without / with the meta marker)
+    is rolled back / finished by the next call, with no signature loss."""
+    import json
+    from pathlib import Path
+
+    from cda_client_spark.streaming.incremental import (
+        _COMPACT_META,
+        _COMPACT_STAGING,
+        _store_batch_ids,
+        compact_store,
+        incremental_dedup_batch,
+        near_dup_ids,
+        batch_buckets,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    for i in range(4):
+        incremental_dedup_batch(
+            spark, spark.createDataFrame([_doc(i)], SCHEMA), i, store, out,
+            shingle=2,
+        )
+
+    # crash BEFORE meta: staging is garbage, sources intact -> rolled back
+    staging = Path(store) / _COMPACT_STAGING
+    staging.mkdir()
+    (staging / "part-junk.parquet").write_bytes(b"not parquet")
+    compact_store(spark, store, 4)
+    assert not staging.exists()
+    assert _store_batch_ids(store) == [3]  # rolled back, then compacted 0..3
+
+    for i in range(4, 8):
+        incremental_dedup_batch(
+            spark, spark.createDataFrame([_doc(i)], SCHEMA), i, store, out,
+            shingle=2,
+        )
+    # crash AFTER meta, before promotion: next call must finish the rename
+    merged = spark.read.schema(
+        "doc_id bigint, band int, key string"
+    ).parquet(*[f"{store}/batch={b}" for b in _store_batch_ids(store)])
+    merged.coalesce(1).write.parquet(str(staging))
+    (staging / _COMPACT_META).write_text(
+        json.dumps({"before": 8, "ids": _store_batch_ids(store), "target": 7})
+    )
+    compact_store(spark, store, 8)
+    assert _store_batch_ids(store) == [7]
+    # no signature loss: a copy of every earlier doc is still rejected
+    for i in range(8):
+        b = batch_buckets(
+            spark.createDataFrame([(900 + i, _doc(i)[1])], SCHEMA), shingle=2
+        )
+        dups = near_dup_ids(spark, b, 99, store)
+        assert {r["doc_id"] for r in dups.collect()} == {900 + i}
+
+
+def test_fresh_checkpoint_against_old_store_fails_fast(spark, tmp_path):
+    """r5 advice: restarting with a discarded checkpoint renumbers batches
+    from 0 against a store holding higher ids — the exclusion would hide
+    every prior signature. The batch apply must refuse."""
+    import pytest
+
+    from cda_client_spark.streaming.incremental import incremental_dedup_batch
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    for i in range(2):
+        incremental_dedup_batch(
+            spark, spark.createDataFrame([_doc(i)], SCHEMA), i, store, out,
+            shingle=2,
+        )
+    with pytest.raises(ValueError, match="lineage"):
+        incremental_dedup_batch(
+            spark, spark.createDataFrame([_doc(9)], SCHEMA), 0, store, out,
+            shingle=2,
+        )
+    # replaying the CURRENT batch id stays allowed (crash-replay contract)
+    incremental_dedup_batch(
+        spark, spark.createDataFrame([_doc(1)], SCHEMA), 1, store, out,
+        shingle=2,
+    )
+
+
 def test_exact_duplicate_across_three_deliveries(spark, tmp_path):
     ind, store, out, ckpt = _dirs(tmp_path)
     _land(spark, ind, [_doc(1)], "d1")
