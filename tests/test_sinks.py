@@ -80,11 +80,17 @@ def test_sql_type_mapping(spark):
     from pyspark.sql.types import (
         BooleanType,
         DecimalType,
+        LongType,
         StringType,
         TimestampType,
     )
 
     assert sql_type(StringType(), POSTGRES) == "VARCHAR(1333)"
+    # Oracle strings are VARCHAR2 (JdbcOutputWriter.scala:577) and Oracle
+    # has no BIGINT — the reference's dialect hook maps long to NUMBER(19)
+    assert sql_type(StringType(), ORACLE) == "VARCHAR2(1333)"
+    assert sql_type(LongType(), ORACLE) == "NUMBER(19)"
+    assert sql_type(LongType(), SQLSERVER) == "BIGINT"
     assert sql_type(StringType(), POSTGRES, large_text=True) == "TEXT"
     assert sql_type(StringType(), SQLSERVER, large_text=True) == "VARCHAR(max)"
     assert sql_type(StringType(), ORACLE, large_text=True) == "VARCHAR2(32767)"
