@@ -1,0 +1,42 @@
+package cda.mockfs;
+
+import java.io.IOException;
+import java.net.URI;
+import org.apache.hadoop.conf.Configuration;
+import org.apache.hadoop.fs.RawLocalFileSystem;
+
+/**
+ * Test double for an object-store scheme: serves {@code mocks3://bucket/...}
+ * URIs from the local filesystem (the path component maps to a local
+ * absolute path; the bucket authority is carried through but stored
+ * flat). Registered via {@code fs.mocks3.impl} so the repo's Hadoop-FS
+ * URI layer -- folder listers, URI savepoints, schema sidecars
+ * (cda_client_spark/metadata/listers.py, metadata/savepoints.py,
+ * sinks/files.py) -- can be exercised end-to-end on a NON-file: scheme
+ * without AWS or a running object store. The same pattern Hadoop's own
+ * tests use: a RawLocalFileSystem that answers to a foreign scheme.
+ *
+ * This is test-only code; it never ships in the package.
+ */
+public class MockS3FileSystem extends RawLocalFileSystem {
+
+  private URI uri;
+
+  @Override
+  public void initialize(URI name, Configuration conf) throws IOException {
+    super.initialize(name, conf);
+    String auth = name.getAuthority();
+    this.uri = URI.create(auth == null ? "mocks3:///" : "mocks3://" + auth);
+  }
+
+  @Override
+  public URI getUri() {
+    // the superclass constructor calls getUri() before initialize() runs
+    return uri != null ? uri : URI.create("mocks3:///");
+  }
+
+  @Override
+  public String getScheme() {
+    return "mocks3";
+  }
+}

