@@ -344,6 +344,16 @@ def dsir_log_ratios(
     side left-joins on. Nothing corpus-sized survives the aggregation.
     Log-ratios round to 9 decimals so the downstream per-doc weighted sums
     agree across engines (see ``bigram_lm_scores``).
+
+    Raw-driving approximation (documented deviation from the paper, r5
+    advice): ``t_tgt`` sums target counts over only the buckets present in
+    the RAW corpus, so target tokens hashing to raw-absent buckets don't
+    contribute to the target total. This is deliberate: scoring happens
+    per raw-document bucket, so raw-absent buckets can never receive a
+    weight anyway, and keeping the join raw-driving matches the DuckDB
+    oracle bucket-for-bucket. With default ``buckets=1024`` on corpus-scale
+    vocabularies, nearly every bucket is populated and the deviation is
+    sub-smoothing-sized.
     """
     from cda_client_spark.operators.text import TOKEN_REGEX
 

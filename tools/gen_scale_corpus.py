@@ -72,6 +72,155 @@ def gen_embeddings(n: int, rnd: np.random.RandomState) -> pa.Table:
     )
 
 
+# sf0.1 base row counts for the relational tables (r5 verdict #8: the
+# decade measurement must also cover the relational core, so the generator
+# mirrors the TPC-H-ish testdata distributions at 10x)
+BASE_ORDERS = 150_000
+BASE_LINES = 600_000
+BASE_CUST = 15_000
+BASE_PART = 20_000
+BASE_SUPP = 1_000
+BASE_EVENTS = 100_000
+
+_ADJ = "blue cold hot large new old red small".split()
+_NOUN = "anvil bolt gear gizmo plate ring rod widget".split()
+_PTYPE = "ECONOMY LARGE MEDIUM PROMO SMALL STANDARD".split()
+_SEGMENTS = "AUTOMOBILE BUILDING FURNITURE HOUSEHOLD MACHINERY".split()
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_EVENT_TYPES = "click view purchase error login".split()
+
+_EPOCH = np.datetime64("1995-01-01")
+_ORDER_DAYS = 2404  # 1995-01-01 .. 2001-08-01, matching the testdata span
+
+
+def _ts(days: np.ndarray) -> pa.Array:
+    return pa.array((_EPOCH + days.astype("timedelta64[D]")).astype("datetime64[us]"))
+
+
+def gen_relational(mult: int, rnd: np.random.RandomState, out: Path) -> dict[str, int]:
+    """The eight TPC-H-ish tables at ``mult`` x sf0.1, with the same key
+    ranges, category vocabularies and value spans as the driver testdata
+    (verified against sf0.1 via DuckDB facet queries). l_shipdate is
+    correlated to the parent order's date (+1..95 days) so q21's
+    late-shipper semantics exercise realistic selectivity."""
+    n_ord, n_li = BASE_ORDERS * mult, BASE_LINES * mult
+    n_cust, n_part, n_supp = BASE_CUST * mult, BASE_PART * mult, BASE_SUPP * mult
+
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+            "r_name": pa.array(_REGIONS),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+            "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
+        }
+    )
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+            "c_nationkey": pa.array(rnd.randint(0, 25, n_cust).astype(np.int32)),
+            "c_acctbal": pa.array(np.round(rnd.uniform(-1000, 10000, n_cust), 2)),
+            "c_mktsegment": pa.array(
+                [_SEGMENTS[i] for i in rnd.randint(0, 5, n_cust)]
+            ),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+            "s_nationkey": pa.array(rnd.randint(0, 25, n_supp).astype(np.int32)),
+            "s_acctbal": pa.array(np.round(rnd.uniform(-1000, 10000, n_supp), 2)),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+            "p_name": pa.array(
+                [
+                    f"{_ADJ[a]} {_NOUN[b]}"
+                    for a, b in zip(
+                        rnd.randint(0, 8, n_part), rnd.randint(0, 8, n_part)
+                    )
+                ]
+            ),
+            "p_brand": pa.array([f"Brand#{i}" for i in rnd.randint(1, 26, n_part)]),
+            "p_type": pa.array([_PTYPE[i] for i in rnd.randint(0, 6, n_part)]),
+            "p_size": pa.array(rnd.randint(1, 51, n_part).astype(np.int32)),
+            "p_retailprice": pa.array(np.round(rnd.uniform(900, 1000, n_part), 2)),
+        }
+    )
+    order_days = rnd.randint(0, _ORDER_DAYS, n_ord)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+            "o_custkey": pa.array(rnd.randint(0, n_cust, n_ord).astype(np.int64)),
+            "o_orderstatus": pa.array(
+                [("F", "O", "P")[i] for i in rnd.randint(0, 3, n_ord)]
+            ),
+            "o_totalprice": pa.array(np.round(rnd.uniform(1000, 500000, n_ord), 2)),
+            "o_orderdate": _ts(order_days),
+            "o_orderpriority": pa.array(
+                [_PRIORITIES[i] for i in rnd.randint(0, 5, n_ord)]
+            ),
+        }
+    )
+    li_order = rnd.randint(0, n_ord, n_li).astype(np.int64)
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(li_order),
+            "l_partkey": pa.array(rnd.randint(0, n_part, n_li).astype(np.int64)),
+            "l_suppkey": pa.array(rnd.randint(0, n_supp, n_li).astype(np.int64)),
+            "l_linenumber": pa.array(rnd.randint(1, 8, n_li).astype(np.int32)),
+            "l_quantity": pa.array(rnd.randint(1, 51, n_li).astype(np.float64)),
+            "l_extendedprice": pa.array(
+                np.round(rnd.uniform(900, 105000, n_li), 2)
+            ),
+            "l_discount": pa.array(np.round(rnd.uniform(0, 0.1, n_li), 2)),
+            "l_tax": pa.array(np.round(rnd.uniform(0, 0.08, n_li), 2)),
+            "l_returnflag": pa.array(
+                [("A", "N", "R")[i] for i in rnd.randint(0, 3, n_li)]
+            ),
+            "l_linestatus": pa.array([("F", "O")[i] for i in rnd.randint(0, 2, n_li)]),
+            "l_shipdate": _ts(order_days[li_order] + rnd.randint(1, 96, n_li)),
+        }
+    )
+    n_ev = BASE_EVENTS * mult
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+            "ts": _ts(rnd.randint(0, 365, n_ev)),
+            "user_id": pa.array(rnd.randint(0, n_cust // 100, n_ev).astype(np.int64)),
+            "event_type": pa.array(
+                [_EVENT_TYPES[i] for i in rnd.randint(0, 5, n_ev)]
+            ),
+            "value": pa.array(np.round(rnd.uniform(0, 100, n_ev), 3)),
+            "props": pa.array(
+                [f'{{"k": {i}}}' for i in rnd.randint(0, 1000, n_ev)]
+            ),
+        }
+    )
+    tables = {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "orders": orders,
+        "lineitem": lineitem,
+        "events": events,
+    }
+    for name, tbl in tables.items():
+        pq.write_table(tbl, out / f"{name}.parquet")
+    return {name: tbl.num_rows for name, tbl in tables.items()}
+
+
 def main() -> int:
     name = sys.argv[1] if len(sys.argv) > 1 else "sf1"
     if name not in SCALES:
@@ -85,9 +234,11 @@ def main() -> int:
     pq.write_table(docs, out / "documents.parquet")
     embs = gen_embeddings(BASE_VECS * mult, rnd)
     pq.write_table(embs, out / "embeddings.parquet")
+    rel = gen_relational(mult, rnd, out)
     print(
         f"wrote {out}: documents={docs.num_rows} rows, "
-        f"embeddings={embs.num_rows} rows"
+        f"embeddings={embs.num_rows} rows, "
+        + ", ".join(f"{k}={v}" for k, v in rel.items())
     )
     return 0
 
