@@ -182,6 +182,227 @@ def byte_histogram_features(
     return df.mapInPandas(featurize, schema=f"{id_col} bigint, features array<double>")
 
 
+def encode_bmp(raster) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB raster as an uncompressed 24-bit BMP
+    (BI_RGB, bottom-up rows, rows padded to 4 bytes) — pure struct/numpy,
+    no media library. The output parses with :func:`parse_image_dims`."""
+    import struct
+
+    import numpy as np
+
+    raster = np.ascontiguousarray(raster, dtype=np.uint8)
+    h, w = raster.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    body_len = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + body_len, 0, 0, 14 + 40)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body_len, 2835, 2835, 0, 0)
+    # RGB -> BGR, bottom-up, pad each row
+    bgr = raster[::-1, :, ::-1]
+    if pad:
+        padded = np.zeros((h, row + pad), dtype=np.uint8)
+        padded[:, :row] = bgr.reshape(h, row)
+        body = padded.tobytes()
+    else:
+        body = bgr.tobytes()
+    return header + dib + body
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB
+    raster, or None when the payload isn't one this codec handles."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    dib_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", payload[26:34])
+    if dib_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    if len(payload) < data_off + stride * h:
+        return None
+    body = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = body.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _fake_raster(payload: bytes, w: int = 16, h: int = 16):
+    """DETERMINISTIC FAKE raster for non-BMP payloads: the byte stream
+    tiled into an (h, w, 3) grid — stands in for a real decoder so the
+    resize plumbing (Arrow batches, numpy kernel, re-encode) is identical
+    and testable without media libraries."""
+    import numpy as np
+
+    data = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    need = w * h * 3
+    reps = -(-need // data.size)
+    return np.tile(data, reps)[:need].reshape(h, w, 3)
+
+
+def resize_raster(raster, width: int, height: int):
+    """Nearest-neighbor resize via vectorized numpy index maps — the exact
+    kernel a real image pipeline uses when no resampling library ships."""
+    import numpy as np
+
+    h, w = raster.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return raster[ys][:, xs]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    bin_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize image payloads to ``width`` x ``height`` via mapInPandas:
+    REAL decode->resize->encode for uncompressed 24-bit BMPs (the
+    dependency-free codec above), the deterministic fake raster for
+    anything else — same Arrow plumbing either way, so swapping in
+    PIL/libvips later changes one callable, not the pipeline. Output is
+    (id, resized BMP payload, out_width, out_height); at 100 TB this is a
+    pure map stage whose cost is the payload bytes themselves."""
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[bin_col]:
+                data = bytes(payload) if payload is not None else b""
+                raster = decode_bmp(data)
+                if raster is None:
+                    raster = _fake_raster(data)
+                out.append(encode_bmp(resize_raster(raster, width, height)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "media": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(
+        do_resize, schema=f"{id_col} bigint, media binary, width int, height int"
+    )
+
+
+def parse_wav_meta(payload: bytes) -> dict | None:
+    """RIFF/WAVE header walk (pure struct, no audio library): returns
+    {sample_rate, channels, bits, data_offset, data_len} for PCM WAVs,
+    None for anything else."""
+    import struct
+
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= n:
+            audio_fmt, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
+            (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
+            if audio_fmt != 1:  # PCM only
+                return None
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data = (i + 8, min(clen, n - i - 8))
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+        if fmt and data:
+            break
+    if not fmt or not data:
+        return None
+    channels, rate, bits = fmt
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "data_offset": data[0],
+        "data_len": data[1],
+    }
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, is_wav boolean, sample_rate int, n_samples bigint,"
+    " duration_s double, rms double, zcr double"
+)
+
+
+def audio_features(
+    df: DataFrame, bin_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Signal features per audio payload, vectorized numpy over Arrow
+    batches: REAL RIFF/PCM parsing for WAV payloads (16-bit samples,
+    channel-flattened), a byte-as-u8-PCM interpretation for anything else
+    so the plumbing runs on any corpus.
+
+    Features (designed to be engine-replayable so the fallback path gets
+    a full value-hash oracle, not just a gate): samples are centered at
+    the EXACT midrange (min+max)/2 — integer halves, bit-identical in any
+    engine, unlike a float mean whose summation order could flip a sign
+    at the zero-crossing boundary — then
+
+    - ``rms``: sqrt(mean(centered^2)), rounded 6;
+    - ``zcr``: strict sign flips (product < 0) / (n-1), rounded 6;
+    - ``duration_s``: n_samples / sample_rate for real WAVs, else 0.0.
+    """
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                id_col, "is_wav", "sample_rate", "n_samples", "duration_s", "rms", "zcr"
+            )}
+            for rid, payload in zip(pdf[id_col], pdf[bin_col]):
+                data = bytes(payload) if payload is not None else b""
+                meta = parse_wav_meta(data)
+                if meta is not None and meta["bits"] == 16:
+                    off, dlen = meta["data_offset"], meta["data_len"]
+                    samples = np.frombuffer(
+                        data, dtype="<i2", count=dlen // 2, offset=off
+                    ).astype(np.float64)
+                    is_wav, rate = True, meta["sample_rate"]
+                else:
+                    samples = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                    is_wav, rate = False, 0
+                n = samples.size
+                if n == 0:
+                    c = samples
+                    rms = zcr = 0.0
+                else:
+                    mid = (samples.min() + samples.max()) / 2.0
+                    c = samples - mid
+                    rms = round(float(np.sqrt(np.mean(c * c))), 6)
+                    zcr = (
+                        round(float(np.count_nonzero(c[1:] * c[:-1] < 0) / (n - 1)), 6)
+                        if n > 1
+                        else 0.0
+                    )
+                rows[id_col].append(rid)
+                rows["is_wav"].append(is_wav)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(
+                    round(n / rate / meta["channels"], 6) if is_wav and rate else 0.0
+                )
+                rows["rms"].append(rms)
+                rows["zcr"].append(zcr)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(featurize, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, bin_col: str = "media", frame_size: int = 64, every: int = 4
 ) -> DataFrame:

@@ -54,7 +54,12 @@ from cda_client_spark.operators.similarity import (
     pq_topk_rerank,
     semantic_dedup,
 )
-from cda_client_spark.operators.multimodal import byte_histogram_features, media_stats
+from cda_client_spark.operators.multimodal import (
+    audio_features,
+    byte_histogram_features,
+    media_stats,
+    resize_images,
+)
 from cda_client_spark.operators.sampling import (
     DSIR_BUCKETS,
     dsir_select,
@@ -888,6 +893,199 @@ def media_histogram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("histogram_ok")
         )
     )
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio signal features (operators/multimodal.py ``audio_features``)
+    over the corpus payloads: the u8-PCM fallback path, which is designed
+    to be engine-replayable — samples center at the exact (min+max)/2
+    midrange, so RMS and zero-crossing rate get a FULL value-hash DuckDB
+    oracle (unlike the histogram/resize Python loops, which are gated).
+    The real RIFF/WAV 16-bit path is golden-tested in pytest."""
+    return audio_features(_media_frame(spark, sf_dir)).select(
+        "doc_id", "is_wav", "sample_rate", "n_samples", "duration_s", "rms", "zcr"
+    )
+
+
+# The corpus is ASCII, so DuckDB's per-character ord() equals Spark's
+# per-byte u8 value and len(text) equals octet_length.
+MEDIA_AUDIO_FEATURES_SQL = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, CAST(len(text) AS BIGINT))) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i,
+         CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS DOUBLE) AS b
+  FROM idx
+),
+m AS (
+  SELECT doc_id, (min(b) + max(b)) / 2.0 AS mid, count(*) AS n
+  FROM s GROUP BY doc_id
+),
+c AS (
+  SELECT s.doc_id, i, b - mid AS cb, n FROM s JOIN m USING (doc_id)
+),
+l AS (
+  SELECT doc_id, cb, n,
+         lag(cb) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM c
+)
+SELECT doc_id,
+  false AS is_wav,
+  0 AS sample_rate,
+  n AS n_samples,
+  0.0 AS duration_s,
+  round(sqrt(avg(cb * cb)), 6) AS rms,
+  round(CAST(sum(CASE WHEN prev IS NOT NULL AND cb * prev < 0
+                      THEN 1 ELSE 0 END) AS DOUBLE) / (n - 1), 6) AS zcr
+FROM l GROUP BY doc_id, n
+"""
+
+
+MEDIA_RESIZE_GATE_SQL = "SELECT true AS resize_ok"
+
+
+def media_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the image-resize path
+    (operators/multimodal.py ``resize_images``), covering BOTH codec
+    branches in one query:
+
+    - every tenth document's payload is re-encoded as a REAL 24-bit BMP
+      (from its fake raster) alongside the expected resized bytes computed
+      independently in the prep step; the operator's output md5 must match
+      that expectation exactly — a true in-query equality for the real
+      decode->resize->encode path;
+    - the rest take the deterministic fake-raster branch; for them the
+      gate pins shape invariants (one row per doc, 'BM' magic, the exact
+      246-byte length of an 8x8 24-bit BMP) and bit-determinism across a
+      different input partitioning (summed payload crc32 equality).
+
+    One boolean row; oracle is ``SELECT true`` — the byte loops aren't
+    SQL-expressible; exact rasters are golden-tested in pytest."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from cda_client_spark.operators.multimodal import (
+        _fake_raster,
+        encode_bmp,
+        resize_raster,
+    )
+
+    frame = _media_frame(spark, sf_dir)
+    w = h = 8
+
+    def prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media, expected = [], []
+            for rid, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload or b"")
+                if rid % 10 == 0:  # plant a real BMP + its expected resize
+                    raster = _fake_raster(data, 16, 12)
+                    media.append(encode_bmp(raster))
+                    expected.append(encode_bmp(resize_raster(raster, w, h)))
+                else:
+                    media.append(data)
+                    expected.append(None)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": media, "expected": expected}
+            )
+
+    prepped = frame.mapInPandas(
+        prep, schema="doc_id bigint, media binary, expected binary"
+    )
+    resized = resize_images(prepped, w, h)
+    joined = resized.join(prepped.select("doc_id", "expected"), "doc_id")
+    checks = joined.agg(
+        (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias("one_per_doc"),
+        F.min(F.octet_length("media") == 246).alias("len_ok"),
+        F.min(F.expr("substring(media, 1, 2) = X'424D'")).alias("magic_ok"),
+        F.min(
+            F.when(
+                F.col("expected").isNotNull(), F.md5("media") == F.md5("expected")
+            ).otherwise(F.lit(True))
+        ).alias("real_path_exact"),
+        F.sum(F.crc32("media")).alias("crc_sum"),
+    )
+    again = resize_images(prepped.repartition(13), w, h).agg(
+        F.sum(F.crc32("media")).alias("crc_sum_2"),
+        F.count(F.lit(1)).alias("n_out_2"),
+    )
+    return (
+        checks.crossJoin(again)
+        .crossJoin(frame.agg(F.count(F.lit(1)).alias("n_in")))
+        .select(
+            (
+                F.col("one_per_doc")
+                & F.col("len_ok")
+                & F.col("magic_ok")
+                & F.col("real_path_exact")
+                & (F.col("crc_sum") == F.col("crc_sum_2"))
+                & (F.col("n_in") == F.col("n_out_2"))
+            ).alias("resize_ok")
+        )
+    )
+
+
+QUALITY_CLASSIFIER_GATE_SQL = "SELECT true AS classifier_ok"
+
+
+def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the model-based quality filter
+    (operators/classifier.py — the CCNet/DCLM/FineWeb-Edu stage): train
+    the hashed-feature logistic discriminator on even-id documents
+    (positives = real corpus text, negatives = deterministic hex-gibberish
+    derived from the doc id), then demand it separates the HELD-OUT odd
+    ids: mean P(quality) > 0.8 on clean, < 0.2 on junk, and >= 95%
+    accuracy at the 0.5 threshold. One boolean row; oracle is
+    ``SELECT true`` — L-BFGS coefficient sums are fp-order-dependent in
+    the last ulps, so the bar is margin-gated like the KMeans-backed
+    operators; exact behavior is pytest-covered (tests/test_classifier.py).
+    """
+    from cda_client_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    junk_text = F.concat_ws(
+        " ",
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"junk{i}:"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            )
+            for i in range(12)
+        ],
+    )
+    junk = d.select("doc_id", junk_text.alias("text"))
+    even, odd = F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+    model = train_quality_classifier(
+        d.filter(even), junk.filter(even), num_features=1024, max_iter=15
+    )
+    held = score_quality(
+        model,
+        d.filter(odd).select("doc_id", "text", F.lit(1).alias("truth")).unionByName(
+            junk.filter(odd).select("doc_id", "text", F.lit(0).alias("truth"))
+        ),
+    )
+    return held.agg(
+        (F.avg(F.when(F.col("truth") == 1, F.col("quality_prob"))) > 0.8).alias("pos_hi"),
+        (F.avg(F.when(F.col("truth") == 0, F.col("quality_prob"))) < 0.2).alias("neg_lo"),
+        (
+            F.avg(
+                (
+                    (F.col("quality_prob") >= 0.5).cast("int") == F.col("truth")
+                ).cast("double")
+            )
+            >= 0.95
+        ).alias("acc_ok"),
+    ).select(
+        (F.col("pos_hi") & F.col("neg_lo") & F.col("acc_ok")).alias("classifier_ok")
+    )
+
 
 # ---------------------------------------------------------------------------
 # Deterministic splits / corpus curation (operators/sampling.py)
@@ -1931,6 +2129,10 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_tolerance_gate": sketch_tolerance_gate,
     "media_byte_stats": media_byte_stats,
     "media_histogram_gate": media_histogram_gate,
+    "media_audio_features": media_audio_features,
+    "media_resize_gate": media_resize_gate,
+    # train/score/filter of operators/classifier.py gated through one entry
+    "quality_classifier_gate": quality_classifier_gate,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination": doc_contamination,
     "doc_line_dedup": doc_line_dedup,
@@ -1984,6 +2186,9 @@ ORACLE_LLM: dict[str, str] = {
     "sketch_tolerance_gate": SKETCH_GATE_SQL,
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
+    "media_audio_features": MEDIA_AUDIO_FEATURES_SQL,
+    "media_resize_gate": MEDIA_RESIZE_GATE_SQL,
+    "quality_classifier_gate": QUALITY_CLASSIFIER_GATE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "doc_contamination": DOC_CONTAMINATION_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,

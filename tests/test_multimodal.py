@@ -209,3 +209,141 @@ def test_featurizer_preserves_partition_batching(spark):
     out = byte_histogram_features(df)
     assert out.rdd.getNumPartitions() == 8
     assert out.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# Image resize (real BMP codec path + deterministic fake raster)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_and_parse():
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        parse_image_dims,
+    )
+
+    raster = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)  # w=3: padded rows
+    payload = encode_bmp(raster)
+    assert parse_image_dims(payload) == ("image/bmp", 3, 5)
+    back = decode_bmp(payload)
+    assert back is not None and (back == raster).all()
+    # top-down BMP (negative height) also decodes
+    assert decode_bmp(b"junk") is None
+
+
+def test_resize_raster_nearest_neighbor_golden():
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import resize_raster
+
+    # 2x2 quadrant image -> 4x4 must replicate each quadrant 2x2
+    r = np.zeros((2, 2, 3), dtype=np.uint8)
+    r[0, 0], r[0, 1], r[1, 0], r[1, 1] = 10, 20, 30, 40
+    up = resize_raster(r, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[:2, :2] == 10).all() and (up[:2, 2:] == 20).all()
+    assert (up[2:, :2] == 30).all() and (up[2:, 2:] == 40).all()
+    # downscale picks the sampled pixels deterministically
+    down = resize_raster(up, 2, 2)
+    assert (down == r).all()
+
+
+def test_resize_images_real_and_fake_paths(spark):
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        parse_image_dims,
+        resize_images,
+    )
+
+    real = encode_bmp(np.full((6, 4, 3), 200, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, real), (2, b"not an image at all"), (3, None)],
+        "doc_id bigint, media binary",
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert (r["width"], r["height"]) == (8, 8)
+        assert parse_image_dims(bytes(r["media"])) == ("image/bmp", 8, 8)
+    # real path: a flat image stays flat after resize
+    back = decode_bmp(bytes(out[1]["media"]))
+    assert (back == 200).all()
+    # fake path is deterministic: same payload -> same resized bytes
+    again = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    assert bytes(again[2]["media"]) == bytes(out[2]["media"])
+
+
+# ---------------------------------------------------------------------------
+# Audio features (real RIFF/PCM parse + u8 fallback)
+# ---------------------------------------------------------------------------
+
+
+def _wav(samples, rate=8000, channels=1) -> bytes:
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_parse_wav_meta_golden():
+    from cda_client_spark.operators.multimodal import parse_wav_meta
+
+    meta = parse_wav_meta(_wav([0, 100, -100, 50], rate=16000))
+    assert meta["sample_rate"] == 16000
+    assert meta["channels"] == 1 and meta["bits"] == 16
+    assert meta["data_len"] == 8
+    assert parse_wav_meta(b"RIFFxxxxNOPE") is None
+    assert parse_wav_meta(b"") is None
+
+
+def test_audio_features_wav_and_fallback(spark):
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import audio_features
+
+    # square wave with period 4: two sign flips per period
+    sq = [1000, 1000, -1000, -1000] * 100  # 400 samples
+    wav = _wav(sq, rate=8000)
+    text_payload = b"abcz" * 10  # u8 fallback; midrange (97+122)/2=109.5
+    df = spark.createDataFrame(
+        [(1, wav), (2, text_payload), (3, b"")],
+        "doc_id bigint, media binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_features(df).collect()}
+
+    r1 = rows[1]
+    assert r1["is_wav"] and r1["sample_rate"] == 8000 and r1["n_samples"] == 400
+    assert r1["duration_s"] == 0.05
+    assert r1["rms"] == 1000.0  # centered square wave
+    # two flips per 4-sample period, minus the missing trailing pair
+    assert abs(r1["zcr"] - 199 / 399) < 1e-6
+
+    r2 = rows[2]
+    assert not r2["is_wav"] and r2["sample_rate"] == 0 and r2["duration_s"] == 0.0
+    c = np.frombuffer(text_payload, dtype=np.uint8).astype(float) - 109.5
+    assert r2["rms"] == round(float(np.sqrt((c * c).mean())), 6)
+    assert r2["zcr"] == round(
+        float(np.count_nonzero(c[1:] * c[:-1] < 0) / (len(c) - 1)), 6
+    )
+
+    r3 = rows[3]
+    assert r3["n_samples"] == 0 and r3["rms"] == 0.0 and r3["zcr"] == 0.0

@@ -23,7 +23,13 @@ from cda_client_spark.queries import SPARK
 # queries whose CONSTRUCTION executes Spark jobs (iterative connected
 # components, gates that train/evaluate) — excluded from the cheap sweep;
 # their plans are covered by tools/plan_audit.py and their own tests
-EAGER = {"doc_dedup_clusters", "doc_neardedup_corpus", "pq_recall", "bpe_gate"}
+EAGER = {
+    "doc_dedup_clusters",
+    "doc_neardedup_corpus",
+    "pq_recall",
+    "bpe_gate",
+    "quality_classifier_gate",  # trains an ML pipeline at construction
+}
 
 BNLJ_OK = {
     "ann_topk_bruteforce",
@@ -45,9 +51,13 @@ BNLJ_OK = {
     "doc_lm_perplexity",
     "doc_dsir_select",
     "doc_bm25_search",
+    # 1x1 scalar crossJoins (determinism + row-conservation checks)
+    "media_resize_gate",
 }
 
-ARROW_OK = {"media_histogram_gate"}
+# Arrow-batched mapInPandas is the DOCUMENTED path for byte-level media
+# work (operators/multimodal.py) — never row-at-a-time Python
+ARROW_OK = {"media_histogram_gate", "media_audio_features", "media_resize_gate"}
 
 
 def plan_of(spark, sf_dir, name):
