@@ -82,6 +82,7 @@ STAGES = (
     "quality",
     "encoding",
     "repetition",
+    "quality_model",
     "lm_perplexity",
     "dsir",
     "contamination",
@@ -127,11 +128,15 @@ def load_curation_config(path: str | Path) -> CurationConfig:
         "quality",
         "encoding",
         "repetition",
+        "qualityModel",
         "lmPerplexity",
         "dsir",
         "contamination",
         "sourceQuota",
     }
+    qm = steps.get("qualityModel")
+    if qm is not None and not (qm or {}).get("referencePath"):
+        raise ConfigError("curation.steps.qualityModel.referencePath is required")
     unknown = set(steps) - known
     if unknown:
         raise ConfigError(f"unknown curation steps: {sorted(unknown)}")
@@ -234,6 +239,46 @@ def curate_frame(
         df = _tag(df.join(sig, id_c), "repetition", ~F.col("repetition_ok")).select(
             *df.columns
         )
+
+    if "qualityModel" in steps:
+        qm = steps["qualityModel"]
+        # DCLM/FineWeb-Edu-style model-based filter: train the hashed-
+        # feature logistic discriminator on reference-quality positives vs
+        # a deterministic sample of THIS corpus as negatives (the CCNet
+        # discriminator recipe), then keep docs scoring >= minProb. The
+        # fit is the one EAGER step in the chain (Spark ML training runs
+        # jobs at build time); the model is coefficient-sized and scoring
+        # stays a broadcast-model map stage.
+        from cda_client_spark.operators.classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+        from cda_client_spark.operators.sampling import hash_sample
+
+        reference = spark.read.parquet(qm["referencePath"])
+        ref_text = qm.get("referenceTextColumn", text_c)
+        negatives = hash_sample(
+            df.select(id_c, text_c),
+            id_c,
+            float(qm.get("negativeFraction", 0.5)),
+            seed="qmodel-neg",
+        )
+        model = train_quality_classifier(
+            reference.select(F.col(ref_text).alias(text_c)),
+            negatives,
+            text_col=text_c,
+            num_features=int(qm.get("numFeatures", 4096)),
+            max_iter=int(qm.get("maxIter", 20)),
+        )
+        probs = score_quality(
+            model, df.select(id_c, text_c), text_col=text_c, id_col=id_c
+        ).select(id_c, "quality_prob")
+        df = _tag(
+            df.join(probs, id_c, "left"),
+            "quality_model",
+            F.col("quality_prob").isNull()
+            | (F.col("quality_prob") < float(qm.get("minProb", 0.5))),
+        ).select(*df.columns)
 
     if "lmPerplexity" in steps:
         lp = steps["lmPerplexity"]

@@ -1,0 +1,74 @@
+"""Model-based quality classifier (operators/classifier.py): planted
+separable corpora must be separated, scoring must be a pure map stage,
+and the filter front door must apply the threshold."""
+
+from __future__ import annotations
+
+import pytest
+
+from cda_client_spark.operators.classifier import (
+    quality_filter,
+    score_quality,
+    train_quality_classifier,
+)
+
+
+def _clean_docs(spark, n=60, offset=0):
+    words = "the quick brown fox jumps over a lazy dog near the old river bank".split()
+    rows = [
+        (offset + i, " ".join(words[(i + j) % len(words)] for j in range(30)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _junk_docs(spark, n=60, offset=1000):
+    rows = [
+        (offset + i, " ".join(f"zzq{j % 7}xk" for j in range(30)) + " buy now click spam" * 3)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    return train_quality_classifier(
+        _clean_docs(spark), _junk_docs(spark), num_features=512, max_iter=20
+    )
+
+
+def test_classifier_separates_planted_corpora(spark, model):
+    heldout_clean = _clean_docs(spark, n=20, offset=5000)
+    heldout_junk = _junk_docs(spark, n=20, offset=6000)
+    sc = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, heldout_clean).collect()}
+    sj = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, heldout_junk).collect()}
+    assert len(sc) == 20 and len(sj) == 20
+    assert min(sc.values()) > 0.9, min(sc.values())
+    assert max(sj.values()) < 0.1, max(sj.values())
+
+
+def test_score_quality_schema_and_row_conservation(spark, model):
+    df = _clean_docs(spark, n=15, offset=7000)
+    out = score_quality(model, df)
+    assert set(out.columns) == {"doc_id", "text", "quality_prob"}
+    assert out.count() == 15
+    for r in out.collect():
+        assert 0.0 <= r["quality_prob"] <= 1.0
+
+
+def test_quality_filter_threshold(spark, model):
+    mixed = _clean_docs(spark, n=10, offset=8000).unionByName(
+        _junk_docs(spark, n=10, offset=9000)
+    )
+    kept = quality_filter(model, mixed, threshold=0.5)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {8000 + i for i in range(10)}
+
+
+def test_scoring_plan_is_map_only(spark, model):
+    """Scoring must not shuffle: the model broadcasts and transform is a
+    projection — assert no Exchange in the scored plan."""
+    df = _clean_docs(spark, n=10, offset=9500)
+    plan = score_quality(model, df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan

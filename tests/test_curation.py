@@ -217,6 +217,62 @@ def test_curation_lm_and_dsir_stages(spark, tmp_path):
     assert report.kept == 20
 
 
+def test_curation_quality_model_stage(spark, tmp_path):
+    """The model-based quality filter: a reference corpus defines
+    'quality'; gibberish planted in the raw corpus must fall at the
+    quality_model stage while reference-like docs pass. Negatives come
+    from a deterministic sample of the raw corpus itself (the CCNet
+    discriminator recipe), so the stage needs no labeled negatives."""
+    corpus = str(tmp_path / "c4.parquet")
+    reference = str(tmp_path / "ref4.parquet")
+    out = str(tmp_path / "curated4")
+
+    words = "the data pipeline runs spark jobs over the lake nightly and cleanly".split()
+    def ref_like(i):
+        return " ".join(words[(i + j) % len(words)] for j in range(25))
+
+    rows = [(i, ref_like(i), "s") for i in range(20)]
+    rows += [
+        (100 + i, " ".join(f"xq{j % 9}zk" for j in range(25)), "s") for i in range(20)
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string, source string").write.parquet(corpus)
+    spark.createDataFrame(
+        [(i, ref_like(i + 7)) for i in range(60)], "doc_id bigint, text string"
+    ).write.parquet(reference)
+
+    cfg = CurationConfig(
+        input_path=corpus,
+        output_path=out,
+        steps={
+            "qualityModel": {
+                "referencePath": reference,
+                "minProb": 0.5,
+                "numFeatures": 512,
+                "maxIter": 20,
+            }
+        },
+        export_shards=1,
+    )
+    report = run_curation(spark, cfg)
+    assert report.total == 40
+    assert report.dropped.get("quality_model") == 20
+    assert report.kept == 20
+
+
+def test_curation_quality_model_requires_reference_path(tmp_path):
+    import pytest
+
+    from cda_client_spark.config import ConfigError
+
+    p = tmp_path / "bad.yaml"
+    p.write_text(
+        "curation:\n  inputPath: /x\n  outputPath: /y\n"
+        "  steps:\n    qualityModel: {minProb: 0.5}\n"
+    )
+    with pytest.raises(ConfigError, match="referencePath"):
+        load_curation_config(p)
+
+
 def test_curation_dsir_threshold_drops_off_target(spark, tmp_path):
     corpus = str(tmp_path / "c3.parquet")
     target = str(tmp_path / "t3.parquet")
