@@ -1335,10 +1335,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_recall",
     "pq_recall",
     "emb_near_dup_pairs",
-    "emb_quantization",
-    # text analysis
+    # text analysis / model-based quality
     "doc_quality_scores",
-    "doc_language_id",
+    "quality_classifier_gate",
     "doc_encoding_signals",
     "doc_tfidf_top_terms",
     "doc_pii_scrub",
@@ -1354,6 +1353,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_corpus_report",
     # profiling / media / sketches
     "profile_orders",
+    "media_audio_features",
     "media_histogram_gate",
     "sketch_tolerance_gate",
 )
