@@ -123,22 +123,28 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     headline = {n: t for n, t in timings.items() if n in set(BENCH_QUERIES)}
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    with open(full_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "catalog_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
+    if os.environ.get("SPARK_GRAFT_BENCH", "full") != "headline":
+        # only a FULL catalog run may overwrite the committed per-round
+        # artifact — a quick headline-mode run must not clobber it with a
+        # partial map still labeled as the whole catalog
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
-        fh.write("\n")
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "catalog_queries_total",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "reps": reps,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
     # The driver parses the LAST stdout line only, with a bounded tail
     # capture — keep this line headline-sized (see module docstring).
     print(

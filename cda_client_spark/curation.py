@@ -134,8 +134,9 @@ def load_curation_config(path: str | Path) -> CurationConfig:
         "contamination",
         "sourceQuota",
     }
-    qm = steps.get("qualityModel")
-    if qm is not None and not (qm or {}).get("referencePath"):
+    if "qualityModel" in steps and not (steps.get("qualityModel") or {}).get(
+        "referencePath"
+    ):
         raise ConfigError("curation.steps.qualityModel.referencePath is required")
     unknown = set(steps) - known
     if unknown:
@@ -271,7 +272,7 @@ def curate_frame(
             max_iter=int(qm.get("maxIter", 20)),
         )
         probs = score_quality(
-            model, df.select(id_c, text_c), text_col=text_c, id_col=id_c
+            model, df.select(id_c, text_c), text_col=text_c
         ).select(id_c, "quality_prob")
         df = _tag(
             df.join(probs, id_c, "left"),
@@ -440,7 +441,10 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
     """
     from cda_client_spark.sinks.files import write_jsonl_sharded
     from cda_client_spark.streaming.incremental import (
+        _finish_compaction,
+        _store_batch_ids,
         batch_buckets,
+        compact_store,
         near_dup_ids,
         write_store_batch,
     )
@@ -448,6 +452,7 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
     inc = dict(cfg.incremental or {})
     landing, store_dir = inc["landingPath"], inc["storePath"]
     ckpt = inc["checkpointPath"]
+    compact_every = int(inc.get("compactEvery", 16))
     dedup_kwargs = {
         k: inc[k]
         for k in ("num_hashes", "bands", "shingle", "hash_fn", "max_bucket_size")
@@ -463,6 +468,19 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():  # AvailableNow can emit a trailing empty batch;
             return  # an empty batch dir would poison partition discovery
+        # same store hygiene as incremental_dedup_batch (this is the second
+        # consumer of the signature store): finish any interrupted
+        # compaction BEFORE dedup decisions read it, and refuse a store
+        # whose batch numbering is ahead of this checkpoint lineage
+        _finish_compaction(store_dir)
+        stale = [b for b in _store_batch_ids(store_dir) if b > batch_id]
+        if stale:
+            raise ValueError(
+                f"store {store_dir} already holds batches {stale} > current "
+                f"batch {batch_id}: the checkpoint lineage restarted against "
+                "an old store. Retain or discard checkpoint/store/output "
+                "together."
+            )
         tagged, _ = curate_frame(spark, batch_df, cfg)
         tagged = tagged.persist()
         try:
@@ -520,6 +538,8 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                         batch_id,
                         cfg.id_col,
                     )
+                    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                        compact_store(spark, store_dir, batch_id)
                 finally:
                     tagged2.unpersist()
             finally:

@@ -93,7 +93,6 @@ def score_quality(
     model,
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     round_digits: int = 6,
 ) -> DataFrame:
     """Attach ``quality_prob`` (P(document is reference-quality)) to every
@@ -114,10 +113,9 @@ def quality_filter(
     df: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Keep documents the classifier scores at or above ``threshold`` —
     the one-call filtering front door."""
-    return score_quality(model, df, text_col, id_col).filter(
+    return score_quality(model, df, text_col).filter(
         F.col(QUALITY_PROB_COL) >= threshold
     )

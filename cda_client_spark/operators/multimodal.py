@@ -313,7 +313,10 @@ def parse_wav_meta(payload: bytes) -> dict | None:
         if cid == b"fmt " and i + 24 <= n:
             audio_fmt, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
             (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
-            if audio_fmt != 1:  # PCM only
+            # PCM only; a corrupt/adversarial header declaring zero
+            # channels or rate must fall to the u8 path, not divide by
+            # zero inside an executor task
+            if audio_fmt != 1 or channels == 0 or rate == 0:
                 return None
             fmt = (channels, rate, bits)
         elif cid == b"data":

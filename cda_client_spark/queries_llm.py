@@ -907,7 +907,10 @@ def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The corpus is ASCII, so DuckDB's per-character ord() equals Spark's
-# per-byte u8 value and len(text) equals octet_length.
+# per-byte u8 value and len(text) equals octet_length. Edge parity with
+# the Spark kernel: empty documents still emit a row (n_samples=0,
+# rms=zcr=0 — hence the driving LEFT JOIN from documents) and 1-sample
+# documents define zcr as 0.0 rather than dividing by n-1=0.
 MEDIA_AUDIO_FEATURES_SQL = """
 WITH idx AS (
   SELECT doc_id, text,
@@ -930,16 +933,25 @@ l AS (
   SELECT doc_id, cb, n,
          lag(cb) OVER (PARTITION BY doc_id ORDER BY i) AS prev
   FROM c
+),
+agg AS (
+  SELECT doc_id,
+    n AS n_samples,
+    round(sqrt(avg(cb * cb)), 6) AS rms,
+    CASE WHEN n > 1
+         THEN round(CAST(sum(CASE WHEN prev IS NOT NULL AND cb * prev < 0
+                               THEN 1 ELSE 0 END) AS DOUBLE) / (n - 1), 6)
+         ELSE 0.0 END AS zcr
+  FROM l GROUP BY doc_id, n
 )
-SELECT doc_id,
+SELECT d.doc_id,
   false AS is_wav,
   0 AS sample_rate,
-  n AS n_samples,
+  COALESCE(agg.n_samples, 0) AS n_samples,
   0.0 AS duration_s,
-  round(sqrt(avg(cb * cb)), 6) AS rms,
-  round(CAST(sum(CASE WHEN prev IS NOT NULL AND cb * prev < 0
-                      THEN 1 ELSE 0 END) AS DOUBLE) / (n - 1), 6) AS zcr
-FROM l GROUP BY doc_id, n
+  COALESCE(agg.rms, 0.0) AS rms,
+  COALESCE(agg.zcr, 0.0) AS zcr
+FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 

@@ -245,6 +245,11 @@ def incremental_dedup_batch(
     crash-replay case and stays allowed."""
     if batch_df.isEmpty():
         return
+    # a crash INSIDE a previous compaction may have left the merged store
+    # partition half-promoted (sources deleted, staging not yet renamed);
+    # finish that protocol BEFORE any dedup decision reads the store, or a
+    # replayed batch would silently re-accept duplicates of the hidden rows
+    _finish_compaction(store_dir)
     stale = [b for b in _store_batch_ids(store_dir) if b > batch_id]
     if stale:
         raise ValueError(

@@ -271,6 +271,15 @@ def test_curation_quality_model_requires_reference_path(tmp_path):
     )
     with pytest.raises(ConfigError, match="referencePath"):
         load_curation_config(p)
+    # the natural "enable with defaults" spelling — a NULL step value —
+    # must fail the same validation, not crash later inside the pipeline
+    p2 = tmp_path / "bad2.yaml"
+    p2.write_text(
+        "curation:\n  inputPath: /x\n  outputPath: /y\n"
+        "  steps:\n    qualityModel:\n"
+    )
+    with pytest.raises(ConfigError, match="referencePath"):
+        load_curation_config(p2)
 
 
 def test_curation_dsir_threshold_drops_off_target(spark, tmp_path):

@@ -347,3 +347,24 @@ def test_audio_features_wav_and_fallback(spark):
 
     r3 = rows[3]
     assert r3["n_samples"] == 0 and r3["rms"] == 0.0 and r3["zcr"] == 0.0
+
+
+def test_audio_features_corrupt_wav_zero_channels_falls_back(spark):
+    """A RIFF/WAVE header declaring channels=0 (corrupt/adversarial) must
+    take the u8 fallback, not divide by zero inside an executor task."""
+    import struct
+
+    from cda_client_spark.operators.multimodal import parse_wav_meta
+
+    fmt = struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)  # channels=0
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    )
+    assert parse_wav_meta(bad) is None  # rejected at parse time
+    from cda_client_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame([(1, bad)], "doc_id bigint, media binary")
+    (row,) = audio_features(df).collect()
+    assert not row["is_wav"] and row["sample_rate"] == 0  # u8 path, no crash

@@ -193,6 +193,55 @@ def test_compaction_crash_convergence(spark, tmp_path):
         assert {r["doc_id"] for r in dups.collect()} == {900 + i}
 
 
+def test_replayed_batch_finishes_interrupted_compaction_first(spark, tmp_path):
+    """A crash INSIDE compaction (sources deleted, staging not yet
+    promoted) must not let the next batch make dedup decisions against the
+    half-promoted store — incremental_dedup_batch finishes the protocol
+    BEFORE reading, so a copy of a hidden (staged) doc is still rejected."""
+    import json
+    from pathlib import Path
+
+    from cda_client_spark.streaming.incremental import (
+        _COMPACT_META,
+        _COMPACT_STAGING,
+        _store_batch_ids,
+        incremental_dedup_batch,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    for i in range(3):
+        incremental_dedup_batch(
+            spark, spark.createDataFrame([_doc(i)], SCHEMA), i, store, out,
+            shingle=2,
+        )
+    # simulate the mid-compaction crash: merge 0..2 into staging + meta,
+    # delete the sources, DON'T promote
+    staging = Path(store) / _COMPACT_STAGING
+    merged = spark.read.schema("doc_id bigint, band int, key string").parquet(
+        *[f"{store}/batch={b}" for b in _store_batch_ids(store)]
+    )
+    merged.coalesce(1).write.parquet(str(staging))
+    (staging / _COMPACT_META).write_text(
+        json.dumps({"before": 3, "ids": [0, 1, 2], "target": 2})
+    )
+    import shutil
+
+    for b in (0, 1, 2):
+        shutil.rmtree(Path(store) / f"batch={b}")
+
+    # next delivery carries an exact copy of doc 1 (whose signatures are
+    # currently hidden in staging) — it must still be rejected
+    incremental_dedup_batch(
+        spark,
+        spark.createDataFrame([(900, _doc(1)[1]), _doc(3)], SCHEMA),
+        3, store, out, shingle=2,
+    )
+    kept = {r["doc_id"] for r in read_curated(spark, out, SCHEMA).collect()}
+    assert 900 not in kept
+    assert 3 in kept
+    assert not staging.exists()  # protocol finished before the decisions
+
+
 def test_fresh_checkpoint_against_old_store_fails_fast(spark, tmp_path):
     """r5 advice: restarting with a discarded checkpoint renumbers batches
     from 0 against a store holding higher ids — the exclusion would hide
