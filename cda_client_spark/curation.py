@@ -20,6 +20,11 @@ Config shape (every step optional; steps run in the fixed order below):
         quality: {minWords: 20, minScore: 0.2}
         encoding: {maxNonAsciiRatio: 1.0}     # mojibake/control-char sanity
         repetition: {maxTopNgramFrac: 0.2, maxDupNgramFrac: 0.6, n: 2}
+        # model-based quality filter (DCLM/FineWeb-Edu stage): EITHER train
+        # in-run on a reference corpus (negatives = deterministic sample of
+        # this corpus) OR load a pre-trained model via modelPath — use
+        # modelPath in incremental mode so deliveries don't retrain
+        qualityModel: {referencePath: /data/reference.parquet, minProb: 0.5}
         lmPerplexity: {maxPerplexity: 120, smoothing: 0.1}  # CCNet-style LM filter
         dsir: {targetPath: /data/target.parquet, minWeight: 0.0}  # DSIR selection
         contamination: {benchmarkPath: /data/eval.parquet, n: 8}
@@ -33,6 +38,7 @@ Config shape (every step optional; steps run in the fixed order below):
         landingPath: /data/landing
         storePath: /data/sig_store
         checkpointPath: /data/ckpt
+        compactEvery: 16   # fold store history into one partition every N batches
 
 Design: transforms (line dedup, PII) rewrite the text in place; filters
 never drop rows mid-stream — each tags the FIRST failing stage in a
@@ -134,10 +140,12 @@ def load_curation_config(path: str | Path) -> CurationConfig:
         "contamination",
         "sourceQuota",
     }
-    if "qualityModel" in steps and not (steps.get("qualityModel") or {}).get(
-        "referencePath"
-    ):
-        raise ConfigError("curation.steps.qualityModel.referencePath is required")
+    qm = steps.get("qualityModel") or {} if "qualityModel" in steps else None
+    if qm is not None and not (qm.get("referencePath") or qm.get("modelPath")):
+        raise ConfigError(
+            "curation.steps.qualityModel needs referencePath (train in-run) "
+            "or modelPath (pre-trained)"
+        )
     unknown = set(steps) - known
     if unknown:
         raise ConfigError(f"unknown curation steps: {sorted(unknown)}")
@@ -243,34 +251,42 @@ def curate_frame(
 
     if "qualityModel" in steps:
         qm = steps["qualityModel"]
-        # DCLM/FineWeb-Edu-style model-based filter: train the hashed-
-        # feature logistic discriminator on reference-quality positives vs
-        # a deterministic sample of THIS corpus as negatives (the CCNet
-        # discriminator recipe), then keep docs scoring >= minProb. The
-        # fit is the one EAGER step in the chain (Spark ML training runs
-        # jobs at build time); the model is coefficient-sized and scoring
-        # stays a broadcast-model map stage.
+        # DCLM/FineWeb-Edu-style model-based filter: keep docs the
+        # discriminator scores >= minProb. Two sourcing modes:
+        # - modelPath: load a PRE-TRAINED model (the production shape —
+        #   train once offline, reuse across runs; in incremental mode
+        #   this is the right choice, since training in-run would refit
+        #   on every delivery's own sample);
+        # - referencePath: train in-run on reference-quality positives vs
+        #   a deterministic sample of THIS corpus as negatives (the CCNet
+        #   discriminator recipe). The fit is the one EAGER step in the
+        #   chain; the model is coefficient-sized and scoring stays a
+        #   broadcast-model map stage either way.
         from cda_client_spark.operators.classifier import (
+            load_quality_model,
             score_quality,
             train_quality_classifier,
         )
         from cda_client_spark.operators.sampling import hash_sample
 
-        reference = spark.read.parquet(qm["referencePath"])
-        ref_text = qm.get("referenceTextColumn", text_c)
-        negatives = hash_sample(
-            df.select(id_c, text_c),
-            id_c,
-            float(qm.get("negativeFraction", 0.5)),
-            seed="qmodel-neg",
-        )
-        model = train_quality_classifier(
-            reference.select(F.col(ref_text).alias(text_c)),
-            negatives,
-            text_col=text_c,
-            num_features=int(qm.get("numFeatures", 4096)),
-            max_iter=int(qm.get("maxIter", 20)),
-        )
+        if qm.get("modelPath"):
+            model = load_quality_model(qm["modelPath"])
+        else:
+            reference = spark.read.parquet(qm["referencePath"])
+            ref_text = qm.get("referenceTextColumn", text_c)
+            negatives = hash_sample(
+                df.select(id_c, text_c),
+                id_c,
+                float(qm.get("negativeFraction", 0.5)),
+                seed="qmodel-neg",
+            )
+            model = train_quality_classifier(
+                reference.select(F.col(ref_text).alias(text_c)),
+                negatives,
+                text_col=text_c,
+                num_features=int(qm.get("numFeatures", 4096)),
+                max_iter=int(qm.get("maxIter", 20)),
+            )
         probs = score_quality(
             model, df.select(id_c, text_c), text_col=text_c
         ).select(id_c, "quality_prob")

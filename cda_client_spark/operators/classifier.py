@@ -108,6 +108,21 @@ def score_quality(
     ).drop("_tokens", "_features", "rawPrediction", "probability", "prediction")
 
 
+def save_quality_model(model, path: str) -> None:
+    """Persist the fitted discriminator (Spark ML PipelineModel layout —
+    coefficient-sized parquet + metadata). The production shape is train
+    ONCE on seed data, persist, then reuse across scoring runs and
+    incremental deliveries (see curation's ``qualityModel.modelPath``)."""
+    model.write().overwrite().save(path)
+
+
+def load_quality_model(path: str):
+    """Load a discriminator saved by :func:`save_quality_model`."""
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
+
+
 def quality_filter(
     model,
     df: DataFrame,

@@ -65,6 +65,51 @@ def test_quality_filter_threshold(spark, model):
     assert ids == {8000 + i for i in range(10)}
 
 
+def test_model_save_load_roundtrip(spark, model, tmp_path):
+    """A persisted model must score identically after reload — the
+    train-once-reuse-everywhere contract curation's modelPath relies on."""
+    from cda_client_spark.operators.classifier import (
+        load_quality_model,
+        save_quality_model,
+    )
+
+    path = str(tmp_path / "qmodel")
+    save_quality_model(model, path)
+    again = load_quality_model(path)
+    df = _clean_docs(spark, n=12, offset=11000).unionByName(
+        _junk_docs(spark, n=12, offset=12000)
+    )
+    a = {r["doc_id"]: r["quality_prob"] for r in score_quality(model, df).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in score_quality(again, df).collect()}
+    assert a == b
+
+
+def test_curation_quality_model_from_model_path(spark, model, tmp_path):
+    """curation's qualityModel.modelPath loads the pre-trained model
+    instead of training in-run — the incremental-mode shape."""
+    from cda_client_spark.curation import CurationConfig, run_curation
+    from cda_client_spark.operators.classifier import save_quality_model
+
+    from pyspark.sql import functions as F
+
+    mp = str(tmp_path / "qm")
+    save_quality_model(model, mp)
+    corpus = str(tmp_path / "c.parquet")
+    _clean_docs(spark, n=8, offset=13000).unionByName(
+        _junk_docs(spark, n=8, offset=14000)
+    ).withColumn("source", F.lit("s")).write.parquet(corpus)
+    cfg = CurationConfig(
+        input_path=corpus,
+        output_path=str(tmp_path / "out"),
+        steps={"qualityModel": {"modelPath": mp, "minProb": 0.5}},
+        export_shards=1,
+    )
+    report = run_curation(spark, cfg)
+    assert report.total == 16
+    assert report.dropped.get("quality_model") == 8
+    assert report.kept == 8
+
+
 def test_scoring_plan_is_map_only(spark, model):
     """Scoring must not shuffle: the model broadcasts and transform is a
     projection — assert no Exchange in the scored plan."""
