@@ -231,9 +231,14 @@ def main() -> int:
     out.mkdir(parents=True, exist_ok=True)
     rnd = np.random.RandomState(42)
     docs = gen_documents(BASE_DOCS * mult, rnd)
-    pq.write_table(docs, out / "documents.parquet")
+    # bounded row groups: the row group is Spark's SPLIT ATOM — a single
+    # 500k-row group made every sf10 documents/embeddings scan one task
+    # (measured: emb_quantization 10.7s -> 2.1s just by restoring split
+    # parallelism). 20k rows ≈ 5-6 MB per group: plenty of split points,
+    # still far above the small-group metadata overhead zone.
+    pq.write_table(docs, out / "documents.parquet", row_group_size=20_000)
     embs = gen_embeddings(BASE_VECS * mult, rnd)
-    pq.write_table(embs, out / "embeddings.parquet")
+    pq.write_table(embs, out / "embeddings.parquet", row_group_size=20_000)
     rel = gen_relational(mult, rnd, out)
     print(
         f"wrote {out}: documents={docs.num_rows} rows, "
