@@ -146,6 +146,17 @@ def load_curation_config(path: str | Path) -> CurationConfig:
             "curation.steps.qualityModel needs referencePath (train in-run) "
             "or modelPath (pre-trained)"
         )
+    if qm is not None and inc is not None and not qm.get("modelPath"):
+        # in-run training samples this delivery's own docs as negatives; a
+        # tiny micro-batch gives a degenerate training set and
+        # batch-dependent accept/reject decisions — incremental mode must
+        # score with a model trained once up front (r6 advice)
+        raise ConfigError(
+            "curation.steps.qualityModel in incremental mode requires "
+            "modelPath (pre-trained): retraining per delivery on the "
+            "delivery's own sampled negatives makes accept/reject "
+            "decisions batch-size-dependent"
+        )
     unknown = set(steps) - known
     if unknown:
         raise ConfigError(f"unknown curation steps: {sorted(unknown)}")

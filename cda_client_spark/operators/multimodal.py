@@ -235,6 +235,162 @@ def decode_bmp(payload: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def encode_png(raster, compress_level: int = 6) -> bytes:
+    """Encode an (h, w, 3) or (h, w, 4) uint8 raster as a real PNG (8-bit
+    truecolor / truecolor+alpha, non-interlaced, filter 0 scanlines) —
+    stdlib ``zlib`` + ``struct`` only. Output parses with
+    :func:`parse_image_dims` and decodes with :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    raster = np.ascontiguousarray(raster, dtype=np.uint8)
+    if raster.ndim != 3 or raster.shape[2] not in (3, 4):
+        raise ValueError("raster must be (h, w, 3|4) uint8")
+    h, w, ch = raster.shape
+    color_type = 2 if ch == 3 else 6
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) in front of every scanline
+    raw = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    raw[:, 1:] = raster.reshape(h, w * ch)
+    idat = zlib.compress(raw.tobytes(), compress_level)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the per-scanline PNG filters (types 0-4: None, Sub, Up,
+    Average, Paeth) over ``h`` scanlines of ``stride`` filtered bytes each.
+    Returns an (h, stride) uint8 array, or None on an unknown filter type.
+    None and Up lines vectorize; Sub/Average/Paeth carry a left-neighbor
+    dependency and run per byte — decode cost is per-payload inside an
+    Arrow batch, never driver-side."""
+    import numpy as np
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.uint16
+        )
+        pos += 1 + stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                if ft == 1:  # Sub
+                    rec[x] = (int(line[x]) + a) & 0xFF
+                elif ft == 3:  # Average
+                    rec[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+                else:  # Paeth
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG (8-bit truecolor RGB/RGBA, non-interlaced — the
+    dominant web-image encoding) into an (h, w, 3) uint8 RGB raster, or
+    None when the payload isn't one this codec handles. Stdlib ``zlib``
+    inflate + per-scanline unfiltering; alpha is dropped (decode targets
+    the RGB feature/resize path). Palette, 16-bit, grayscale and Adam7
+    interlaced images return None — the caller falls back."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    n = len(payload)
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None
+        if tag == b"IHDR":
+            if clen < 13:
+                return None
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
+                return None
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen  # len + tag + body + crc
+    if w is None or not idat or w == 0 or h == 0:
+        return None
+    ch = 3 if color_type == 2 else 4
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + stride):
+        return None
+    rec = _png_unfilter(raw, h, stride, ch)
+    if rec is None:
+        return None
+    return rec.reshape(h, w, ch)[:, :, :3].copy()
+
+
+def encode_wav(samples, rate: int = 8000, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples (interleaved when ``channels`` > 1) as a
+    canonical RIFF/WAVE payload — pure struct/numpy. Round-trips through
+    :func:`parse_wav_meta` / :func:`audio_features`' real-WAV branch."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def _fake_raster(payload: bytes, w: int = 16, h: int = 16):
     """DETERMINISTIC FAKE raster for non-BMP payloads: the byte stream
     tiled into an (h, w, 3) grid — stands in for a real decoder so the
@@ -267,11 +423,12 @@ def resize_images(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Resize image payloads to ``width`` x ``height`` via mapInPandas:
-    REAL decode->resize->encode for uncompressed 24-bit BMPs (the
-    dependency-free codec above), the deterministic fake raster for
-    anything else — same Arrow plumbing either way, so swapping in
+    REAL decode->resize->re-encode for uncompressed 24-bit BMPs and 8-bit
+    truecolor PNGs (the dependency-free codecs above; each format
+    re-encodes as itself), the deterministic fake raster -> BMP for
+    anything else — same Arrow plumbing every way, so swapping in
     PIL/libvips later changes one callable, not the pipeline. Output is
-    (id, resized BMP payload, out_width, out_height); at 100 TB this is a
+    (id, resized payload, out_width, out_height); at 100 TB this is a
     pure map stage whose cost is the payload bytes themselves."""
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -279,10 +436,15 @@ def resize_images(
             out = []
             for payload in pdf[bin_col]:
                 data = bytes(payload) if payload is not None else b""
+                encode = encode_bmp
                 raster = decode_bmp(data)
                 if raster is None:
+                    raster = decode_png(data)
+                    if raster is not None:
+                        encode = encode_png
+                if raster is None:
                     raster = _fake_raster(data)
-                out.append(encode_bmp(resize_raster(raster, width, height)))
+                out.append(encode(resize_raster(raster, width, height)))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -955,19 +955,112 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def media_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible proof of the REAL RIFF/WAV parse branch with a FULL
+    value-hash oracle (r6 verdict ask #4, honoring policy #6's
+    no-new-gates bar): every document's bytes become int16 PCM samples
+    (``(b - 128) * 256`` — exactly the int16 range), are encoded as a real
+    WAV container in-query (``encode_wav``, per-doc sample rate
+    ``4000 + (doc_id % 5) * 500`` so rate parsing is load-bearing), and
+    ``audio_features`` must then parse the container — fmt/data chunk
+    walk, 16-bit little-endian sample recovery, per-doc rate — and
+    reproduce the features DuckDB computes directly from the sample
+    formula. A hash match proves the container round-trip AND the feature
+    kernel at once; ``is_wav=true`` on every row proves no document fell
+    to the u8 path. All arithmetic is integer-valued in float64 (exact)
+    until the final round(·, 6), so the comparison is engine-portable —
+    same design as ``media_audio_features``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from cda_client_spark.operators.multimodal import audio_features, encode_wav
+
+    frame = _media_frame(spark, sf_dir)
+
+    def prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for rid, payload in zip(pdf["doc_id"], pdf["media"]):
+                u8 = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                samples = ((u8.astype(np.int32) - 128) * 256).astype("<i2")
+                media.append(encode_wav(samples, rate=4000 + (int(rid) % 5) * 500))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    prepped = frame.mapInPandas(prep, schema="doc_id bigint, media binary")
+    return audio_features(prepped).select(
+        "doc_id", "is_wav", "sample_rate", "n_samples", "duration_s", "rms", "zcr"
+    )
+
+
+# Same replay recipe as MEDIA_AUDIO_FEATURES_SQL, over the transformed
+# samples (ord - 128) * 256 the Spark side packed into the WAV container;
+# the per-doc sample rate is derived from doc_id on both sides. DuckDB's
+# `/` on integers is float division, so duration_s is a DOUBLE both sides.
+MEDIA_WAV_FEATURES_SQL = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, CAST(len(text) AS BIGINT))) AS i
+  FROM documents
+),
+s AS (
+  SELECT doc_id, i,
+         CAST((ord(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256 AS DOUBLE) AS b
+  FROM idx
+),
+m AS (
+  SELECT doc_id, (min(b) + max(b)) / 2.0 AS mid, count(*) AS n
+  FROM s GROUP BY doc_id
+),
+c AS (
+  SELECT s.doc_id, i, b - mid AS cb, n FROM s JOIN m USING (doc_id)
+),
+l AS (
+  SELECT doc_id, cb, n,
+         lag(cb) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM c
+),
+agg AS (
+  SELECT doc_id,
+    n AS n_samples,
+    round(sqrt(avg(cb * cb)), 6) AS rms,
+    CASE WHEN n > 1
+         THEN round(CAST(sum(CASE WHEN prev IS NOT NULL AND cb * prev < 0
+                               THEN 1 ELSE 0 END) AS DOUBLE) / (n - 1), 6)
+         ELSE 0.0 END AS zcr
+  FROM l GROUP BY doc_id, n
+)
+SELECT d.doc_id,
+  true AS is_wav,
+  CAST(4000 + (d.doc_id % 5) * 500 AS INTEGER) AS sample_rate,
+  COALESCE(agg.n_samples, 0) AS n_samples,
+  round(COALESCE(agg.n_samples, 0) / (4000 + (d.doc_id % 5) * 500), 6) AS duration_s,
+  COALESCE(agg.rms, 0.0) AS rms,
+  COALESCE(agg.zcr, 0.0) AS zcr
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 MEDIA_RESIZE_GATE_SQL = "SELECT true AS resize_ok"
 
 
 def media_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible gate for the image-resize path
-    (operators/multimodal.py ``resize_images``), covering BOTH codec
+    (operators/multimodal.py ``resize_images``), covering ALL THREE codec
     branches in one query:
 
-    - every tenth document's payload is re-encoded as a REAL 24-bit BMP
-      (from its fake raster) alongside the expected resized bytes computed
-      independently in the prep step; the operator's output md5 must match
-      that expectation exactly — a true in-query equality for the real
-      decode->resize->encode path;
+    - every tenth document's payload (doc_id % 10 == 0) is re-encoded as a
+      REAL 24-bit BMP (from its fake raster) alongside the expected
+      resized bytes computed independently in the prep step; the
+      operator's output md5 must match that expectation exactly — a true
+      in-query equality for the real BMP decode->resize->encode path;
+    - doc_id % 10 == 5 plants a REAL 8-bit truecolor PNG (stdlib
+      zlib codec, new r7) the same way — decode->resize->re-encode-as-PNG
+      must reproduce the independently computed expected payload, and the
+      output must carry the PNG signature (proof the PNG branch fired,
+      not the fake fallback);
     - the rest take the deterministic fake-raster branch; for them the
       gate pins shape invariants (one row per doc, 'BM' magic, the exact
       246-byte length of an 8x8 24-bit BMP) and bit-determinism across a
@@ -982,6 +1075,7 @@ def media_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cda_client_spark.operators.multimodal import (
         _fake_raster,
         encode_bmp,
+        encode_png,
         resize_raster,
     )
 
@@ -997,6 +1091,10 @@ def media_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     raster = _fake_raster(data, 16, 12)
                     media.append(encode_bmp(raster))
                     expected.append(encode_bmp(resize_raster(raster, w, h)))
+                elif rid % 10 == 5:  # plant a real PNG + its expected resize
+                    raster = _fake_raster(data, 16, 12)
+                    media.append(encode_png(raster))
+                    expected.append(encode_png(resize_raster(raster, w, h)))
                 else:
                     media.append(data)
                     expected.append(None)
@@ -1009,10 +1107,21 @@ def media_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resized = resize_images(prepped, w, h)
     joined = resized.join(prepped.select("doc_id", "expected"), "doc_id")
+    png_magic = "substring(media, 1, 8) = X'89504E470D0A1A0A'"
     checks = joined.agg(
         (F.count(F.lit(1)) == F.count_distinct("doc_id")).alias("one_per_doc"),
-        F.min(F.octet_length("media") == 246).alias("len_ok"),
-        F.min(F.expr("substring(media, 1, 2) = X'424D'")).alias("magic_ok"),
+        F.min(
+            F.when(
+                F.expr("substring(media, 1, 2) = X'424D'"),
+                F.octet_length("media") == 246,
+            ).otherwise(F.lit(True))
+        ).alias("len_ok"),
+        F.min(F.expr(f"substring(media, 1, 2) = X'424D' or {png_magic}")).alias(
+            "magic_ok"
+        ),
+        F.min(
+            F.when(F.col("doc_id") % 10 == 5, F.expr(png_magic)).otherwise(F.lit(True))
+        ).alias("png_branch"),
         F.min(
             F.when(
                 F.col("expected").isNotNull(), F.md5("media") == F.md5("expected")
@@ -1032,6 +1141,7 @@ def media_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("one_per_doc")
                 & F.col("len_ok")
                 & F.col("magic_ok")
+                & F.col("png_branch")
                 & F.col("real_path_exact")
                 & (F.col("crc_sum") == F.col("crc_sum_2"))
                 & (F.col("n_in") == F.col("n_out_2"))
@@ -2142,6 +2252,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_byte_stats": media_byte_stats,
     "media_histogram_gate": media_histogram_gate,
     "media_audio_features": media_audio_features,
+    "media_wav_features": media_wav_features,
     "media_resize_gate": media_resize_gate,
     # train/score/filter of operators/classifier.py gated through one entry
     "quality_classifier_gate": quality_classifier_gate,
@@ -2199,6 +2310,7 @@ ORACLE_LLM: dict[str, str] = {
     "media_byte_stats": MEDIA_BYTE_STATS_SQL,
     "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
     "media_audio_features": MEDIA_AUDIO_FEATURES_SQL,
+    "media_wav_features": MEDIA_WAV_FEATURES_SQL,
     "media_resize_gate": MEDIA_RESIZE_GATE_SQL,
     "quality_classifier_gate": QUALITY_CLASSIFIER_GATE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,

@@ -36,6 +36,7 @@ delivery-scoped prefix when the upstream can't guarantee it.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 
@@ -53,6 +54,23 @@ BUCKET_SCHEMA = "doc_id bigint, band int, key string"
 
 _COMPACT_STAGING = ".compact_staging"
 _COMPACT_META = "_COMPACT_META.json"
+
+
+def _require_local_store(store_dir: str) -> None:
+    """The store hygiene protocol (lineage guard, compaction, crash
+    recovery) is implemented with driver-local pathlib/shutil operations.
+    On a remote URI (``hdfs://``, ``s3a://``, ...) ``Path(store_dir)``
+    simply never exists, so the stale-store guard would silently pass and
+    compaction would silently no-op — the guard must fail loudly instead
+    of silently not applying (r6 advice). Route remote stores through a
+    locally-mounted filesystem, or extend these helpers to the Hadoop FS
+    API before lifting this."""
+    if "://" in store_dir and not store_dir.startswith("file:"):
+        raise ValueError(
+            f"incremental store must be a local path, got {store_dir!r}: "
+            "the lineage guard and compaction are driver-local filesystem "
+            "operations and would silently not apply on a remote URI"
+        )
 
 
 def _store_batch_ids(store_dir: str) -> list[int]:
@@ -84,7 +102,16 @@ def _finish_compaction(store_dir: str) -> None:
     if not meta_path.exists():
         shutil.rmtree(staging)  # merge never completed; sources intact
         return
-    meta = json.loads(meta_path.read_text())
+    try:
+        meta = json.loads(meta_path.read_text())
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        # a crash (or full disk) mid-meta-write left truncated JSON; the
+        # meta is written atomically below so this only happens to stores
+        # produced by older versions — treat it as an incomplete merge and
+        # roll back (safe: source deletion only starts after a readable
+        # meta), instead of wedging every subsequent batch (r6 advice)
+        shutil.rmtree(staging)
+        return
     for b in meta["ids"]:
         src = Path(store_dir) / f"batch={b}"
         if src.exists():
@@ -116,6 +143,7 @@ def compact_store(
     to ~store-bytes/128MB; the default 1 fits the few-KB-per-doc store of
     any single-cluster corpus.
     """
+    _require_local_store(store_dir)
     _finish_compaction(store_dir)
     ids = [b for b in _store_batch_ids(store_dir) if b < before_batch]
     if len(ids) <= 1:
@@ -125,9 +153,13 @@ def compact_store(
         *[f"{store_dir}/batch={b}" for b in ids]
     )
     merged.repartition(num_files).write.mode("overwrite").parquet(str(staging))
-    (staging / _COMPACT_META).write_text(
+    # meta lands atomically (temp name + rename) so a crash mid-write can
+    # never leave truncated JSON that the recovery path must second-guess
+    meta_tmp = staging / (_COMPACT_META + ".tmp")
+    meta_tmp.write_text(
         json.dumps({"before": before_batch, "ids": ids, "target": max(ids)})
     )
+    os.replace(meta_tmp, staging / _COMPACT_META)
     _finish_compaction(store_dir)
 
 
@@ -243,6 +275,7 @@ def incremental_dedup_batch(
     Fail fast instead: checkpoint, store and output dirs must be retained
     or discarded together. ``batch == batch_id`` is the legitimate
     crash-replay case and stays allowed."""
+    _require_local_store(store_dir)
     if batch_df.isEmpty():
         return
     # a crash INSIDE a previous compaction may have left the merged store

@@ -401,3 +401,26 @@ def test_curation_encoding_stage(spark, tmp_path):
     r2 = run_curation(spark, cfg2)
     assert r2.dropped == {"encoding": 3}
     assert r2.kept == 1
+
+
+def test_curation_incremental_quality_model_requires_model_path(tmp_path):
+    """In-run discriminator training per micro-batch gives batch-dependent
+    decisions — incremental mode must demand a pre-trained modelPath."""
+    import pytest
+
+    from cda_client_spark.config import ConfigError
+
+    base = (
+        "curation:\n  outputPath: /y\n"
+        "  incremental:\n    landingPath: /l\n    storePath: /s\n"
+        "    checkpointPath: /c\n"
+    )
+    p = tmp_path / "inc_ref.yaml"
+    p.write_text(base + "  steps:\n    qualityModel: {referencePath: /ref}\n")
+    with pytest.raises(ConfigError, match="modelPath"):
+        load_curation_config(p)
+    # a pre-trained model is the sanctioned spelling and must load fine
+    p2 = tmp_path / "inc_model.yaml"
+    p2.write_text(base + "  steps:\n    qualityModel: {modelPath: /m}\n")
+    cfg = load_curation_config(p2)
+    assert cfg.steps["qualityModel"]["modelPath"] == "/m"

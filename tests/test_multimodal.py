@@ -368,3 +368,193 @@ def test_audio_features_corrupt_wav_zero_channels_falls_back(spark):
     df = spark.createDataFrame([(1, bad)], "doc_id bigint, media binary")
     (row,) = audio_features(df).collect()
     assert not row["is_wav"] and row["sample_rate"] == 0  # u8 path, no crash
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib inflate + per-scanline unfilter, new r7)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_and_parse():
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        parse_image_dims,
+    )
+
+    rgb = (np.arange(7 * 5 * 3, dtype=np.int64) * 37 % 251).astype(np.uint8)
+    raster = rgb.reshape(7, 5, 3)
+    payload = encode_png(raster)
+    assert parse_image_dims(payload) == ("image/png", 5, 7)
+    back = decode_png(payload)
+    assert back is not None and (back == raster).all()
+    # RGBA encodes as color type 6 and decodes with alpha dropped
+    rgba = np.concatenate(
+        [raster, np.full((7, 5, 1), 128, dtype=np.uint8)], axis=2
+    )
+    p4 = encode_png(rgba)
+    assert parse_image_dims(p4) == ("image/png", 5, 7)
+    back4 = decode_png(p4)
+    assert back4 is not None and (back4 == raster).all()
+    assert decode_png(b"junk") is None
+
+
+def _png_with_filters(raster, filter_types):
+    """Test-only PNG builder applying a CHOSEN filter type per scanline
+    (the forward transform from the PNG spec, reconstructed-neighbor
+    semantics) — decode_png must invert every type exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = raster.shape
+    stride = w * ch
+    recon = raster.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        ft = filter_types[y % len(filter_types)]
+        raw.append(ft)
+        prev = recon[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = int(recon[y][x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            cur = int(recon[y][x])
+            if ft == 0:
+                v = cur
+            elif ft == 1:
+                v = cur - a
+            elif ft == 2:
+                v = cur - b
+            elif ft == 3:
+                v = cur - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur - pr
+            raw.append(v & 0xFF)
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_filter_types():
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import decode_png
+
+    raster = (np.arange(6 * 4 * 3, dtype=np.int64) * 151 % 256).astype(
+        np.uint8
+    ).reshape(6, 4, 3)
+    # one scanline per filter type (0..4), then 0 again
+    payload = _png_with_filters(raster, [0, 1, 2, 3, 4])
+    back = decode_png(payload)
+    assert back is not None and (back == raster).all()
+    # and an all-Paeth image (the hardest inverse) round-trips too
+    payload = _png_with_filters(raster, [4])
+    back = decode_png(payload)
+    assert back is not None and (back == raster).all()
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import decode_png, encode_png
+
+    raster = np.zeros((3, 3, 3), dtype=np.uint8)
+    good = encode_png(raster)
+
+    def mutate_ihdr(payload, offset, value):
+        b = bytearray(payload)
+        b[offset] = value
+        # recompute the IHDR crc so only the field under test is wrong
+        body = bytes(b[12:16]) + bytes(b[16:29])
+        b[29:33] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        return bytes(b)
+
+    # IHDR layout after the 8-byte sig + 4-len + 4-tag: w(4) h(4) depth
+    # color compression filter interlace at offsets 24..28
+    assert decode_png(mutate_ihdr(good, 24, 16)) is None  # 16-bit depth
+    assert decode_png(mutate_ihdr(good, 25, 0)) is None  # grayscale
+    assert decode_png(mutate_ihdr(good, 25, 3)) is None  # palette
+    assert decode_png(mutate_ihdr(good, 28, 1)) is None  # Adam7 interlace
+    assert decode_png(good[:40]) is None  # truncated
+    # corrupt the zlib stream
+    bad = bytearray(good)
+    bad[41] ^= 0xFF
+    assert decode_png(bytes(bad)) is None
+
+
+def test_resize_images_png_branch(spark):
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import (
+        decode_png,
+        encode_bmp,
+        encode_png,
+        parse_image_dims,
+        resize_images,
+        resize_raster,
+    )
+
+    raster = (np.arange(6 * 4 * 3, dtype=np.int64) * 91 % 256).astype(
+        np.uint8
+    ).reshape(6, 4, 3)
+    df = spark.createDataFrame(
+        [
+            (1, encode_png(raster)),
+            (2, encode_bmp(raster)),
+            (3, b"not an image"),
+        ],
+        "doc_id bigint, media binary",
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 8, 8).collect()}
+    # PNG re-encodes as PNG and the raster matches an independent resize
+    assert parse_image_dims(bytes(out[1]["media"])) == ("image/png", 8, 8)
+    assert (decode_png(bytes(out[1]["media"])) == resize_raster(raster, 8, 8)).all()
+    # BMP stays BMP; unknown payloads take the fake-raster -> BMP branch
+    assert parse_image_dims(bytes(out[2]["media"])) == ("image/bmp", 8, 8)
+    assert parse_image_dims(bytes(out[3]["media"])) == ("image/bmp", 8, 8)
+
+
+def test_encode_wav_round_trips_through_parser():
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import encode_wav, parse_wav_meta
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    payload = encode_wav(samples, rate=12000)
+    meta = parse_wav_meta(payload)
+    assert meta is not None
+    assert meta["sample_rate"] == 12000
+    assert meta["channels"] == 1 and meta["bits"] == 16
+    assert meta["data_len"] == 10
+    back = np.frombuffer(
+        payload, dtype="<i2", count=meta["data_len"] // 2,
+        offset=meta["data_offset"],
+    )
+    assert (back == samples).all()
+    # empty payload still forms a parseable container
+    empty = parse_wav_meta(encode_wav(np.array([], dtype="<i2")))
+    assert empty is not None and empty["data_len"] == 0

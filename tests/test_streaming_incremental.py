@@ -278,3 +278,132 @@ def test_exact_duplicate_across_three_deliveries(spark, tmp_path):
     _run(spark, ind, store, out, ckpt)
     kept = {r["doc_id"] for r in read_curated(spark, out, SCHEMA).collect()}
     assert kept == {1}
+
+
+def test_truncated_compaction_meta_rolls_back(spark, tmp_path):
+    """A crash mid-meta-write (truncated JSON, e.g. full disk on an
+    older-version store) must be treated as an incomplete merge and rolled
+    back — not wedge every subsequent batch with JSONDecodeError."""
+    from pathlib import Path
+
+    from cda_client_spark.streaming.incremental import (
+        _COMPACT_META,
+        _COMPACT_STAGING,
+        _store_batch_ids,
+        compact_store,
+        incremental_dedup_batch,
+    )
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    for i in range(3):
+        incremental_dedup_batch(
+            spark, spark.createDataFrame([_doc(i)], SCHEMA), i, store, out,
+            shingle=2,
+        )
+    staging = Path(store) / _COMPACT_STAGING
+    staging.mkdir()
+    (staging / "part-x.parquet").write_bytes(b"half-written")
+    (staging / _COMPACT_META).write_text('{"before": 3, "ids": [0,')  # truncated
+    # both hygiene entry points must recover, not raise
+    compact_store(spark, store, 3)
+    assert not (Path(store) / _COMPACT_STAGING / _COMPACT_META).exists()
+    assert _store_batch_ids(store) == [2]  # rolled back, then re-compacted
+    incremental_dedup_batch(
+        spark, spark.createDataFrame([_doc(9)], SCHEMA), 3, store, out,
+        shingle=2,
+    )
+    kept = {r["doc_id"] for r in read_curated(spark, out, SCHEMA).collect()}
+    assert 9 in kept  # the batch ran (and accepted the fresh doc) instead of wedging
+
+
+def test_remote_store_uri_fails_loudly(spark, tmp_path):
+    """The store hygiene protocol is driver-local; on a remote URI the
+    lineage guard and compaction would silently not apply — both entry
+    points must refuse instead (r6 advice)."""
+    import pytest
+
+    from cda_client_spark.streaming.incremental import (
+        compact_store,
+        incremental_dedup_batch,
+    )
+
+    df = spark.createDataFrame([_doc(1)], SCHEMA)
+    for uri in ("hdfs://nn/store", "s3a://bucket/store", "mocks3://b/store"):
+        with pytest.raises(ValueError, match="local path"):
+            incremental_dedup_batch(
+                spark, df, 0, uri, str(tmp_path / "out"), shingle=2
+            )
+        with pytest.raises(ValueError, match="local path"):
+            compact_store(spark, uri, 5)
+
+
+def _soak_delivery(spark, i: int):
+    """Delivery i: three fresh docs, one near-copy of a doc accepted ~10
+    deliveries earlier (so cross-delivery rejection keeps crossing
+    compaction folds), one within-batch near-copy."""
+    rows = [_doc(1000 * i + j) for j in range(3)]
+    if i >= 10:
+        rows.append((1000 * i + 7, _doc(1000 * (i - 10))[1] + " zz"))
+    rows.append((1000 * i + 8, rows[0][1] + " yy"))
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def run_incremental_soak(spark, root, n_deliveries: int, compact_every: int | None):
+    """Shared soak protocol (tests + tools/incremental_soak.py): returns
+    (kept_ids, per-delivery wall seconds, max store dir count observed)."""
+    import time
+    from pathlib import Path
+
+    from cda_client_spark.streaming.incremental import (
+        _store_batch_ids,
+        compact_store,
+        incremental_dedup_batch,
+    )
+
+    store, out = str(Path(root) / "store"), str(Path(root) / "out")
+    times, max_dirs = [], 0
+    for i in range(n_deliveries):
+        t0 = time.monotonic()
+        incremental_dedup_batch(
+            spark, _soak_delivery(spark, i), i, store, out,
+            shingle=2, max_bucket_size=64,
+        )
+        if compact_every and i > 0 and i % compact_every == 0:
+            compact_store(spark, store, i)
+        times.append(time.monotonic() - t0)
+        max_dirs = max(max_dirs, len(_store_batch_ids(store)))
+    kept = {r["doc_id"] for r in read_curated(spark, out, SCHEMA).collect()}
+    return kept, times, max_dirs
+
+
+def test_incremental_soak_many_deliveries(spark, tmp_path):
+    """r6 verdict ask #8: ~100 tiny deliveries with compactEvery=16 —
+    bounded store file count, decisions identical to an uncompacted
+    control, and flat per-delivery wall time. Heavy (~2-4 min); run with
+    SPARK_GRAFT_SOAK=1 (tools/incremental_soak.py records the curve)."""
+    import os
+    import statistics
+
+    import pytest
+
+    if not os.environ.get("SPARK_GRAFT_SOAK"):
+        pytest.skip("soak: set SPARK_GRAFT_SOAK=1")
+    n = int(os.environ.get("SPARK_GRAFT_SOAK_N", "100"))
+
+    kept_c, times, max_dirs = run_incremental_soak(spark, tmp_path / "c", n, 16)
+    kept_plain, _, max_dirs_plain = run_incremental_soak(spark, tmp_path / "p", n, None)
+    # identical accept/reject decisions with and without compaction
+    assert kept_c == kept_plain
+    # fresh docs accepted, near-copies rejected
+    assert all(1000 * i + j in kept_c for i in range(n) for j in range(3))
+    assert not any(d % 1000 in (7, 8) for d in kept_c)
+    # the store stays bounded: never more than one merged partition plus
+    # one un-compacted compact_every window (+1 for the in-flight batch)
+    assert max_dirs <= 16 + 2, max_dirs
+    assert max_dirs_plain == n  # the control really does grow unboundedly
+    # flat per-delivery time: the last-20 median must not drift above 2x
+    # the deliveries-10..30 median (generous: box noise, but catches the
+    # linear growth an unbounded store listing would cause)
+    early = statistics.median(times[10:30])
+    late = statistics.median(times[-20:])
+    assert late <= 2.0 * early, (early, late)

@@ -271,7 +271,11 @@ def test_redact_pii_guard_soundness(spark):
     assert rows[2]["clean_text"] == "node <IPV6> down"
     assert rows[3]["clean_text"] == "key <AWS_KEY> here"
     assert rows[4]["clean_text"] == "mail <EMAIL> now"
-    assert rows[5]["clean_text"] == rows[5]["clean_text"]  # unchanged
+    # the guard fast-path must leave a clean document byte-identical
+    assert (
+        rows[5]["clean_text"]
+        == "plain prose with no personally identifying content at all"
+    )
     # and the guard itself (same pattern semantics in Python re) does NOT
     # fire on the clean doc — that's the one-pass fast path
     assert not re.search(PII_GUARD, "plain prose with no personally identifying content at all")
