@@ -226,6 +226,24 @@ def curate_frame(
 
     df = df.withColumn("drop_reason", F.lit(None).cast("string"))
 
+    # Plan linearity (r7): every signal stage below consumes only
+    # (id, text), and no stage's join changes those columns — so signals
+    # derive from THIS persisted base, never from the accumulated join
+    # chain. Deriving from the chain doubles the logical plan per stage
+    # (sig(df_k) embeds df_k, which embeds sig(df_{k-1}), ...): 2^stages
+    # subtrees, hundreds of AQE query stages, and a measured ~300 s
+    # scale-INDEPENDENT funnel execution at sf1 AND sf10 before this fix.
+    # The persist bounds re-execution of the base (scan + lineDedup join +
+    # PII pass) to once per action; MEMORY_AND_DISK spills rather than
+    # OOMs at scale. Callers that run actions (run_curation, the
+    # incremental apply) unpersist via the `_curation_base` handle the
+    # returned frames carry.
+    from pyspark.storagelevel import StorageLevel
+
+    base = df.persist(StorageLevel.MEMORY_AND_DISK)
+    base_text = base.select(id_c, text_c)
+    df = base
+
     if "quality" in steps:
         q = steps["quality"]
         scored = quality_score(df, text_c)
@@ -238,7 +256,7 @@ def curate_frame(
         en = steps["encoding"]
         from cda_client_spark.operators.text import encoding_signals
 
-        sig = encoding_signals(df.select(id_c, text_c), text_c, id_c).select(
+        sig = encoding_signals(base_text, text_c, id_c).select(
             id_c, "encoding_ok", "non_ascii_ratio"
         )
         fails = ~F.col("encoding_ok") | (
@@ -249,7 +267,7 @@ def curate_frame(
     if "repetition" in steps:
         r = steps["repetition"]
         sig = repetition_signals(
-            df.select(id_c, text_c),
+            base_text,
             text_c,
             id_c,
             n=int(r.get("n", 2)),
@@ -286,7 +304,7 @@ def curate_frame(
             reference = spark.read.parquet(qm["referencePath"])
             ref_text = qm.get("referenceTextColumn", text_c)
             negatives = hash_sample(
-                df.select(id_c, text_c),
+                base_text,
                 id_c,
                 float(qm.get("negativeFraction", 0.5)),
                 seed="qmodel-neg",
@@ -298,9 +316,9 @@ def curate_frame(
                 num_features=int(qm.get("numFeatures", 4096)),
                 max_iter=int(qm.get("maxIter", 20)),
             )
-        probs = score_quality(
-            model, df.select(id_c, text_c), text_col=text_c
-        ).select(id_c, "quality_prob")
+        probs = score_quality(model, base_text, text_col=text_c).select(
+            id_c, "quality_prob"
+        )
         df = _tag(
             df.join(probs, id_c, "left"),
             "quality_model",
@@ -318,7 +336,7 @@ def curate_frame(
         from cda_client_spark.operators.text import bigram_lm_scores
 
         ppl = bigram_lm_scores(
-            df.select(id_c, text_c),
+            base_text,
             id_col=id_c,
             text_col=text_c,
             k=float(lp.get("smoothing", 0.1)),
@@ -344,7 +362,7 @@ def curate_frame(
         # smoothing must stay well under target_tokens / n_buckets or the
         # additive mass swamps a small target and every weight goes negative
         wts = dsir_importance_weights(
-            df.select(id_c, text_c),
+            base_text,
             target.select(F.col(ds.get("targetTextColumn", text_c)).alias(text_c)),
             id_col=id_c,
             text_col=text_c,
@@ -361,7 +379,7 @@ def curate_frame(
         c = steps["contamination"]
         bench = spark.read.parquet(c["benchmarkPath"])
         hits = ngram_contamination(
-            df.select(id_c, text_c), bench, text_c, id_c, n=int(c.get("n", 8))
+            base_text, bench, text_c, id_c, n=int(c.get("n", 8))
         ).select(id_c, F.lit(True).alias("_contaminated"))
         df = _tag(
             df.join(hits, id_c, "left"), "contamination", F.col("_contaminated").isNotNull()
@@ -387,6 +405,10 @@ def curate_frame(
     kept = df.filter(F.col("drop_reason").isNull()).drop("drop_reason")
     if cfg.split:
         kept = hash_split(kept, cfg.id_col, {k: float(v) for k, v in cfg.split.items()})
+    # hand the persisted base to callers so they can unpersist after their
+    # actions complete (run_curation / the incremental apply do)
+    df._curation_base = base
+    kept._curation_base = base
     return df, kept
 
 
@@ -403,23 +425,30 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
     from cda_client_spark.sinks.files import write_jsonl_sharded
 
     tagged, kept = curate(spark, cfg)
-    funnel = {
-        r["drop_reason"]: r["n"]
-        for r in tagged.groupBy("drop_reason").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    kept_n = funnel.pop(None, 0)
-    total = kept_n + sum(funnel.values())
+    try:
+        funnel = {
+            r["drop_reason"]: r["n"]
+            for r in tagged.groupBy("drop_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        kept_n = funnel.pop(None, 0)
+        total = kept_n + sum(funnel.values())
 
-    out = cfg.output_path
-    export = kept if cfg.split else kept.withColumn("split", F.lit("all"))
-    write_jsonl_sharded(
-        export,
-        out,
-        shards=cfg.export_shards,
-        id_col=cfg.id_col,
-        compression=cfg.export_compression,
-        partition_cols=["split"],
-    )
+        out = cfg.output_path
+        export = kept if cfg.split else kept.withColumn("split", F.lit("all"))
+        write_jsonl_sharded(
+            export,
+            out,
+            shards=cfg.export_shards,
+            id_col=cfg.id_col,
+            compression=cfg.export_compression,
+            partition_cols=["split"],
+        )
+    finally:
+        base = getattr(tagged, "_curation_base", None)
+        if base is not None:
+            base.unpersist()
     # read-back count verifies what actually landed; a fully-empty result
     # writes no part files and json inference would fail on it
     splits: dict[str, int] = {name: 0 for name in (list(cfg.split) or ["all"])}
@@ -573,6 +602,9 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                 buckets.unpersist()
         finally:
             tagged.unpersist()
+            base = getattr(tagged, "_curation_base", None)
+            if base is not None:
+                base.unpersist()
 
     (
         spark.readStream.schema(schema)

@@ -57,7 +57,12 @@ BNLJ_OK = {
 
 # Arrow-batched mapInPandas is the DOCUMENTED path for byte-level media
 # work (operators/multimodal.py) — never row-at-a-time Python
-ARROW_OK = {"media_histogram_gate", "media_audio_features", "media_resize_gate"}
+ARROW_OK = {
+    "media_histogram_gate",
+    "media_audio_features",
+    "media_wav_features",
+    "media_resize_gate",
+}
 
 
 def plan_of(spark, sf_dir, name):
