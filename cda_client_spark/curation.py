@@ -424,7 +424,13 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
     """
     from cda_client_spark.sinks.files import write_jsonl_sharded
 
+    from pyspark.storagelevel import StorageLevel
+
     tagged, kept = curate(spark, cfg)
+    # the funnel aggregate and the export pass are two actions over the
+    # same lineage — persist it once so the signal joins execute once
+    # (kept's plan is a subtree of tagged's, so it hits the same cache)
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         funnel = {
             r["drop_reason"]: r["n"]
@@ -446,6 +452,7 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
             partition_cols=["split"],
         )
     finally:
+        tagged.unpersist()
         base = getattr(tagged, "_curation_base", None)
         if base is not None:
             base.unpersist()

@@ -854,45 +854,64 @@ def media_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MEDIA_HISTOGRAM_GATE_SQL = "SELECT true AS histogram_ok"
-
-
 def media_histogram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-visible gate for the Arrow featurizer: every nonempty
-    payload's normalized histogram must sum to 1 (within the per-bin 1e-6
-    rounding), and the mapInPandas pass must emit exactly one row per
-    input row (no loss/duplication across Arrow batches). A bucketing,
-    batching or schema bug in the Python path breaks one of the two. One
-    boolean row; oracle is ``SELECT true`` since the byte-level loop isn't
-    SQL-expressible; exact bin values are golden-tested in pytest."""
+    """FULL value-hash oracle for the Arrow byte-histogram featurizer
+    (upgraded r7 from a ``SELECT true`` gate, per the r6 policy of holding
+    that class down): the operator's normalized per-bin features are
+    mapped back to EXACT integer byte counts — ``round(feature * n_bytes)``
+    recovers the count exactly because the 6-decimal feature error times
+    any sub-million payload stays under 0.5 — and DuckDB recomputes the
+    same counts per character. Exact integer equality across all docs and
+    all 16 bins subsumes the old boolean checks (one row per doc, sums to
+    n_bytes, no batch loss) with no fp tie-rule hazard, since nothing
+    fractional is compared. The name keeps its window slot
+    (REGISTRY_ORDER.md)."""
     frame = _media_frame(spark, sf_dir)
-    feats = byte_histogram_features(frame, "media", bins=16).select(
-        "doc_id",
-        F.expr("aggregate(features, cast(0 as double), (a, x) -> a + x)").alias("feature_sum"),
-    )
-    jvm = frame.select("doc_id", F.octet_length("media").cast("double").alias("n_bytes"))
+    feats = byte_histogram_features(frame, "media", bins=16)
+    jvm = frame.select("doc_id", F.octet_length("media").alias("n_bytes"))
     joined = feats.join(jvm, "doc_id")
-    return (
-        joined.agg(
-            (F.count(F.lit(1)) > 0).alias("nonempty"),
-            (F.count(F.lit(1)) == F.count_distinct(F.col("doc_id"))).alias("one_per_doc"),
-            F.max(
-                F.when(F.col("n_bytes") > 0, F.abs(F.col("feature_sum") - 1.0)).otherwise(
-                    F.abs(F.col("feature_sum"))
-                )
-            ).alias("max_err"),
-        )
-        .crossJoin(frame.agg(F.count(F.lit(1)).alias("n_in")))
-        .crossJoin(joined.agg(F.count(F.lit(1)).alias("n_out")))
-        .select(
-            (
-                F.col("nonempty")
-                & F.col("one_per_doc")
-                & (F.col("n_in") == F.col("n_out"))
-                & (F.col("max_err") < 1e-4)
-            ).alias("histogram_ok")
-        )
-    )
+    cols = [
+        F.round(F.element_at("features", k + 1) * F.col("n_bytes"))
+        .cast("bigint")
+        .alias(f"bin_{k:02d}")
+        for k in range(16)
+    ]
+    return joined.select("doc_id", F.col("n_bytes").cast("bigint").alias("n_bytes"), *cols)
+
+
+# ASCII corpus: DuckDB's per-character ord() equals the byte value, so
+# bucket = ord // 16 reproduces the numpy bincount exactly; bins 8-15 are
+# structurally zero for ASCII but asserted anyway (a bucketing bug that
+# leaks into them must fail). Empty docs emit one all-zero row (LEFT JOIN).
+MEDIA_HISTOGRAM_GATE_SQL = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, CAST(len(text) AS BIGINT))) AS i
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) // 16 AS bucket
+  FROM idx
+),
+c AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_bytes,
+         {bins}
+  FROM b GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(c.n_bytes, 0) AS n_bytes,
+  {outer_bins}
+FROM documents d LEFT JOIN c USING (doc_id)
+""".format(
+    bins=",\n         ".join(
+        f"CAST(sum(CASE WHEN bucket = {k} THEN 1 ELSE 0 END) AS BIGINT) AS bin_{k:02d}"
+        for k in range(16)
+    ),
+    outer_bins=",\n  ".join(
+        f"COALESCE(c.bin_{k:02d}, 0) AS bin_{k:02d}" for k in range(16)
+    ),
+)
 
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio signal features (operators/multimodal.py ``audio_features``)
