@@ -198,7 +198,11 @@ def curate(spark: SparkSession, cfg: CurationConfig) -> tuple[DataFrame, DataFra
     """Build the curation lineage over ``cfg.input_path``. Returns
     ``(tagged, kept)``: the full frame with ``drop_reason`` (null = kept,
     possibly with a ``split`` column) and its kept-only filter. Lazy —
-    callers choose the action."""
+    callers choose the action — with ONE caching side effect: the
+    post-PII base is marked persisted (plan linearity, see
+    ``curate_frame``); callers running actions should unpersist it
+    afterwards via the ``_curation_base`` attribute on either returned
+    frame (``run_curation`` and the incremental apply do)."""
     return curate_frame(spark, spark.read.parquet(cfg.input_path), cfg)
 
 
@@ -243,6 +247,34 @@ def curate_frame(
     base = df.persist(StorageLevel.MEMORY_AND_DISK)
     base_text = base.select(id_c, text_c)
     df = base
+
+    try:
+        df = _signal_stages(spark, df, base_text, cfg)
+    except BaseException:
+        # building a stage can itself fail (bad referencePath/targetPath/
+        # benchmarkPath, eager qualityModel fit) — don't leak the cache
+        # entry when the caller never receives the handle to unpersist
+        base.unpersist()
+        raise
+
+    kept = df.filter(F.col("drop_reason").isNull()).drop("drop_reason")
+    if cfg.split:
+        kept = hash_split(kept, cfg.id_col, {k: float(v) for k, v in cfg.split.items()})
+    # hand the persisted base to callers so they can unpersist after their
+    # actions complete (run_curation / the incremental apply do)
+    df._curation_base = base
+    kept._curation_base = base
+    return df, kept
+
+
+def _signal_stages(
+    spark: SparkSession, df: DataFrame, base_text: DataFrame, cfg: CurationConfig
+) -> DataFrame:
+    """The tag chain proper: each stage computes its signal from
+    ``base_text`` (the persisted (id, text) base — see the plan-linearity
+    note in ``curate_frame``) and joins it onto the accumulating frame."""
+    id_c, text_c = cfg.id_col, cfg.text_col
+    steps = cfg.steps
 
     if "quality" in steps:
         q = steps["quality"]
@@ -402,14 +434,7 @@ def curate_frame(
             F.col("_qrank") > cap,
         ).drop("_qrank")
 
-    kept = df.filter(F.col("drop_reason").isNull()).drop("drop_reason")
-    if cfg.split:
-        kept = hash_split(kept, cfg.id_col, {k: float(v) for k, v in cfg.split.items()})
-    # hand the persisted base to callers so they can unpersist after their
-    # actions complete (run_curation / the incremental apply do)
-    df._curation_base = base
-    kept._curation_base = base
-    return df, kept
+    return df
 
 
 def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
@@ -438,6 +463,12 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        # the funnel fully materialized tagged's cache, which subsumes the
+        # base — release the base now instead of holding two corpus-sized
+        # caches through the export (halves peak cache footprint)
+        base = getattr(tagged, "_curation_base", None)
+        if base is not None:
+            base.unpersist()
         kept_n = funnel.pop(None, 0)
         total = kept_n + sum(funnel.values())
 
@@ -505,6 +536,7 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
     from cda_client_spark.sinks.files import write_jsonl_sharded
     from cda_client_spark.streaming.incremental import (
         _finish_compaction,
+        _require_local_store,
         _store_batch_ids,
         batch_buckets,
         compact_store,
@@ -514,6 +546,11 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
 
     inc = dict(cfg.incremental or {})
     landing, store_dir = inc["landingPath"], inc["storePath"]
+    # this is the second consumer of the signature store: the same
+    # driver-local hygiene (lineage guard, compaction recovery) runs here,
+    # so the same refuse-remote-URIs guard must too — and at setup, before
+    # any delivery commits wrong dedup decisions
+    _require_local_store(store_dir)
     ckpt = inc["checkpointPath"]
     compact_every = int(inc.get("compactEvery", 16))
     dedup_kwargs = {

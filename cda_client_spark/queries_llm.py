@@ -867,6 +867,18 @@ def media_histogram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractional is compared. The name keeps its window slot
     (REGISTRY_ORDER.md)."""
     frame = _media_frame(spark, sf_dir)
+    # make the precision assumption load-bearing: count recovery is exact
+    # only while n_bytes * 5e-7 < 0.5; a >= 1 MB payload could flip a
+    # recovered count by one and read as a featurizer regression. Cheap
+    # eager check (one max over octet_length), same precedent as the
+    # eager classifier fit in quality_classifier_gate.
+    max_bytes = frame.agg(F.max(F.octet_length("media"))).first()[0] or 0
+    if max_bytes >= 1_000_000:
+        raise ValueError(
+            f"media_histogram_gate: corpus has a {max_bytes}-byte payload; "
+            "round(feature * n_bytes) count recovery is only exact below "
+            "1e6 bytes — compare raw counts directly for such corpora"
+        )
     feats = byte_histogram_features(frame, "media", bins=16)
     jvm = frame.select("doc_id", F.octet_length("media").alias("n_bytes"))
     joined = feats.join(jvm, "doc_id")

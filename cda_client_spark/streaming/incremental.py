@@ -62,14 +62,17 @@ def _require_local_store(store_dir: str) -> None:
     On a remote URI (``hdfs://``, ``s3a://``, ...) ``Path(store_dir)``
     simply never exists, so the stale-store guard would silently pass and
     compaction would silently no-op — the guard must fail loudly instead
-    of silently not applying (r6 advice). Route remote stores through a
-    locally-mounted filesystem, or extend these helpers to the Hadoop FS
-    API before lifting this."""
-    if "://" in store_dir and not store_dir.startswith("file:"):
+    of silently not applying (r6 advice). ``file:`` URIs are rejected
+    too: ``Path("file:///x")`` resolves to a relative ``file:/x`` that
+    never exists either, the same silent failure — pass the plain
+    filesystem path instead. Extend these helpers to the Hadoop FS API
+    before lifting this."""
+    if "://" in store_dir or store_dir.startswith("file:"):
         raise ValueError(
-            f"incremental store must be a local path, got {store_dir!r}: "
-            "the lineage guard and compaction are driver-local filesystem "
-            "operations and would silently not apply on a remote URI"
+            f"incremental store must be a plain local path, got "
+            f"{store_dir!r}: the lineage guard and compaction are "
+            "driver-local filesystem operations and would silently not "
+            "apply on a URI (for file: URIs, pass the bare path)"
         )
 
 

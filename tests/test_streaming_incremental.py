@@ -328,7 +328,15 @@ def test_remote_store_uri_fails_loudly(spark, tmp_path):
     )
 
     df = spark.createDataFrame([_doc(1)], SCHEMA)
-    for uri in ("hdfs://nn/store", "s3a://bucket/store", "mocks3://b/store"):
+    # file: URIs are equally poisonous: Path("file:///x") resolves to a
+    # relative "file:/x" that never exists, so the guard would silently
+    # pass while every hygiene helper no-ops (r7 review finding)
+    for uri in (
+        "hdfs://nn/store",
+        "s3a://bucket/store",
+        "mocks3://b/store",
+        "file:///tmp/store",
+    ):
         with pytest.raises(ValueError, match="local path"):
             incremental_dedup_batch(
                 spark, df, 0, uri, str(tmp_path / "out"), shingle=2

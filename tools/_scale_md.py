@@ -1,0 +1,24 @@
+"""Shared SCALE.md section splicing for the measurement tools: each tool
+owns one BEGIN/END marker pair and replaces (or appends) its section."""
+
+from __future__ import annotations
+
+import os
+import re
+
+SCALE_MD = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"
+)
+
+
+def replace_section(begin: str, end: str, section: str, path: str = SCALE_MD) -> None:
+    with open(path) as f:
+        text = f.read()
+    if begin in text:
+        text = re.sub(
+            re.escape(begin) + ".*?" + re.escape(end), section, text, flags=re.S
+        )
+    else:
+        text = text.rstrip() + "\n\n" + section + "\n"
+    with open(path, "w") as f:
+        f.write(text)
