@@ -2123,7 +2123,7 @@ def semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates. One row ``semdedup_ok=true``; the oracle is
     ``SELECT true`` because KMeans training isn't SQL-replayable but the
     planted-recall bar is engine-independent (same pattern as
-    ``ann_ivf_recall`` / ``media_histogram_gate``)."""
+    ``ann_ivf_recall``)."""
     e = _embs_with_dups(spark, sf_dir)
     marked = semantic_dedup(e, threshold=0.999, nlist=16)
     planted = marked.filter(F.col("vec_id") >= 100000)

@@ -558,3 +558,34 @@ def test_encode_wav_round_trips_through_parser():
     # empty payload still forms a parseable container
     empty = parse_wav_meta(encode_wav(np.array([], dtype="<i2")))
     assert empty is not None and empty["data_len"] == 0
+
+
+def test_png_property_roundtrip_random_rasters_and_filters():
+    """Property test: ANY 8-bit RGB/RGBA raster, encoded with ANY
+    per-scanline filter assignment (the test-only spec-faithful filterer
+    above), must decode back bit-exactly — the unfilter inverse holds on
+    arbitrary content, not just the goldens."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        ch=st.sampled_from([3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=9),
+    )
+    def check(h, w, ch, seed, filters):
+        rnd = np.random.RandomState(seed)
+        raster = rnd.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+        rgb = raster[:, :, :3]
+        # the engine's own encoder (filter 0) round-trips
+        assert (decode_png(encode_png(raster)) == rgb).all()
+        # an arbitrary-filter encoding decodes to the same raster
+        assert (decode_png(_png_with_filters(raster, filters)) == rgb).all()
+
+    check()
