@@ -207,6 +207,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf,
+                # machine-load context for cross-round comparison: the
+                # per-query series lives in BENCH_FULL.json `detail`
+                "load_1m_max": round(max(v["load_1m"] for v in detail.values()), 2),
             }
         )
     )

@@ -250,16 +250,19 @@ def curate_frame(
 
     try:
         df = _signal_stages(spark, df, base_text, cfg)
+        kept = df.filter(F.col("drop_reason").isNull()).drop("drop_reason")
+        if cfg.split:
+            kept = hash_split(
+                kept, cfg.id_col, {k: float(v) for k, v in cfg.split.items()}
+            )
     except BaseException:
-        # building a stage can itself fail (bad referencePath/targetPath/
-        # benchmarkPath, eager qualityModel fit) — don't leak the cache
-        # entry when the caller never receives the handle to unpersist
+        # anything between the persist and the return can fail (bad
+        # referencePath/targetPath/benchmarkPath, the eager qualityModel
+        # fit, a non-numeric split value reaching float()) — don't leak
+        # the cache entry when the caller never receives the handle
         base.unpersist()
         raise
 
-    kept = df.filter(F.col("drop_reason").isNull()).drop("drop_reason")
-    if cfg.split:
-        kept = hash_split(kept, cfg.id_col, {k: float(v) for k, v in cfg.split.items()})
     # hand the persisted base to callers so they can unpersist after their
     # actions complete (run_curation / the incremental apply do)
     df._curation_base = base
@@ -452,6 +455,9 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
     from pyspark.storagelevel import StorageLevel
 
     tagged, kept = curate(spark, cfg)
+    # grab the base handle from the EXACT returned object before any
+    # further derivation — a derived frame would not carry the attribute
+    base = getattr(tagged, "_curation_base", None)
     # the funnel aggregate and the export pass are two actions over the
     # same lineage — persist it once so the signal joins execute once
     # (kept's plan is a subtree of tagged's, so it hits the same cache)
@@ -466,7 +472,6 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
         # the funnel fully materialized tagged's cache, which subsumes the
         # base — release the base now instead of holding two corpus-sized
         # caches through the export (halves peak cache footprint)
-        base = getattr(tagged, "_curation_base", None)
         if base is not None:
             base.unpersist()
         kept_n = funnel.pop(None, 0)
@@ -484,9 +489,8 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
         )
     finally:
         tagged.unpersist()
-        base = getattr(tagged, "_curation_base", None)
         if base is not None:
-            base.unpersist()
+            base.unpersist()  # idempotent; covers the exception path
     # read-back count verifies what actually landed; a fully-empty result
     # writes no part files and json inference would fail on it
     splits: dict[str, int] = {name: 0 for name in (list(cfg.split) or ["all"])}
@@ -582,6 +586,10 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                 "together."
             )
         tagged, _ = curate_frame(spark, batch_df, cfg)
+        # capture the base handle from the exact returned object before
+        # persist/derivation (attribute does survive persist, but keep the
+        # contract obvious and derivation-proof)
+        base = getattr(tagged, "_curation_base", None)
         tagged = tagged.persist()
         try:
             kept_rows = tagged.filter(F.col("drop_reason").isNull())
@@ -646,7 +654,6 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                 buckets.unpersist()
         finally:
             tagged.unpersist()
-            base = getattr(tagged, "_curation_base", None)
             if base is not None:
                 base.unpersist()
 

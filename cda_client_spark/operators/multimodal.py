@@ -354,11 +354,20 @@ def decode_png(payload: bytes):
         return None
     ch = 3 if color_type == 2 else 4
     stride = w * ch
+    expected = h * (1 + stride)
+    # decompression-bomb guard for untrusted corpora: never inflate more
+    # than the raster the IHDR declares (+1 byte to detect overrun), and
+    # refuse absurd declared rasters outright — a 10 MB IDAT of zeros
+    # would otherwise expand to gigabytes inside an executor task before
+    # the exact-length check ran
+    if expected > 512 * 1024 * 1024:
+        return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error:
         return None
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected or d.unconsumed_tail:
         return None
     rec = _png_unfilter(raw, h, stride, ch)
     if rec is None:

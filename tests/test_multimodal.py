@@ -589,3 +589,46 @@ def test_png_property_roundtrip_random_rasters_and_filters():
         assert (decode_png(_png_with_filters(raster, filters)) == rgb).all()
 
     check()
+
+
+def test_png_decode_bounds_decompression_bombs():
+    """A crafted PNG must never inflate more than the declared raster:
+    absurd declared dimensions are refused outright, and a stream that
+    decompresses past the declared size is cut off at expected+1 bytes
+    and rejected — executors stay safe on untrusted corpora."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import decode_png, encode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, idat):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+
+    # absurd declared raster (100k x 100k RGB = 30 GB): refused before
+    # any inflate happens
+    bomb = png(100_000, 100_000, zlib.compress(b"\x00" * 4096))
+    assert decode_png(bomb) is None
+    # small declared raster, oversized stream (1 MB of zeros vs the 16
+    # bytes a 1x5 RGB raster needs): rejected after at most expected+1
+    # inflated bytes
+    over = png(5, 1, zlib.compress(b"\x00" * 1_000_000))
+    assert decode_png(over) is None
+    # and an honest image still decodes after the guard
+    raster = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_png(encode_png(raster)) == raster).all()

@@ -15,8 +15,13 @@ def replace_section(begin: str, end: str, section: str, path: str = SCALE_MD) ->
     with open(path) as f:
         text = f.read()
     if begin in text:
+        # replacement via lambda so backslashes/\g in rendered content are
+        # literal, never re escape sequences
         text = re.sub(
-            re.escape(begin) + ".*?" + re.escape(end), section, text, flags=re.S
+            re.escape(begin) + ".*?" + re.escape(end),
+            lambda _m: section,
+            text,
+            flags=re.S,
         )
     else:
         text = text.rstrip() + "\n\n" + section + "\n"
