@@ -19,10 +19,11 @@ sub-second queries with zero code change — one machine-loaded rep can
 still drag a 3-rep median, e.g. asof reps [6.85, 1.20, 0.95]):
 
 - queries whose FASTEST first-3 rep lands under
-  ``SPARK_GRAFT_FAST_THRESHOLD`` (default 1.0 s) extend to
-  ``SPARK_GRAFT_REPS_FAST`` reps (default 7) — sub-second numbers are the
-  most noise-fragile, so they get the most evidence (the minimum, not the
-  median, decides: one contended early rep must not deny the extension);
+  ``SPARK_GRAFT_FAST_THRESHOLD`` (default 4.0 s; was 1.0 through r7)
+  extend to ``SPARK_GRAFT_REPS_FAST`` reps (default 7) — the 1-4 s band
+  (the whole dedup/similarity family) drifted +15-51% in r7 under
+  sustained load with only 3 reps, so it now gets the same evidence as
+  the sub-second band;
 - reps slower than ``SPARK_GRAFT_OUTLIER_FACTOR`` x the fastest rep of
   the same query (default 3.0) are REJECTED before taking the median — a
   contended rep is an artifact of the box, not the plan (the minimum rep
@@ -31,6 +32,31 @@ still drag a 3-rep median, e.g. asof reps [6.85, 1.20, 0.95]):
   rejected count are recorded per query in BENCH_FULL.json (``detail``),
   so a cross-round swing can be attributed to load instead of read as a
   plan regression.
+
+Sustained-load hardening (r7 postmortem: outlier rejection fixes SPIKES —
+one bad rep against a quiet-box minimum — but 13 headline queries drifted
++15-51% with tight rep spreads under recorded load 4.9-7.9: when EVERY
+rep is equally contended there is nothing to reject). The fix measures
+contention directly and per rep:
+
+- ``os.getloadavg()`` is the WRONG gate signal here: it has a ~1-minute
+  memory of our own 32-thread query bursts, so mid-run it reads 4-10 on
+  an otherwise-idle box purely from self-load. Instead, before each rep —
+  while our Spark session is quiescent between actions — we probe
+  /proc/stat twice over a short window and compute EXTERNAL busy cores
+  (total non-idle CPU minus this process tree's own jiffies delta). That
+  signal is ~0 between reps on a quiet box regardless of what we just
+  ran, and counts only competing processes.
+- if external busy cores exceed ``SPARK_GRAFT_EXT_LOAD_MAX`` (default
+  4.0), the rep SLEEPS ``SPARK_GRAFT_LOAD_SLEEP`` s (default 5) and
+  re-probes, up to ``SPARK_GRAFT_LOAD_RETRIES`` times (default 3) and a
+  GLOBAL sleep budget of ``SPARK_GRAFT_LOAD_BUDGET`` s (default 180) —
+  bounded so a busy-for-hours box degrades to flagging, not hanging;
+- every rep records its pre-rep external-busy-cores; reps that started
+  contended are flagged, and the median PREFERS clean reps: if at least
+  ``min(3, reps)`` outlier-surviving reps started clean, the median is
+  taken over those only (``median`` in detail is the published number;
+  ``median_all_kept`` records the unfiltered one for comparison).
 
 Coverage (r4 ask): the ENTIRE catalog is timed — the 34 headline queries
 first (stable cross-round comparison set), then every remaining registry
@@ -53,6 +79,69 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Methodology version, recorded in every emitted JSON so round-over-round
+# deltas can be attributed to protocol changes rather than plan changes:
+#   1 = single/median-of-3 reps (r2-r5)
+#   2 = r6: fast-band extension (<1 s -> 7 reps), min-anchored 3x outlier
+#       rejection, per-query loadavg in detail
+#   3 = r8: extension band widened to <4 s, per-rep EXTERNAL-busy-cores
+#       probe with bounded sleep-and-retry on contention, clean-rep-
+#       preferred median (median_all_kept kept alongside for comparison)
+BENCH_METHODOLOGY = 3
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _proc_tree_jiffies() -> int:
+    """utime+stime jiffies of this process AND all live descendants (the
+    Spark JVM is a child subprocess whose CPU never shows in os.times()
+    until it exits), read from /proc."""
+    me = os.getpid()
+    entries: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                # comm can contain spaces/parens: split after the last ')'
+                parts = fh.read().rsplit(")", 1)[1].split()
+            entries[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        except (OSError, IndexError, ValueError):
+            continue
+    mine = {me}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in entries.items():
+            if ppid in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    return sum(jif for pid, (_, jif) in entries.items() if pid in mine)
+
+
+def _total_busy_jiffies() -> int:
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle
+
+
+def external_busy_cores(window_s: float = 0.1) -> float:
+    """CPU cores currently busy on the box EXCLUDING this process tree,
+    sampled over a short window. Unlike loadavg, this has no memory of our
+    own just-finished 32-thread burst — between reps our session is
+    quiescent, so this reads ~0 on a quiet box and >0 only for genuinely
+    competing processes."""
+    try:
+        b0, m0, t0 = _total_busy_jiffies(), _proc_tree_jiffies(), time.perf_counter()
+        time.sleep(window_s)
+        b1, m1, t1 = _total_busy_jiffies(), _proc_tree_jiffies(), time.perf_counter()
+        ext = ((b1 - b0) - (m1 - m0)) / _CLK_TCK / max(t1 - t0, 1e-6)
+        return max(0.0, round(ext, 2))
+    except OSError:  # non-Linux fallback: never gate, never flag
+        return 0.0
+
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -131,39 +220,70 @@ def main() -> None:
     fast_reps = (
         reps if reps == 1 else max(reps, int(os.environ.get("SPARK_GRAFT_REPS_FAST", "7")))
     )
-    fast_threshold = float(os.environ.get("SPARK_GRAFT_FAST_THRESHOLD", "1.0"))
+    fast_threshold = float(os.environ.get("SPARK_GRAFT_FAST_THRESHOLD", "4.0"))
     outlier_factor = float(os.environ.get("SPARK_GRAFT_OUTLIER_FACTOR", "3.0"))
+    ext_load_max = float(os.environ.get("SPARK_GRAFT_EXT_LOAD_MAX", "4.0"))
+    load_sleep = float(os.environ.get("SPARK_GRAFT_LOAD_SLEEP", "5"))
+    load_retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "3"))
+    # global sleep budget: a busy-for-hours box must degrade to flagging
+    # contended reps, not hang the bench
+    sleep_budget = float(os.environ.get("SPARK_GRAFT_LOAD_BUDGET", "180"))
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in names:
         load_1m = os.getloadavg()[0]
         samples: list[float] = []
+        rep_ext: list[float] = []  # pre-rep external busy cores
+        rep_waited: list[int] = []  # contention-sleep rounds before the rep
 
         def one_rep() -> None:
+            nonlocal sleep_budget
+            ext = external_busy_cores()
+            tries = 0
+            while ext > ext_load_max and tries < load_retries and sleep_budget >= load_sleep:
+                time.sleep(load_sleep)
+                sleep_budget -= load_sleep
+                tries += 1
+                ext = external_busy_cores()
             start = time.perf_counter()
             SPARK[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
+            rep_ext.append(ext)
+            rep_waited.append(tries)
 
         for _ in range(reps):
             one_rep()
-        # sub-second queries are the most load-fragile: buy more evidence.
-        # Trigger on the MINIMUM rep (the least-contended observation) —
-        # triggering on the median would let one contended early rep push
-        # a genuinely-sub-second query over the threshold and deny it the
-        # extra reps this feature exists to collect (e.g. [6.85, 1.20,
-        # 0.95] has median 1.20 but is a ~0.95 s query)
+        # load-fragile queries buy more evidence. Trigger on the MINIMUM
+        # rep (the least-contended observation) — triggering on the median
+        # would let one contended early rep push a genuinely-fast query
+        # over the threshold and deny it the extra reps this feature
+        # exists to collect (e.g. [6.85, 1.20, 0.95] has median 1.20 but
+        # is a ~0.95 s query)
         if min(samples) < fast_threshold:
             while len(samples) < fast_reps:
                 one_rep()
         lo = min(samples)
-        kept = (
-            [s for s in samples if s <= outlier_factor * lo] if reps > 1 else samples
+        kept_idx = (
+            [i for i, s in enumerate(samples) if s <= outlier_factor * lo]
+            if reps > 1
+            else list(range(len(samples)))
         )
-        timings[name] = round(statistics.median(kept), 3)
+        kept = [samples[i] for i in kept_idx]
+        # prefer reps that STARTED on a quiet box: sustained contention
+        # gives tight-but-slow spreads that min-anchored rejection can't
+        # touch; only when too few clean reps exist do we fall back to all
+        # kept reps (and the `contended` count flags the record)
+        clean = [samples[i] for i in kept_idx if rep_ext[i] <= ext_load_max]
+        published = clean if len(clean) >= min(3, reps) else kept
+        timings[name] = round(statistics.median(published), 3)
         detail[name] = {
             "samples": [round(s, 3) for s in samples],
             "rejected": len(samples) - len(kept),
             "load_1m": round(load_1m, 2),
+            "ext_busy_cores": rep_ext,
+            "wait_rounds": rep_waited,
+            "contended": len(samples) - len(clean),
+            "median_all_kept": round(statistics.median(kept), 3),
         }
 
     try:
@@ -190,6 +310,8 @@ def main() -> None:
                     "reps_fast": fast_reps,
                     "fast_threshold_s": fast_threshold,
                     "outlier_factor": outlier_factor,
+                    "ext_load_max": ext_load_max,
+                    "bench_methodology": BENCH_METHODOLOGY,
                     "detail": detail,
                 },
                 fh,
@@ -210,6 +332,9 @@ def main() -> None:
                 # machine-load context for cross-round comparison: the
                 # per-query series lives in BENCH_FULL.json `detail`
                 "load_1m_max": round(max(v["load_1m"] for v in detail.values()), 2),
+                "ext_busy_max": max(max(v["ext_busy_cores"]) for v in detail.values()),
+                "contended_reps": sum(v["contended"] for v in detail.values()),
+                "bench_methodology": BENCH_METHODOLOGY,
             }
         )
     )
