@@ -657,6 +657,39 @@ def pq_train(
     return books
 
 
+def pq_encode_expr(m: int, codewords: int, sub: int, vec_col: str) -> str:
+    """The production PQ-encode scalar expression (argmin codeword per
+    subspace against the ``_books`` literal) — exposed as a builder so the
+    driver-visible value-hash proof (queries_llm.pq_encode_adc) exercises
+    the EXACT expression the operator runs, not a copy."""
+    return (
+        f"transform(sequence(0, {m - 1}, 1), j ->"
+        f" array_min(transform(sequence(0, {codewords - 1}, 1), c -> named_struct("
+        f"'d', aggregate(zip_with(slice(cast({vec_col} as array<double>), j * {sub} + 1, {sub}),"
+        f" element_at(element_at(_books, j + 1), c + 1),"
+        f" (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, z) -> a + z),"
+        f" 'c', c))).c)"
+    )
+
+
+def pq_qtab_expr(m: int, codewords: int, sub: int, vec_col: str) -> str:
+    """The production ADC lookup-table expression (per-subspace dot of the
+    query's subvector against every codeword of the ``_books`` literal)."""
+    return (
+        f"transform(sequence(0, {m - 1}, 1), j ->"
+        f" transform(sequence(0, {codewords - 1}, 1), c ->"
+        f" aggregate(zip_with(slice(cast({vec_col} as array<double>), j * {sub} + 1, {sub}),"
+        f" element_at(element_at(_books, j + 1), c + 1),"
+        f" (x, y) -> x * y), cast(0 as double), (a, z) -> a + z)))"
+    )
+
+
+PQ_ADC_EXPR = (
+    "aggregate(zip_with(_code, _qtab, (cd, tab) -> element_at(tab, cd + 1)),"
+    " cast(0 as double), (a, z) -> a + z)"
+)
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -670,17 +703,9 @@ def pq_encode(
     m = len(codebooks)
     codewords = len(codebooks[0])
     sub = len(codebooks[0][0])
-    expr = (
-        f"transform(sequence(0, {m - 1}, 1), j ->"
-        f" array_min(transform(sequence(0, {codewords - 1}, 1), c -> named_struct("
-        f"'d', aggregate(zip_with(slice(cast({vec_col} as array<double>), j * {sub} + 1, {sub}),"
-        f" element_at(element_at(_books, j + 1), c + 1),"
-        f" (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, z) -> a + z),"
-        f" 'c', c))).c)"
-    )
     return (
         df.withColumn("_books", _books_literal(codebooks))
-        .withColumn(code_col, F.expr(expr))
+        .withColumn(code_col, F.expr(pq_encode_expr(m, codewords, sub, vec_col)))
         .drop("_books")
     )
 
@@ -713,19 +738,12 @@ def pq_topk(
     m = len(codebooks)
     codewords = len(codebooks[0])
     sub = len(codebooks[0][0])
-    qtab = (
-        f"transform(sequence(0, {m - 1}, 1), j ->"
-        f" transform(sequence(0, {codewords - 1}, 1), c ->"
-        f" aggregate(zip_with(slice(cast({vec_col} as array<double>), j * {sub} + 1, {sub}),"
-        f" element_at(element_at(_books, j + 1), c + 1),"
-        f" (x, y) -> x * y), cast(0 as double), (a, z) -> a + z)))"
-    )
     q = (
         queries.withColumn("_books", _books_literal(codebooks))
         .select(
             F.col(id_col).alias("query_id"),
             norm_col(vec_col).alias("q_norm"),
-            F.expr(qtab).alias("_qtab"),
+            F.expr(pq_qtab_expr(m, codewords, sub, vec_col)).alias("_qtab"),
         )
     )
     c = corpus_codes.select(
@@ -736,10 +754,7 @@ def pq_topk(
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    adc = F.expr(
-        "aggregate(zip_with(_code, _qtab, (cd, tab) -> element_at(tab, cd + 1)),"
-        " cast(0 as double), (a, z) -> a + z)"
-    )
+    adc = F.expr(PQ_ADC_EXPR)
     scored = pairs.withColumn(
         "cos_sim",
         F.round(adc / (F.col("q_norm") * F.col(norm_col_name)), round_digits),

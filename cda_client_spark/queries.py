@@ -1330,10 +1330,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "doc_dedup_clusters",
     "doc_line_dedup",
     "doc_crosscorpus_match",
-    # similarity / embeddings
+    # similarity / embeddings (r8: pq_encode_adc — the FULL value-hash
+    # proof of PQ's deterministic encode/ADC production half — swaps in
+    # for pq_recall, whose Lloyd-trainer recall gate stays tail-replica +
+    # pytest-covered; see REGISTRY_ORDER.md)
     "ann_topk_lsh",
     "ann_ivf_recall",
-    "pq_recall",
+    "pq_encode_adc",
     "emb_near_dup_pairs",
     # text analysis / model-based quality
     "doc_quality_scores",
