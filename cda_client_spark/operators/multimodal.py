@@ -102,12 +102,36 @@ def parse_image_dims(payload: bytes) -> tuple[str, int, int] | None:
 
 
 def _header_decode_dims(payload: bytes) -> tuple[int, int]:
-    """Default real path without PIL: true dimensions from the format
-    header for recognized images, the deterministic fake otherwise."""
+    """True dimensions from the format header for recognized images, the
+    deterministic fake otherwise."""
     parsed = parse_image_dims(payload)
     if parsed is not None:
         return parsed[1], parsed[2]
     return _fake_decode_dims(payload)
+
+
+def _full_decode_dims(payload: bytes) -> tuple[int, int] | None:
+    """Default real path without PIL, layered by how much the payload can
+    be trusted (r7 verdict ask #6):
+
+    1. payloads the dependency-free codecs FULLY decode (24-bit BMP, 8-bit
+       truecolor PNG) report dimensions from the ACTUAL raster — a header
+       that lies about its body cannot sneak dims through;
+    2. a payload with a PNG signature whose stream is broken (truncated
+       IDAT, zlib error, raster-length mismatch) is QUARANTINED: returns
+       None -> NULL width/height downstream;
+    3. recognized formats outside the codecs' profile (GIF/JPEG/grayscale
+       PNG/oversized-Paeth PNG) fall back to true header dimensions;
+    4. unrecognized payloads keep the documented deterministic fake.
+    """
+    raster = decode_bmp(payload)
+    if raster is None:
+        raster, status = _png_decode_status(payload)
+        if raster is None and status == "corrupt":
+            return None
+    if raster is not None:
+        return int(raster.shape[1]), int(raster.shape[0])
+    return _header_decode_dims(payload)
 
 
 def _pil_decode_dims(payload: bytes) -> tuple[int, int]:
@@ -121,18 +145,25 @@ def _pil_decode_dims(payload: bytes) -> tuple[int, int]:
 def decode_images(df: DataFrame, bin_col: str = "media", decoder=None) -> DataFrame:
     """Decode image payloads to (width, height) metadata via mapInPandas.
 
-    ``decoder`` is any ``bytes -> (width, height)`` callable, shipped to
-    executors inside the closure; by default the real PIL decoder when PIL
-    is installed, else the dependency-free header parser (real dimensions
-    for PNG/GIF/JPEG/BMP, deterministic fake for unrecognized payloads) —
-    so the Spark-side plumbing (schema, Arrow batches, partitioning) is
-    identical and fully exercisable in every environment. Output schema =
-    input + width/height.
+    ``decoder`` is any ``bytes -> (width, height) | None`` callable,
+    shipped to executors inside the closure; by default the real PIL
+    decoder when PIL is installed, else the dependency-free full decoder
+    (ACTUAL raster dims for 24-bit BMP / 8-bit truecolor PNG, true header
+    dims for other recognized formats, deterministic fake for opaque
+    payloads) — so the Spark-side plumbing (schema, Arrow batches,
+    partitioning) is identical and fully exercisable in every environment.
+
+    Quarantine semantics for untrusted corpora: a decoder that returns
+    None OR raises marks the row with NULL width/height (a recognized
+    container with a broken stream — e.g. truncated PNG IDAT — must not
+    report header dims as if it decoded). Filter ``width IS NULL`` to
+    route quarantined rows, mirroring the corrupt-row channel of
+    sources/files.py. Output schema = input + width/height (nullable).
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     if decoder is None:
-        decoder = _pil_decode_dims if _HAVE_PIL else _header_decode_dims
+        decoder = _pil_decode_dims if _HAVE_PIL else _full_decode_dims
 
     # StructType.add mutates in place — never call it on df.schema (the
     # DataFrame caches that object); build a fresh StructType instead
@@ -142,14 +173,17 @@ def decode_images(df: DataFrame, bin_col: str = "media", decoder=None) -> DataFr
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(payload) -> tuple[int, int] | None:
+            try:
+                return decoder(bytes(payload) if payload is not None else b"")
+            except Exception:  # corrupt payload must quarantine, not kill the task
+                return None
+
         for pdf in batches:
-            dims = [
-                decoder(bytes(payload) if payload is not None else b"")
-                for payload in pdf[bin_col]
-            ]
+            dims = [safe(payload) for payload in pdf[bin_col]]
             pdf = pdf.copy()
-            pdf["width"] = [d[0] for d in dims]
-            pdf["height"] = [d[1] for d in dims]
+            pdf["width"] = [d[0] if d else None for d in dims]
+            pdf["height"] = [d[1] if d else None for d in dims]
             yield pdf
 
     return df.mapInPandas(decode, schema=out_schema)
@@ -272,35 +306,50 @@ def encode_png(raster, compress_level: int = 6) -> bytes:
     )
 
 
+# CPU budget for the per-byte Python filter loops (Average/Paeth carry a
+# floor-divide / 3-way-min left dependency that cumsum can't express):
+# rasters larger than this that USE those filters are refused as
+# "too_costly" rather than burning minutes of interpreted loop inside one
+# executor task — a crafted all-Paeth PNG just under the 512 MB bomb guard
+# would otherwise be a CPU-DoS vector on untrusted corpora. None/Up/Sub
+# scanlines are fully vectorized and face only the memory guard.
+PNG_PYFILTER_BUDGET = 4 * 1024 * 1024
+
+
 def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
     """Reverse the per-scanline PNG filters (types 0-4: None, Sub, Up,
     Average, Paeth) over ``h`` scanlines of ``stride`` filtered bytes each.
-    Returns an (h, stride) uint8 array, or None on an unknown filter type.
-    None and Up lines vectorize; Sub/Average/Paeth carry a left-neighbor
-    dependency and run per byte — decode cost is per-payload inside an
-    Arrow batch, never driver-side."""
+    Returns ``(array, status)`` — an (h, stride) uint8 array with status
+    ``"ok"``, or (None, ``"bad_filter"`` | ``"too_costly"``).
+
+    None and Up vectorize directly; Sub is a per-lane mod-256 prefix sum
+    (cumsum & 0xFF — exact, since mod distributes over addition), so only
+    Average/Paeth run per byte, and only under PNG_PYFILTER_BUDGET."""
     import numpy as np
 
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    fts = arr[:, 0]
+    if fts.max(initial=0) > 4:
+        return None, "bad_filter"
+    if np.isin(fts, (3, 4)).any() and h * stride > PNG_PYFILTER_BUDGET:
+        return None, "too_costly"
+    lines = arr[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint16)
-    pos = 0
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
-        ft = raw[pos]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
-            np.uint16
-        )
-        pos += 1 + stride
+        ft = fts[y]
+        line = lines[y]
         if ft == 0:
             rec = line
         elif ft == 2:  # Up
             rec = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):
-            rec = np.zeros(stride, dtype=np.uint16)
+        elif ft == 1:  # Sub: rec[x] = line[x] + rec[x-bpp] == lane cumsum
+            rec = (line.reshape(-1, bpp).cumsum(axis=0) & 0xFF).reshape(-1)
+        else:  # Average / Paeth: true sequential left dependency
+            rec = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 a = int(rec[x - bpp]) if x >= bpp else 0
-                if ft == 1:  # Sub
-                    rec[x] = (int(line[x]) + a) & 0xFF
-                elif ft == 3:  # Average
+                if ft == 3:  # Average
                     rec[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
                 else:  # Paeth
                     b = int(prev[x])
@@ -309,25 +358,33 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     rec[x] = (int(line[x]) + pr) & 0xFF
-        else:
-            return None
-        out[y] = rec.astype(np.uint8)
+        out[y] = rec
         prev = rec
-    return out
+    return out, "ok"
 
 
-def decode_png(payload: bytes):
-    """Decode a PNG (8-bit truecolor RGB/RGBA, non-interlaced — the
-    dominant web-image encoding) into an (h, w, 3) uint8 RGB raster, or
-    None when the payload isn't one this codec handles. Stdlib ``zlib``
-    inflate + per-scanline unfiltering; alpha is dropped (decode targets
-    the RGB feature/resize path). Palette, 16-bit, grayscale and Adam7
-    interlaced images return None — the caller falls back."""
+def _png_decode_status(payload: bytes):
+    """Full PNG decode with a diagnosis: returns ``(raster, status)``.
+
+    - ``("ok", raster)`` — 8-bit truecolor RGB/RGBA, non-interlaced,
+      decoded to an (h, w, 3) uint8 RGB raster (alpha dropped);
+    - ``(None, "not_png")`` — no PNG signature at all;
+    - ``(None, "unsupported")`` — a well-formed PNG outside this codec's
+      profile (palette/16-bit/grayscale/Adam7), or one whose Average/Paeth
+      raster exceeds PNG_PYFILTER_BUDGET — the caller should fall back to
+      header metadata, NOT quarantine;
+    - ``(None, "corrupt")`` — carries the PNG signature but the stream is
+      broken (truncated chunk or IDAT, zlib error, raster-length mismatch,
+      unknown filter type, bomb-guard refusal): quarantine material on an
+      untrusted corpus.
+    """
     import struct
     import zlib
 
-    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None, "not_png"
+    if len(payload) < 33:
+        return None, "corrupt"
     pos, w = 8, None
     idat = bytearray()
     n = len(payload)
@@ -336,22 +393,24 @@ def decode_png(payload: bytes):
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + clen]
         if len(body) < clen:
-            return None
+            return None, "corrupt"  # truncated chunk body (e.g. cut IDAT)
         if tag == b"IHDR":
             if clen < 13:
-                return None
+                return None, "corrupt"
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
-            if depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
-                return None
+            if depth != 8 or color_type not in (2, 6) or interlace:
+                return None, "unsupported"
+            if comp or filt:  # spec allows only 0 for both
+                return None, "corrupt"
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
         pos += 12 + clen  # len + tag + body + crc
     if w is None or not idat or w == 0 or h == 0:
-        return None
+        return None, "corrupt"
     ch = 3 if color_type == 2 else 4
     stride = w * ch
     expected = h * (1 + stride)
@@ -361,18 +420,27 @@ def decode_png(payload: bytes):
     # would otherwise expand to gigabytes inside an executor task before
     # the exact-length check ran
     if expected > 512 * 1024 * 1024:
-        return None
+        return None, "corrupt"
     try:
         d = zlib.decompressobj()
         raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error:
-        return None
+        return None, "corrupt"
     if len(raw) != expected or d.unconsumed_tail:
-        return None
-    rec = _png_unfilter(raw, h, stride, ch)
+        return None, "corrupt"
+    rec, status = _png_unfilter(raw, h, stride, ch)
     if rec is None:
-        return None
-    return rec.reshape(h, w, ch)[:, :, :3].copy()
+        return None, ("unsupported" if status == "too_costly" else "corrupt")
+    return rec.reshape(h, w, ch)[:, :, :3].copy(), "ok"
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG (8-bit truecolor RGB/RGBA, non-interlaced — the
+    dominant web-image encoding) into an (h, w, 3) uint8 RGB raster, or
+    None when the payload isn't one this codec handles (see
+    :func:`_png_decode_status` for the corrupt/unsupported diagnosis)."""
+    raster, _ = _png_decode_status(payload)
+    return raster
 
 
 def encode_wav(samples, rate: int = 8000, channels: int = 1) -> bytes:
@@ -491,7 +559,13 @@ def parse_wav_meta(payload: bytes) -> dict | None:
                 return None
             fmt = (channels, rate, bits)
         elif cid == b"data":
-            data = (i + 8, min(clen, n - i - 8))
+            # a data chunk declaring more bytes than the payload carries is
+            # a TRUNCATED container — reject it so the caller falls to the
+            # u8 path, rather than silently analyzing a cut-off stream as
+            # if it were the whole recording
+            if clen > n - i - 8:
+                return None
+            data = (i + 8, clen)
         i += 8 + clen + (clen % 2)  # chunks are word-aligned
         if fmt and data:
             break

@@ -871,21 +871,39 @@ def media_histogram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractional is compared. The name keeps its window slot
     (REGISTRY_ORDER.md)."""
     frame = _media_frame(spark, sf_dir)
-    # make the precision assumption load-bearing: count recovery is exact
-    # only while n_bytes * 5e-7 < 0.5; a >= 1 MB payload could flip a
-    # recovered count by one and read as a featurizer regression. Cheap
-    # eager check (one max over octet_length), same precedent as the
-    # eager classifier fit in quality_classifier_gate.
-    max_bytes = frame.agg(F.max(F.octet_length("media"))).first()[0] or 0
-    if max_bytes >= 1_000_000:
-        raise ValueError(
-            f"media_histogram_gate: corpus has a {max_bytes}-byte payload; "
-            "round(feature * n_bytes) count recovery is only exact below "
-            "1e6 bytes — compare raw counts directly for such corpora"
-        )
+    # Preconditions, enforced INSIDE the lazy plan so query construction
+    # stays action-free (r7 ADVICE: the eager .first() ran inside every
+    # timed bench rep and changed the slot's cost profile):
+    # - count recovery via round(feature * n_bytes) is exact only while
+    #   n_bytes * 5e-7 < 0.5 (payloads under 1e6 bytes);
+    # - the oracle equates DuckDB's per-character ord()/len() with byte
+    #   counts, which holds for ASCII corpora ONLY (r7 ADVICE: assert it,
+    #   per-row via octet_length == decoded char length, so a non-ASCII
+    #   corpus raises a clear message instead of an opaque oracle diff).
+    guard = frame.select(
+        F.octet_length("media").alias("ob"),
+        F.length(F.decode(F.col("media"), "UTF-8")).alias("cl"),
+    ).agg(
+        F.coalesce(F.max("ob"), F.lit(0)).alias("_max_bytes"),
+        F.coalesce(F.max(F.col("ob") - F.col("cl")), F.lit(0)).alias("_non_ascii"),
+    )
     feats = byte_histogram_features(frame, "media", bins=16)
     jvm = frame.select("doc_id", F.octet_length("media").alias("n_bytes"))
-    joined = feats.join(jvm, "doc_id")
+    joined = (
+        feats.join(jvm, "doc_id")
+        .crossJoin(F.broadcast(guard))  # 1-row scalar broadcast
+        .filter(
+            F.assert_true(
+                (F.col("_max_bytes") < 1_000_000) & (F.col("_non_ascii") == 0),
+                F.lit(
+                    "media_histogram_gate: corpus must be ASCII with sub-1e6-"
+                    "byte payloads — round(feature*n_bytes) count recovery and "
+                    "the per-character DuckDB oracle are only exact under "
+                    "those preconditions; compare raw counts directly instead"
+                ),
+            ).isNull()
+        )
+    )
     cols = [
         F.round(F.element_at("features", k + 1) * F.col("n_bytes"))
         .cast("bigint")
@@ -1075,6 +1093,156 @@ SELECT d.doc_id,
   COALESCE(agg.rms, 0.0) AS rms,
   COALESCE(agg.zcr, 0.0) AS zcr
 FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def media_wav_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible proof of the MALFORMED-container fallback with a
+    FULL value-hash oracle (r7 verdict ask #7): every document becomes a
+    WAV container, but a deterministic subset is corrupted in-query —
+
+    - ``doc_id % 4 == 1``: zero-channel fmt chunk (adversarial header that
+      would divide by zero downstream), EMPTY data — must be rejected;
+    - ``doc_id % 4 == 2`` (non-empty docs): TRUNCATED data chunk — the
+      header declares ``2*len(text)`` sample bytes, the container carries
+      none; the parser must refuse to analyze a cut-off stream;
+    - ``doc_id % 4 == 0``: VALID WAV with an ODD-length junk chunk
+      inserted before ``fmt`` — the word-aligned chunk walk must skip its
+      pad byte or it never finds fmt/data (making alignment load-bearing);
+    - ``doc_id % 4 == 3``: plain valid WAV.
+
+    ``audio_features`` must send exactly the corrupt subset to the u8
+    path (``is_wav=false``, features over the container's 44 header
+    bytes) and parse the valid subset for real (features over the PCM
+    samples). DuckDB replays BOTH: the valid rows from the sample formula
+    (as media_wav_features), the corrupt rows by reconstructing the 44
+    header bytes arithmetically (RIFF/fmt/data layout with the
+    length/rate fields derived from len(text) and doc_id) — so a parser
+    that clamps a truncated chunk, accepts channels=0, or loses chunk
+    alignment hash-mismatches instead of passing silently. All features
+    are integer/half-integer-valued in float64 (exact) until the final
+    round(·, 6)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from cda_client_spark.operators.multimodal import audio_features, encode_wav
+
+    frame = _media_frame(spark, sf_dir)
+
+    def prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            media = []
+            for rid, payload in zip(pdf["doc_id"], pdf["media"]):
+                u8 = np.frombuffer(bytes(payload or b""), dtype=np.uint8)
+                samples = ((u8.astype(np.int32) - 128) * 256).astype("<i2")
+                rate = 4000 + (int(rid) % 5) * 500
+                mod = int(rid) % 4
+                if mod == 1:
+                    wav = encode_wav(
+                        np.zeros(0, dtype="<i2"), rate=rate, channels=0
+                    )
+                elif mod == 2 and u8.size > 0:
+                    wav = encode_wav(samples, rate=rate)[:44]
+                else:
+                    wav = encode_wav(samples, rate=rate)
+                    if mod == 0:
+                        junk = b"junk" + struct.pack("<I", 5) + b"abcde\x00"
+                        wav = (
+                            wav[:4]
+                            + struct.pack(
+                                "<I",
+                                struct.unpack("<I", wav[4:8])[0] + len(junk),
+                            )
+                            + wav[8:12]
+                            + junk
+                            + wav[12:]
+                        )
+                media.append(wav)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    prepped = frame.mapInPandas(prep, schema="doc_id bigint, media binary")
+    return audio_features(prepped).select(
+        "doc_id", "is_wav", "sample_rate", "n_samples", "duration_s", "rms", "zcr"
+    )
+
+
+def _wav_feature_ctes(prefix: str, src: str, series: str) -> str:
+    """Shared mid/rms/zcr replay over an ordered (doc_id, i, b) series —
+    the exact feature formulas of operators/multimodal.py audio_features."""
+    return f"""
+{prefix}m AS (SELECT doc_id, (min(b) + max(b)) / 2.0 AS mid, count(*) AS n
+      FROM {series} GROUP BY doc_id),
+{prefix}c AS (SELECT s.doc_id, i, b - mid AS cb, n
+      FROM {series} s JOIN {prefix}m USING (doc_id)),
+{prefix}l AS (SELECT doc_id, cb, n,
+        lag(cb) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM {prefix}c),
+{prefix}agg AS (SELECT doc_id, n AS n_samples,
+        round(sqrt(avg(cb * cb)), 6) AS rms,
+        CASE WHEN n > 1
+             THEN round(CAST(sum(CASE WHEN prev IS NOT NULL AND cb * prev < 0
+                                   THEN 1 ELSE 0 END) AS DOUBLE) / (n - 1), 6)
+             ELSE 0.0 END AS zcr
+      FROM {prefix}l GROUP BY doc_id, n)"""
+
+
+MEDIA_WAV_HARDENING_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS L,
+         CAST(4000 + (doc_id % 5) * 500 AS BIGINT) AS rate,
+         doc_id % 4 AS m
+  FROM documents
+),
+valid AS (SELECT * FROM base WHERE NOT (m = 1 OR (m = 2 AND L > 0))),
+corrupt AS (SELECT * FROM base WHERE m = 1 OR (m = 2 AND L > 0)),
+vidx AS (SELECT doc_id, text,
+           unnest(generate_series(1, L)) AS i
+         FROM valid),
+vs AS (SELECT doc_id, i,
+         CAST((ord(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256 AS DOUBLE) AS b
+       FROM vidx),
+{_wav_feature_ctes("v", "valid", "vs")},
+-- corrupt containers: the 44 RIFF/fmt/data header bytes, reconstructed
+-- arithmetically (zero-channel variant has channels=0/empty data; the
+-- truncated variant declares 2*L data bytes it does not carry)
+hb AS (
+  SELECT doc_id,
+    CASE WHEN m = 1 THEN
+      [82,73,70,70, 36,0,0,0, 87,65,86,69, 102,109,116,32, 16,0,0,0,
+       1,0, 0,0, rate % 256, rate // 256, 0, 0, 0,0,0,0, 0,0, 16,0,
+       100,97,116,97, 0,0,0,0]
+    ELSE
+      [82,73,70,70,
+       (36 + 2*L) % 256, ((36 + 2*L) // 256) % 256,
+       ((36 + 2*L) // 65536) % 256, ((36 + 2*L) // 16777216) % 256,
+       87,65,86,69, 102,109,116,32, 16,0,0,0,
+       1,0, 1,0, rate % 256, rate // 256, 0, 0,
+       (2*rate) % 256, (2*rate) // 256, 0, 0, 2,0, 16,0,
+       100,97,116,97,
+       (2*L) % 256, ((2*L) // 256) % 256,
+       ((2*L) // 65536) % 256, ((2*L) // 16777216) % 256]
+    END AS hbytes
+  FROM corrupt),
+cidx AS (SELECT doc_id, hbytes, unnest(generate_series(1, 44)) AS i FROM hb),
+cs AS (SELECT doc_id, i, CAST(hbytes[CAST(i AS INTEGER)] AS DOUBLE) AS b FROM cidx),
+{_wav_feature_ctes("c", "corrupt", "cs")}
+SELECT v.doc_id, true AS is_wav,
+  CAST(v.rate AS INTEGER) AS sample_rate,
+  CAST(COALESCE(a.n_samples, 0) AS BIGINT) AS n_samples,
+  round(COALESCE(a.n_samples, 0) / v.rate, 6) AS duration_s,
+  COALESCE(a.rms, 0.0) AS rms, COALESCE(a.zcr, 0.0) AS zcr
+FROM valid v LEFT JOIN vagg a USING (doc_id)
+UNION ALL
+SELECT c.doc_id, false AS is_wav,
+  CAST(0 AS INTEGER) AS sample_rate,
+  CAST(44 AS BIGINT) AS n_samples,
+  0.0 AS duration_s, a.rms, a.zcr
+FROM corrupt c JOIN cagg a USING (doc_id)
 """
 
 
@@ -2414,6 +2582,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_histogram_gate": media_histogram_gate,
     "media_audio_features": media_audio_features,
     "media_wav_features": media_wav_features,
+    "media_wav_hardening": media_wav_hardening,
     "media_resize_gate": media_resize_gate,
     # train/score/filter of operators/classifier.py gated through one entry
     "quality_classifier_gate": quality_classifier_gate,
@@ -2475,6 +2644,7 @@ ORACLE_LLM: dict[str, str] = {
     "media_histogram_gate": MEDIA_HISTOGRAM_GATE_SQL,
     "media_audio_features": MEDIA_AUDIO_FEATURES_SQL,
     "media_wav_features": MEDIA_WAV_FEATURES_SQL,
+    "media_wav_hardening": MEDIA_WAV_HARDENING_SQL,
     "media_resize_gate": MEDIA_RESIZE_GATE_SQL,
     "quality_classifier_gate": QUALITY_CLASSIFIER_GATE_SQL,
     "doc_pii_scrub": DOC_PII_SQL,

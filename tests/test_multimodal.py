@@ -632,3 +632,111 @@ def test_png_decode_bounds_decompression_bombs():
     # and an honest image still decodes after the guard
     raster = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
     assert (decode_png(encode_png(raster)) == raster).all()
+
+
+def test_png_decode_status_diagnoses(monkeypatch):
+    """_png_decode_status separates QUARANTINE material (broken stream)
+    from fall-back material (well-formed but outside the codec profile) —
+    the distinction decode_images' default decoder keys on."""
+    import numpy as np
+
+    import cda_client_spark.operators.multimodal as mm
+
+    raster = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    good = mm.encode_png(raster)
+    ok, status = mm._png_decode_status(good)
+    assert status == "ok" and (ok == raster).all()
+
+    assert mm._png_decode_status(b"not an image")[1] == "not_png"
+    # truncated IDAT: chunk declares more body than the payload carries
+    assert mm._png_decode_status(good[:-20])[1] == "corrupt"
+    # signature + a few bytes only
+    assert mm._png_decode_status(good[:12])[1] == "corrupt"
+    # grayscale (color type 0) is a VALID png this codec doesn't cover
+    gray = bytearray(good)
+    gray[25] = 0
+    import struct
+    import zlib
+
+    body = bytes(gray[12:29])
+    gray[29:33] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    assert mm._png_decode_status(bytes(gray))[1] == "unsupported"
+
+    # an Average/Paeth raster over the CPU budget is refused as
+    # unsupported (falls back to header dims), never looping for minutes
+    paeth = _png_with_filters(raster, [4])
+    assert mm._png_decode_status(paeth)[1] == "ok"
+    monkeypatch.setattr(mm, "PNG_PYFILTER_BUDGET", 8)
+    assert mm._png_decode_status(paeth)[1] == "unsupported"
+    # filter-0 scanlines are vectorized: same tiny budget, still decodes
+    ok, status = mm._png_decode_status(good)
+    assert status == "ok" and (ok == raster).all()
+
+
+def test_decode_images_default_full_raster_and_quarantine(spark):
+    """The DEFAULT decoder reports dims from the ACTUAL raster for
+    payloads the codecs fully decode, quarantines (NULL dims) a PNG
+    container with a truncated IDAT instead of trusting its header, keeps
+    header dims for recognized-but-uncovered formats, and the
+    deterministic fake for opaque blobs (r7 verdict ask #6)."""
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import (
+        _fake_decode_dims,
+        encode_bmp,
+        encode_png,
+    )
+
+    raster = np.arange(6 * 9 * 3, dtype=np.uint8).reshape(6, 9, 3)  # h=6, w=9
+    png, bmp = encode_png(raster), encode_bmp(raster)
+    blob = b"opaque-not-an-image"
+    rows = [
+        (1, png),
+        (2, bmp),
+        (3, png[:-20]),  # truncated IDAT, valid header: quarantine
+        (4, _png(20, 10)),  # grayscale: real header dims
+        (5, blob),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media binary").repartition(2)
+    out = {
+        r["doc_id"]: (r["width"], r["height"]) for r in decode_images(df).collect()
+    }
+    assert out[1] == (9, 6)
+    assert out[2] == (9, 6)
+    assert out[3] == (None, None)
+    assert out[4] == (20, 10)
+    assert out[5] == _fake_decode_dims(blob)
+    # a decoder that RAISES on a payload quarantines that row too
+    def angry(payload: bytes):
+        if payload[:2] == b"BM":
+            raise ValueError("boom")
+        return (1, 2)
+
+    out2 = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in decode_images(df, decoder=angry).collect()
+    }
+    assert out2[2] == (None, None) and out2[5] == (1, 2)
+
+
+def test_parse_wav_meta_rejects_truncated_data_chunk():
+    """A data chunk declaring more bytes than the payload carries is a
+    truncated container: parse must return None (u8 fallback downstream),
+    never a clamped view of a cut-off stream. Odd-length junk chunks stay
+    handled via the word-aligned walk."""
+    import struct
+
+    import numpy as np
+
+    from cda_client_spark.operators.multimodal import encode_wav, parse_wav_meta
+
+    wav = encode_wav(np.arange(100, dtype="<i2"), rate=8000)
+    assert parse_wav_meta(wav)["data_len"] == 200
+    assert parse_wav_meta(wav[:44]) is None  # header declares 200, has 0
+    assert parse_wav_meta(wav[:-1]) is None  # one byte short
+    # odd-length junk chunk before fmt: pad byte must be skipped
+    junk = b"junk" + struct.pack("<I", 5) + b"abcde\x00"
+    riff_len = struct.unpack("<I", wav[4:8])[0] + len(junk)
+    padded = wav[:4] + struct.pack("<I", riff_len) + wav[8:12] + junk + wav[12:]
+    meta = parse_wav_meta(padded)
+    assert meta is not None and meta["data_len"] == 200 and meta["sample_rate"] == 8000
