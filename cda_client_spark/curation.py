@@ -183,6 +183,31 @@ class CurationReport:
     output_path: str
 
 
+@dataclass
+class CurationFrames:
+    """The curation lineage plus the persisted post-PII base whose
+    lifecycle the CALLER owns. The handle travels in the signature — not
+    as an attribute monkey-patched onto a DataFrame — so a caller that
+    derives frames before releasing, or a new call site altogether,
+    cannot silently leak the MEMORY_AND_DISK cache entry (r7 ADVICE).
+    Use as a context manager (releases on exit) or call :meth:`release`
+    once your actions no longer need the base; release is idempotent."""
+
+    tagged: DataFrame  # full frame with drop_reason (null = kept)
+    kept: DataFrame  # tagged filtered to kept rows (+ split when configured)
+    base: DataFrame  # the persisted (id, text, ...) base backing both
+
+    def release(self) -> None:
+        self.base.unpersist()
+
+    def __enter__(self) -> "CurationFrames":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+
 def _tag(df: DataFrame, reason: str, fails: F.Column) -> DataFrame:
     """Record ``reason`` for rows that fail this stage and are not already
     dropped — drop_reason always names the FIRST failing stage."""
@@ -194,21 +219,19 @@ def _tag(df: DataFrame, reason: str, fails: F.Column) -> DataFrame:
     )
 
 
-def curate(spark: SparkSession, cfg: CurationConfig) -> tuple[DataFrame, DataFrame]:
-    """Build the curation lineage over ``cfg.input_path``. Returns
-    ``(tagged, kept)``: the full frame with ``drop_reason`` (null = kept,
-    possibly with a ``split`` column) and its kept-only filter. Lazy —
-    callers choose the action — with ONE caching side effect: the
-    post-PII base is marked persisted (plan linearity, see
-    ``curate_frame``); callers running actions should unpersist it
-    afterwards via the ``_curation_base`` attribute on either returned
-    frame (``run_curation`` and the incremental apply do)."""
+def curate(spark: SparkSession, cfg: CurationConfig) -> CurationFrames:
+    """Build the curation lineage over ``cfg.input_path``. Returns a
+    :class:`CurationFrames` — ``tagged`` (full frame with ``drop_reason``;
+    null = kept, possibly with a ``split`` column), ``kept`` (its
+    kept-only filter) and the persisted post-PII ``base`` (plan
+    linearity, see ``curate_frame``) the caller must release after its
+    actions complete (``run_curation`` and the incremental apply do)."""
     return curate_frame(spark, spark.read.parquet(cfg.input_path), cfg)
 
 
 def curate_frame(
     spark: SparkSession, df: DataFrame, cfg: CurationConfig
-) -> tuple[DataFrame, DataFrame]:
+) -> CurationFrames:
     """The stage chain over an ALREADY-LOADED frame — shared by the batch
     run (whole corpus) and the incremental run (one delivery at a time;
     corpus-trained stages like lineDedup/lmPerplexity then see one
@@ -239,9 +262,9 @@ def curate_frame(
     # scale-INDEPENDENT funnel execution at sf1 AND sf10 before this fix.
     # The persist bounds re-execution of the base (scan + lineDedup join +
     # PII pass) to once per action; MEMORY_AND_DISK spills rather than
-    # OOMs at scale. Callers that run actions (run_curation, the
-    # incremental apply) unpersist via the `_curation_base` handle the
-    # returned frames carry.
+    # OOMs at scale. The returned CurationFrames carries the base handle;
+    # callers that run actions (run_curation, the incremental apply)
+    # release it when done.
     from pyspark.storagelevel import StorageLevel
 
     base = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -263,11 +286,7 @@ def curate_frame(
         base.unpersist()
         raise
 
-    # hand the persisted base to callers so they can unpersist after their
-    # actions complete (run_curation / the incremental apply do)
-    df._curation_base = base
-    kept._curation_base = base
-    return df, kept
+    return CurationFrames(tagged=df, kept=kept, base=base)
 
 
 def _signal_stages(
@@ -454,43 +473,43 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
 
     from pyspark.storagelevel import StorageLevel
 
-    tagged, kept = curate(spark, cfg)
-    # grab the base handle from the EXACT returned object before any
-    # further derivation — a derived frame would not carry the attribute
-    base = getattr(tagged, "_curation_base", None)
+    frames = curate(spark, cfg)
     # the funnel aggregate and the export pass are two actions over the
     # same lineage — persist it once so the signal joins execute once
     # (kept's plan is a subtree of tagged's, so it hits the same cache)
-    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        funnel = {
-            r["drop_reason"]: r["n"]
-            for r in tagged.groupBy("drop_reason")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        # the funnel fully materialized tagged's cache, which subsumes the
-        # base — release the base now instead of holding two corpus-sized
-        # caches through the export (halves peak cache footprint)
-        if base is not None:
-            base.unpersist()
-        kept_n = funnel.pop(None, 0)
-        total = kept_n + sum(funnel.values())
+    tagged = frames.tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    with frames:  # base released on ANY exit; release is idempotent
+        try:
+            funnel = {
+                r["drop_reason"]: r["n"]
+                for r in tagged.groupBy("drop_reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # the funnel fully materialized tagged's cache, which subsumes
+            # the base — release the base now instead of holding two
+            # corpus-sized caches through the export (halves peak cache
+            # footprint)
+            frames.release()
+            kept_n = funnel.pop(None, 0)
+            total = kept_n + sum(funnel.values())
 
-        out = cfg.output_path
-        export = kept if cfg.split else kept.withColumn("split", F.lit("all"))
-        write_jsonl_sharded(
-            export,
-            out,
-            shards=cfg.export_shards,
-            id_col=cfg.id_col,
-            compression=cfg.export_compression,
-            partition_cols=["split"],
-        )
-    finally:
-        tagged.unpersist()
-        if base is not None:
-            base.unpersist()  # idempotent; covers the exception path
+            out = cfg.output_path
+            export = (
+                frames.kept
+                if cfg.split
+                else frames.kept.withColumn("split", F.lit("all"))
+            )
+            write_jsonl_sharded(
+                export,
+                out,
+                shards=cfg.export_shards,
+                id_col=cfg.id_col,
+                compression=cfg.export_compression,
+                partition_cols=["split"],
+            )
+        finally:
+            tagged.unpersist()
     # read-back count verifies what actually landed; a fully-empty result
     # writes no part files and json inference would fail on it
     splits: dict[str, int] = {name: 0 for name in (list(cfg.split) or ["all"])}
@@ -585,12 +604,8 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                 "an old store. Retain or discard checkpoint/store/output "
                 "together."
             )
-        tagged, _ = curate_frame(spark, batch_df, cfg)
-        # capture the base handle from the exact returned object before
-        # persist/derivation (attribute does survive persist, but keep the
-        # contract obvious and derivation-proof)
-        base = getattr(tagged, "_curation_base", None)
-        tagged = tagged.persist()
+        frames = curate_frame(spark, batch_df, cfg)
+        tagged = frames.tagged.persist()
         try:
             kept_rows = tagged.filter(F.col("drop_reason").isNull())
             buckets = batch_buckets(
@@ -654,8 +669,7 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                 buckets.unpersist()
         finally:
             tagged.unpersist()
-            if base is not None:
-                base.unpersist()
+            frames.release()
 
     (
         spark.readStream.schema(schema)

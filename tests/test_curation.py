@@ -424,3 +424,25 @@ def test_curation_incremental_quality_model_requires_model_path(tmp_path):
     p2.write_text(base + "  steps:\n    qualityModel: {modelPath: /m}\n")
     cfg = load_curation_config(p2)
     assert cfg.steps["qualityModel"]["modelPath"] == "/m"
+
+
+def test_curate_frame_base_handle_lifecycle(spark, tmp_path):
+    """The persisted base travels in the SIGNATURE (CurationFrames), so
+    its lifecycle cannot be dropped by deriving frames first: the handle
+    is cached on return, released (idempotently) by release()/the context
+    manager, and deriving from tagged/kept never detaches it."""
+    from cda_client_spark.curation import curate
+
+    corpus = str(tmp_path / "corpus.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    build_corpus(spark, corpus)
+    spark.createDataFrame([(0, "benchmark eval text")], "doc_id long, text string").write.parquet(bench)
+    cfg = make_cfg(tmp_path, corpus, bench, str(tmp_path / "out"))
+
+    with curate(spark, cfg) as frames:
+        assert frames.base.is_cached
+        derived = frames.kept.select(cfg.id_col)  # derivation loses nothing
+        assert derived.count() >= 0
+        assert frames.base.is_cached
+    assert not frames.base.is_cached
+    frames.release()  # idempotent

@@ -415,3 +415,21 @@ def test_incremental_soak_many_deliveries(spark, tmp_path):
     early = statistics.median(times[10:30])
     late = statistics.median(times[-20:])
     assert late <= 2.0 * early, (early, late)
+
+
+def test_incremental_mini_soak_compaction_contract(spark, tmp_path):
+    """Un-gated mini-soak (r7 verdict ask #5): 15 deliveries with
+    compactEvery=4 run in the DEFAULT suite so the compaction contract —
+    bounded store dirs, decisions identical to an uncompacted control —
+    is continuously regression-tested, not only on SPARK_GRAFT_SOAK runs
+    (the 100-delivery wall-time curve stays env-gated; its measured run
+    is committed in SCALE.md)."""
+    n = 15
+    kept_c, _, max_dirs = run_incremental_soak(spark, tmp_path / "c", n, 4)
+    kept_plain, _, max_dirs_plain = run_incremental_soak(spark, tmp_path / "p", n, None)
+    assert kept_c == kept_plain
+    assert all(1000 * i + j in kept_c for i in range(n) for j in range(3))
+    assert not any(d % 1000 in (7, 8) for d in kept_c)
+    # one merged partition + one un-compacted window (+1 in-flight batch)
+    assert max_dirs <= 4 + 2, max_dirs
+    assert max_dirs_plain == n  # the control really does grow unboundedly
