@@ -43,8 +43,6 @@ from cda_client_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from cda_client_spark.operators.similarity import (
-    PQ_ADC_EXPR,
-    _books_literal,
     ann_topk,
     ann_topk_ivf as _ann_topk_ivf_op,
     band_key_sql,
@@ -53,8 +51,7 @@ from cda_client_spark.operators.similarity import (
     hyperplane_weights,
     quantize_embeddings,
     norm_sql,
-    pq_encode_expr,
-    pq_qtab_expr,
+    pq_encode,
     pq_topk_rerank,
     semantic_dedup,
 )
@@ -2333,36 +2330,23 @@ def pq_encode_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace, exact float comparisons) and the ADC path (lookup-table dot
     reconstruction — here the row's ADC dot with itself, exercising qtab
     construction + code lookup + ordered fold exactly as pq_topk does)
-    are pure arithmetic DuckDB replays bit-for-bit: both engines fold the
-    same doubles left-to-right, so even argmin near-ties agree. Only the
+    are pure arithmetic DuckDB replays bit-for-bit. Runs the PRODUCTION
+    operator (operators/similarity.py ``pq_encode``, the vectorized Arrow
+    kernel with ``self_adc_col``); the kernel folds the same doubles in
+    the same left-to-right order as the SQL spec — argmin near-ties
+    included — so the oracle replay is exact (the kernel==expression-spec
+    parity is additionally pinned in tests/test_similarity.py). Only the
     Lloyd TRAINER (fp-order-dependent in the last ulps) stays behind the
-    ``pq_recall`` gate. Uses the very expression builders the operator
-    runs (operators/similarity.py pq_encode_expr/pq_qtab_expr/PQ_ADC_EXPR),
-    not a copy."""
+    ``pq_recall`` gate."""
     books = _pq_fixed_books()
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    df = (
-        e.withColumn("_books", _books_literal(books))
-        .withColumn(
-            "_code",
-            F.expr(
-                pq_encode_expr(PQ_FIXED_M, PQ_FIXED_CODEWORDS, PQ_FIXED_SUB, "embedding")
-            ),
-        )
-        .withColumn(
-            "_qtab",
-            F.expr(
-                pq_qtab_expr(PQ_FIXED_M, PQ_FIXED_CODEWORDS, PQ_FIXED_SUB, "embedding")
-            ),
-        )
-        .withColumn("adc_self", F.round(F.expr(PQ_ADC_EXPR), 6))
-    )
-    return df.select(
+    enc = pq_encode(e, books, self_adc_col="_adc")
+    return enc.select(
         "vec_id",
-        F.expr("array_join(transform(_code, c -> cast(c as string)), '-')").alias(
+        F.expr("array_join(transform(pq_code, c -> cast(c as string)), '-')").alias(
             "pq_code_str"
         ),
-        "adc_self",
+        F.round(F.col("_adc"), 6).alias("adc_self"),
     )
 
 

@@ -61,7 +61,13 @@ ARROW_OK = {
     "media_histogram_gate",
     "media_audio_features",
     "media_wav_features",
+    "media_wav_hardening",
     "media_resize_gate",
+    # r8: pq_encode is a vectorized Arrow kernel — Spark evaluates
+    # higher-order functions interpreted (measured ~1 ms/row), so the
+    # numeric argmin/ADC work moved to numpy at bit-exact parity with the
+    # SQL-replayable expression spec (tests/test_similarity.py)
+    "pq_encode_adc",
 }
 
 

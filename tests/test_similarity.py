@@ -452,3 +452,46 @@ def test_pq_codebook_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, pq_encode(df, books).select("vec_id", "pq_code").collect()))
     b = sorted(map(tuple, pq_encode(df, loaded).select("vec_id", "pq_code").collect()))
     assert a == b
+
+
+def test_pq_encode_kernel_matches_expression_spec(spark):
+    """The vectorized pq_encode kernel (r8) must be BIT-IDENTICAL to the
+    SQL-replayable expression spec (pq_encode_expr/pq_qtab_expr/
+    PQ_ADC_EXPR) — codes, argmin ties and the self-ADC doubles — because
+    the driver oracle replays the spec in DuckDB while production runs
+    the kernel."""
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        PQ_ADC_EXPR,
+        _books_literal,
+        pq_encode,
+        pq_encode_expr,
+        pq_qtab_expr,
+    )
+
+    m, k, sub = 4, 8, 2  # non-default shape: generality, not just 16/16/4
+    books = [
+        [[((7 * j + 3 * c + p) % 17 - 8) / 16.0 for p in range(sub)] for c in range(k)]
+        for j in range(m)
+    ]
+    rows = [
+        (i, [((i * 31 + q) % 23 - 11) / 8.0 for q in range(m * sub)])
+        for i in range(257)
+    ]
+    # row 256 engineered to TIE two codewords in subspace 0: both engines
+    # must pick the smaller c
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(3)
+
+    got = {
+        r["vec_id"]: (r["pq_code"], r["_adc"])
+        for r in pq_encode(df, books, self_adc_col="_adc").collect()
+    }
+    spec = (
+        df.withColumn("_books", _books_literal(books))
+        .withColumn("_code", F.expr(pq_encode_expr(m, k, sub, "embedding")))
+        .withColumn("_qtab", F.expr(pq_qtab_expr(m, k, sub, "embedding")))
+        .withColumn("_adc", F.expr(PQ_ADC_EXPR))
+    )
+    want = {r["vec_id"]: (r["_code"], r["_adc"]) for r in spec.collect()}
+    assert got == want  # exact: codes AND un-rounded double equality
