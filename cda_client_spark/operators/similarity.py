@@ -881,6 +881,146 @@ def pq_topk_rerank(
     )
 
 
+def ivfpq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    codewords: int = 16,
+    iters: int = 4,
+    k: int = 10,
+    shortlist: int = 50,
+    round_digits: int = 6,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search", SIV): the production large-scale ANN index — a
+    COARSE quantizer (KMeans, ``nlist`` inverted lists) composed with PQ
+    over the RESIDUALS ``x - centroid(cell)``, searched by ADC within the
+    ``nprobe`` probed lists and finished with an exact re-rank. Residual
+    quantization is the point of the composition: residuals concentrate
+    near 0, so the same codebook budget quantizes them far more finely
+    than raw vectors — recall at equal code size beats plain PQ.
+
+    Decomposition used for cosine/dot scoring: with q.x = q.c + q.r
+    (c the cell centroid, r the residual), the ADC table over RESIDUAL
+    codewords is query-specific but CELL-INDEPENDENT — one m x codewords
+    table per query — and the cell contributes the scalar q.c, computed
+    once per probed (query, cell). This is the standard inner-product
+    IVFADC layout; L2's per-cell tables aren't needed.
+
+    100 TB shape: KMeans + Lloyd train on ``sample_fraction``; corpus-side
+    work is one model pass + residual map + Arrow-kernel encode (no
+    shuffle); the probe is an equi-join on the cell id against a
+    broadcast query side, so scored rows ~ corpus * nprobe / nlist per
+    query — and each scored row touches m small ints, not dim floats.
+    Raw vectors are read only for |queries| x shortlist re-rank rows.
+
+    Approximate and engine-specific (two trainers: KMeans and Lloyd), so
+    correctness is recall-gated against brute force (ivfpq_recall), with
+    the deterministic encode/ADC arithmetic value-hashed separately via
+    pq_encode_adc.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(fc)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(fc).select(id_col, "cluster")
+
+    # residuals via a broadcast join on the tiny centroid table (nlist
+    # rows) — the centroid arrives as DATA, not an nlist x dim literal
+    # forest in the plan
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)],
+        "cluster int, _cent array<double>",
+    )
+    resid = (
+        corpus.join(assigned, id_col)
+        .join(F.broadcast(cents), "cluster")
+        .withColumn(
+            "_resid",
+            F.expr(
+                f"zip_with(cast({vec_col} as array<double>), _cent, (x, y) -> x - y)"
+            ),
+        )
+    )
+    books = pq_train(
+        resid, dim, m, codewords, iters, vec_col="_resid",
+        seed="ivfpq", sample_fraction=sample_fraction,
+    )
+    enc = pq_encode(
+        resid.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster"),
+            F.col("_resid"),
+            norm_col(vec_col).alias("c_norm"),  # TRUE norm of x, not r
+        ),
+        books,
+        vec_col="_resid",
+    ).select("neighbor_id", "cluster", "pq_code", "c_norm")
+
+    # query side: nprobe nearest cells (argmin ||q - c||^2 via the
+    # monotone-equivalent ||c||^2 - 2 q.c), carrying q.c per probed cell,
+    # plus the residual-codebook ADC table — all against a handful of
+    # query rows, then broadcast
+    probe_structs = [
+        F.struct(
+            (F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col("q_vec", cent)).alias(
+                "score"
+            ),
+            F.lit(j).alias("cluster"),
+            plane_dot_col("q_vec", cent).alias("qdotc"),
+        )
+        for j, cent in enumerate(centroids)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+    _, q = _projections(corpus, queries, id_col, vec_col)
+    q = (
+        q.withColumn("_books", _books_literal(books))
+        .withColumn("_qtab", F.expr(pq_qtab_expr(m, codewords, dim // m, "q_vec")))
+        .withColumn("pr", F.explode(probes))
+        .select(
+            "query_id",
+            "q_norm",
+            "_qtab",
+            F.col("pr.cluster").alias("cluster"),
+            F.col("pr.qdotc").alias("_qdotc"),
+        )
+    )
+    pairs = enc.withColumnRenamed("pq_code", "_code").join(F.broadcast(q), "cluster")
+    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    adc_dot = F.col("_qdotc") + F.expr(PQ_ADC_EXPR)
+    scored = pairs.withColumn(
+        "adc_sim", F.round(adc_dot / (F.col("q_norm") * F.col("c_norm")), round_digits)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    c, qx = _projections(corpus, queries, id_col, vec_col)
+    rescored = cand.join(c, "neighbor_id").join(F.broadcast(qx), "query_id").withColumn(
+        "cos_sim", _scored(round_digits)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
 def save_codebooks(books: list[list[list[float]]], path: str) -> None:
     """Persist PQ codebooks as JSON (they are KBs — a sidecar file, not a
     dataset): train once on a corpus sample, reuse across encode/search

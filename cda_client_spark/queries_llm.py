@@ -775,6 +775,49 @@ ANN_IVF_RECALL_BAR = 0.6
 ANN_IVF_RECALL_SQL = "SELECT true AS recall_ok"
 
 
+IVFPQ_RECALL_BAR = 0.6
+
+IVFPQ_RECALL_SQL = "SELECT true AS recall_ok"
+
+
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for IVFADC (operators/similarity.py
+    ``ivfpq_topk_rerank``: coarse KMeans lists + PQ over residuals + ADC
+    probe + exact rerank — the production large-scale ANN composition):
+    recall@5 vs the brute-force baseline.
+
+    Oracle-strength justification (REGISTRY_ORDER.md policy): the path
+    composes TWO fp-order-dependent trainers (Spark ML KMeans and the
+    distributed Lloyd PQ trainer), neither SQL-replayable; the recall bar
+    is the engine-independent invariant. The deterministic encode/ADC
+    arithmetic this index shares with plain PQ is value-hashed
+    driver-visibly by ``pq_encode_adc``. Trainers run on
+    ``PQ_TRAIN_SAMPLE`` of the corpus (the 100 TB amortization), so the
+    row's cost tracks the production assign+encode+probe+rerank path."""
+    from cda_client_spark.operators.similarity import ivfpq_topk_rerank
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    ivfpq = ivfpq_topk_rerank(
+        e, q, dim=EMB_DIM, k=5, nlist=16, nprobe=4, iters=3,
+        sample_fraction=PQ_TRAIN_SAMPLE,
+    ).select("query_id", "neighbor_id")
+    brute = ann_topk(e, q, dim=EMB_DIM, k=5, method="bruteforce").select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(ivfpq, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("hits"))
+        .crossJoin(brute.agg(F.count("*").alias("total")))
+        .select(
+            (
+                (F.col("total") > 0)
+                & (F.col("hits") >= IVFPQ_RECALL_BAR * F.col("total"))
+            ).alias("recall_ok")
+        )
+    )
+
+
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.999) via the banded
     hyperplane bucket self-join; planted scaled copies are the dups."""
@@ -2596,6 +2639,8 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # by pq_encode_adc (r8)
     "pq_recall": pq_recall,
     "pq_encode_adc": pq_encode_adc,
+    # IVFADC composition (KMeans + Lloyd trainers): gated like its parts
+    "ivfpq_recall": ivfpq_recall,
     "doc_encoding_signals": doc_encoding_signals,
     "doc_corpus_report": doc_corpus_report,
     # bpe_train/bpe_encode are exercised and gated through bpe_gate
@@ -2652,6 +2697,7 @@ ORACLE_LLM: dict[str, str] = {
     "semdedup_gate": SEMDEDUP_GATE_SQL,
     "pq_recall": PQ_RECALL_SQL,
     "pq_encode_adc": PQ_ENCODE_ADC_SQL,
+    "ivfpq_recall": IVFPQ_RECALL_SQL,
     "doc_encoding_signals": DOC_ENCODING_SQL,
     "doc_corpus_report": DOC_CORPUS_REPORT_SQL,
     "bpe_gate": BPE_GATE_SQL,

@@ -34,6 +34,7 @@ EAGER = {
 BNLJ_OK = {
     "ann_topk_bruteforce",
     "ann_ivf_recall",
+    "ivfpq_recall",  # same hits x total 1-row scalar crossJoin as ann_ivf
     "minhash_fast_recall",
     "simhash_fast_recall",
     "media_histogram_gate",
@@ -66,8 +67,10 @@ ARROW_OK = {
     # r8: pq_encode is a vectorized Arrow kernel — Spark evaluates
     # higher-order functions interpreted (measured ~1 ms/row), so the
     # numeric argmin/ADC work moved to numpy at bit-exact parity with the
-    # SQL-replayable expression spec (tests/test_similarity.py)
+    # SQL-replayable expression spec (tests/test_similarity.py);
+    # ivfpq_recall encodes residuals through the same kernel
     "pq_encode_adc",
+    "ivfpq_recall",
 }
 
 

@@ -495,3 +495,37 @@ def test_pq_encode_kernel_matches_expression_spec(spark):
     )
     want = {r["vec_id"]: (r["_code"], r["_adc"]) for r in spec.collect()}
     assert got == want  # exact: codes AND un-rounded double equality
+
+
+def test_ivfpq_rerank_recall_and_exact_rescore(spark):
+    """IVFADC (coarse KMeans lists + PQ over residuals + ADC probe +
+    exact rerank): recall@5 vs brute force over probed cells, and the
+    rerank step must score surviving candidates EXACTLY (bit-equal to the
+    brute-force cosine)."""
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import ann_topk, ivfpq_topk_rerank
+
+    df = _pq_frame(spark, n=80)
+    q = df.filter(F.col("vec_id") < 5)
+    ivfpq = ivfpq_topk_rerank(
+        df, q, dim=16, nlist=4, nprobe=2, m=4, codewords=8, iters=3, k=5,
+        shortlist=25,
+    )
+    brute = ann_topk(df, q, dim=16, k=5, method="bruteforce")
+    total = brute.count()
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(ivfpq.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .count()
+    )
+    assert total == 25
+    assert hits / total >= 0.6
+    joined = ivfpq.join(
+        brute.select("query_id", "neighbor_id", F.col("cos_sim").alias("exact")),
+        ["query_id", "neighbor_id"],
+    )
+    assert joined.filter(F.col("cos_sim") != F.col("exact")).count() == 0
+    # shape contract: k rows max per query, rnk dense from 1
+    per = {r["query_id"]: r["n"] for r in ivfpq.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(1 <= n <= 5 for n in per.values()) and len(per) == 5
