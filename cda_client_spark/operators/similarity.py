@@ -797,7 +797,24 @@ def pq_topk(
     full scan, but over m small ints per row instead of dim floats — the
     100 TB play is codes resident in memory where raw vectors never fit.
     Approximate, so correctness is recall-gated (``pq_recall``) like IVF.
+
+    Implementation (r8): two-phase Arrow top-k. The per-pair ADC fold is
+    a higher-order function — interpreted, never codegen'd (the same
+    finding that moved pq_encode to a kernel) — so the scan runs as a
+    numpy gather over each corpus partition against the collected query
+    tables (|queries| x m x codewords doubles: metadata-sized by the
+    operator's contract that queries are a bounded probe set — the prior
+    shape broadcast the same rows). Each partition emits only its local
+    top-k per query (ordered by cos desc, id asc — the same total order
+    as the global window), so the final exact top-k runs over
+    <= k x |queries| x partitions candidate rows, never the full
+    |corpus| x |queries| score matrix. Query-table construction is a
+    plan-time action (one tiny job), same precedent as the gate's eager
+    classifier fit.
     """
+    import numpy as np
+    import pandas as pd
+
     m = len(codebooks)
     codewords = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -809,22 +826,57 @@ def pq_topk(
             F.expr(pq_qtab_expr(m, codewords, sub, vec_col)).alias("_qtab"),
         )
     )
+    qrows = q.collect()  # bounded probe set (see docstring)
+    spark = corpus_codes.sparkSession
+    out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
+    if not qrows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rnk", F.lit(1)).filter(F.lit(False))
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qnorms = np.array([r["q_norm"] for r in qrows], dtype=np.float64)
+    qtab = np.array([r["_qtab"] for r in qrows], dtype=np.float64)  # (nq, m, cw)
+
     c = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(code_col).alias("_code"),
         F.col(norm_col_name),
     )
-    pairs = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    adc = F.expr(PQ_ADC_EXPR)
-    scored = pairs.withColumn(
-        "cos_sim",
-        F.round(adc / (F.col("q_norm") * F.col(norm_col_name)), round_digits),
-    )
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["_code"].values).astype(np.int64)  # (n, m)
+            cnorm = pdf[norm_col_name].to_numpy(dtype=np.float64)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            # ADC: ordered fold over subspaces, same order as PQ_ADC_EXPR
+            adc = qtab[:, 0, :][:, codes[:, 0]]  # (nq, n)
+            for j in range(1, m):
+                adc = adc + qtab[:, j, :][:, codes[:, j]]
+            cos = np.round(adc / (qnorms[:, None] * cnorm[None, :]), round_digits)
+            out_q, out_n, out_c = [], [], []
+            for qi, qid in enumerate(qids):
+                idx = np.nonzero(nids != qid)[0] if exclude_self else np.arange(
+                    len(nids)
+                )
+                if not idx.size:
+                    continue
+                vals = cos[qi, idx]
+                # local top-k under the GLOBAL total order (cos desc, id
+                # asc) — lexsort keys are least-significant first
+                order = np.lexsort((nids[idx], -vals))[:k]
+                pick = idx[order]
+                out_q += [int(qid)] * len(pick)
+                out_n += nids[pick].tolist()
+                out_c += cos[qi, pick].tolist()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_c}
+            )
+
+    cand = c.mapInPandas(scan, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rnk")
     )

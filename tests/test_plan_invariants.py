@@ -71,6 +71,9 @@ ARROW_OK = {
     # ivfpq_recall encodes residuals through the same kernel
     "pq_encode_adc",
     "ivfpq_recall",
+    # r8: pq_topk's ADC scan is a two-phase Arrow top-k (per-partition
+    # numpy gather + local top-k, then the exact global window)
+    "pq_recall",
 }
 
 
