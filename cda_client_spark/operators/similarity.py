@@ -984,7 +984,13 @@ def ivfpq_topk_rerank(
     fc = corpus.select(
         F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
     )
-    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(fc)
+    # BOTH trainers honor sample_fraction — the coarse quantizer converges
+    # on a sliver of the corpus just like the PQ codebooks; only the
+    # ASSIGNMENT pass touches every row
+    train_fc = fc.sample(fraction=sample_fraction, seed=seed) if sample_fraction else fc
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(
+        train_fc
+    )
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     assigned = model.transform(fc).select(id_col, "cluster")
 

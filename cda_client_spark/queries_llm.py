@@ -798,8 +798,11 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
+    # nprobe=6/16 (not IVF's 4): with BOTH trainers on the corpus sample
+    # the coarse cells are a little coarser, and probing two more lists is
+    # the textbook recall knob — cost scales as probed fraction, 37.5%
     ivfpq = ivfpq_topk_rerank(
-        e, q, dim=EMB_DIM, k=5, nlist=16, nprobe=4, iters=3,
+        e, q, dim=EMB_DIM, k=5, nlist=16, nprobe=6, iters=3,
         sample_fraction=PQ_TRAIN_SAMPLE,
     ).select("query_id", "neighbor_id")
     brute = ann_topk(e, q, dim=EMB_DIM, k=5, method="bruteforce").select(
