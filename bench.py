@@ -143,6 +143,35 @@ def external_busy_cores(window_s: float = 0.1) -> float:
         return 0.0
 
 
+def select_published_median(
+    samples: list[float],
+    rep_ext: list[float],
+    reps: int,
+    outlier_factor: float,
+    ext_load_max: float,
+) -> tuple[float, float, int, int]:
+    """The methodology-3 median selection, extracted for unit testing
+    (tests/test_bench_protocol.py): min-anchored outlier rejection, then
+    prefer reps that STARTED on a quiet box when at least ``min(3, reps)``
+    clean kept reps exist. Returns (published_median, median_all_kept,
+    n_rejected, n_contended)."""
+    lo = min(samples)
+    kept_idx = (
+        [i for i, s in enumerate(samples) if s <= outlier_factor * lo]
+        if reps > 1
+        else list(range(len(samples)))
+    )
+    kept = [samples[i] for i in kept_idx]
+    clean = [samples[i] for i in kept_idx if rep_ext[i] <= ext_load_max]
+    published = clean if len(clean) >= min(3, reps) else kept
+    return (
+        round(statistics.median(published), 3),
+        round(statistics.median(kept), 3),
+        len(samples) - len(kept),
+        len(samples) - len(clean),
+    )
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -262,28 +291,22 @@ def main() -> None:
         if min(samples) < fast_threshold:
             while len(samples) < fast_reps:
                 one_rep()
-        lo = min(samples)
-        kept_idx = (
-            [i for i, s in enumerate(samples) if s <= outlier_factor * lo]
-            if reps > 1
-            else list(range(len(samples)))
-        )
-        kept = [samples[i] for i in kept_idx]
         # prefer reps that STARTED on a quiet box: sustained contention
         # gives tight-but-slow spreads that min-anchored rejection can't
         # touch; only when too few clean reps exist do we fall back to all
         # kept reps (and the `contended` count flags the record)
-        clean = [samples[i] for i in kept_idx if rep_ext[i] <= ext_load_max]
-        published = clean if len(clean) >= min(3, reps) else kept
-        timings[name] = round(statistics.median(published), 3)
+        published, all_kept, n_rej, n_cont = select_published_median(
+            samples, rep_ext, reps, outlier_factor, ext_load_max
+        )
+        timings[name] = published
         detail[name] = {
             "samples": [round(s, 3) for s in samples],
-            "rejected": len(samples) - len(kept),
+            "rejected": n_rej,
             "load_1m": round(load_1m, 2),
             "ext_busy_cores": rep_ext,
             "wait_rounds": rep_waited,
-            "contended": len(samples) - len(clean),
-            "median_all_kept": round(statistics.median(kept), 3),
+            "contended": n_cont,
+            "median_all_kept": all_kept,
         }
 
     try:

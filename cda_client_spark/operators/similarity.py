@@ -696,6 +696,7 @@ def pq_encode(
     vec_col: str = "embedding",
     code_col: str = "pq_code",
     self_adc_col: str | None = None,
+    center_col: str | None = None,
 ) -> DataFrame:
     """Attach the PQ code (array<int>, one codeword id per subspace) — at
     the defaults 16 codes x 4 bits against a 256-byte float vector: ~32x
@@ -718,7 +719,13 @@ def pq_encode(
     ``self_adc_col``: optionally also emit the row's ADC reconstruction
     dot with itself (qtab build + code lookup + ordered fold — the exact
     arithmetic pq_topk applies per query/corpus pair), used by the
-    driver-visible pq_encode_adc proof."""
+    driver-visible pq_encode_adc proof.
+
+    ``center_col``: optionally an array<double> column subtracted from
+    the vector before encoding (elementwise float64, identical to
+    ``zip_with(cast(vec as array<double>), center, (x, y) -> x - y)``) —
+    the IVFADC residual path, vectorized instead of 64 interpreted
+    lambda steps per corpus row."""
     import numpy as np
     from pyspark.sql.types import (
         ArrayType,
@@ -746,6 +753,8 @@ def pq_encode(
                 yield pdf.reindex(columns=[f.name for f in out_fields])
                 continue
             x = np.stack(pdf[vec_col].values).astype(np.float64)
+            if center_col is not None:
+                x = x - np.stack(pdf[center_col].values).astype(np.float64)
             sv = x.reshape(len(pdf), m, sub)  # (n, m, sub)
             diff = sv[:, :, None, :] - books[None, :, :, :]  # (n, m, k, sub)
             sq = diff * diff
@@ -1016,15 +1025,22 @@ def ivfpq_topk_rerank(
         resid, dim, m, codewords, iters, vec_col="_resid",
         seed="ivfpq", sample_fraction=sample_fraction,
     )
+    # encode the FULL corpus: residual subtraction happens inside the
+    # Arrow kernel (center_col) — the _resid zip_with above is evaluated
+    # only for the training sample
     enc = pq_encode(
-        resid.select(
+        corpus.join(assigned, id_col)
+        .join(F.broadcast(cents), "cluster")
+        .select(
             F.col(id_col).alias("neighbor_id"),
             F.col("cluster"),
-            F.col("_resid"),
+            F.col(vec_col),
+            F.col("_cent"),
             norm_col(vec_col).alias("c_norm"),  # TRUE norm of x, not r
         ),
         books,
-        vec_col="_resid",
+        vec_col=vec_col,
+        center_col="_cent",
     ).select("neighbor_id", "cluster", "pq_code", "c_norm")
 
     # query side: nprobe nearest cells (argmin ||q - c||^2 via the

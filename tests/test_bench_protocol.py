@@ -1,0 +1,76 @@
+"""Unit tests for the bench.py measurement protocol (methodology 3) —
+the official per-round record, so its selection logic is pinned here
+without spinning Spark."""
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import external_busy_cores, select_published_median  # noqa: E402
+
+
+def test_median_prefers_clean_reps_under_sustained_load():
+    """r7 failure mode: every rep equally contended (tight-but-slow
+    spread) — outlier rejection keeps them all, but when enough CLEAN
+    reps exist the published median must come from those only."""
+    samples = [2.4, 2.5, 2.6, 1.1, 1.2, 1.0, 1.15]
+    ext = [6.0, 6.0, 6.0, 0.1, 0.2, 0.0, 0.3]
+    pub, all_kept, rejected, contended = select_published_median(
+        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0
+    )
+    # all within 3x the minimum, so nothing is REJECTED — exactly the
+    # tight-but-slow spread min-anchoring can't touch
+    assert rejected == 0 and contended == 3
+    assert pub == 1.125  # median of the four clean reps
+    assert all_kept == 1.2  # median of everything kept, for comparison
+
+
+def test_median_falls_back_when_too_few_clean_reps():
+    samples = [2.0, 2.1, 2.2]
+    ext = [5.0, 5.0, 0.1]  # only one clean rep: fall back to all kept
+    pub, all_kept, rejected, contended = select_published_median(
+        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0
+    )
+    assert pub == all_kept == 2.1
+    assert contended == 2
+
+
+def test_outlier_rejection_is_min_anchored():
+    """A single contended SPIKE is rejected against the quiet minimum
+    before any median is taken (r6 behavior, preserved)."""
+    samples = [6.85, 1.20, 0.95]
+    ext = [0.0, 0.0, 0.0]
+    pub, all_kept, rejected, contended = select_published_median(
+        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0
+    )
+    assert rejected == 1  # 6.85 > 3 x 0.95
+    assert pub == all_kept == 1.075
+
+
+def test_reps_one_is_verbatim():
+    pub, all_kept, rejected, contended = select_published_median(
+        [9.0], [0.0], reps=1, outlier_factor=3.0, ext_load_max=4.0
+    )
+    assert pub == 9.0 and rejected == 0 and contended == 0
+
+
+def test_external_busy_excludes_own_process_tree():
+    """Spinners that are OUR children must not count as external load —
+    loadavg can't make that distinction; the /proc probe must."""
+    spinner = "while True:\n pass"
+    procs = [
+        subprocess.Popen([sys.executable, "-c", spinner]) for _ in range(2)
+    ]
+    try:
+        time.sleep(0.3)
+        ext = external_busy_cores(0.3)
+    finally:
+        for p in procs:
+            p.kill()
+    # 2 cores of own-tree spin: the probe must not attribute them to the
+    # box (a small epsilon of unrelated system activity is tolerated)
+    assert ext < 1.0, ext
