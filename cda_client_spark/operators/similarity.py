@@ -942,6 +942,81 @@ def pq_topk_rerank(
     )
 
 
+def ivfpq_train(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 16,
+    codewords: int = 16,
+    iters: int = 4,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVFADC index model: KMeans coarse centroids + PQ
+    codebooks over the residuals. BOTH trainers honor ``sample_fraction``
+    (the 100 TB amortization — they converge on a sliver of the corpus);
+    the returned model is KB-sized driver-side lists, persistable via
+    :func:`save_ivfpq` and reusable across search jobs via
+    ``ivfpq_topk_rerank(..., centroids=..., codebooks=...)``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+    )
+    train_fc = fc.sample(fraction=sample_fraction, seed=seed) if sample_fraction else fc
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(
+        train_fc
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    cents = corpus.sparkSession.createDataFrame(
+        [(j, c) for j, c in enumerate(centroids)],
+        "cluster int, _cent array<double>",
+    )
+    resid = (
+        corpus.join(model.transform(fc).select(id_col, "cluster"), id_col)
+        .join(F.broadcast(cents), "cluster")
+        .withColumn(
+            "_resid",
+            F.expr(
+                f"zip_with(cast({vec_col} as array<double>), _cent, (x, y) -> x - y)"
+            ),
+        )
+    )
+    books = pq_train(
+        resid, dim, m, codewords, iters, vec_col="_resid",
+        seed="ivfpq", sample_fraction=sample_fraction,
+    )
+    return centroids, books
+
+
+def save_ivfpq(
+    centroids: list[list[float]], codebooks: list[list[list[float]]], path: str
+) -> None:
+    """Persist an IVFADC model (KB-sized sidecar JSON, atomic publish —
+    same recipe as :func:`save_codebooks`): train once on a corpus
+    sample, reuse across search jobs and incremental deliveries."""
+    import json
+    from pathlib import Path
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(p.suffix + ".tmp")
+    tmp.write_text(json.dumps({"centroids": centroids, "codebooks": codebooks}))
+    tmp.replace(p)
+
+
+def load_ivfpq(path: str) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Inverse of :func:`save_ivfpq`."""
+    import json
+    from pathlib import Path
+
+    d = json.loads(Path(path).read_text())
+    return d["centroids"], d["codebooks"]
+
+
 def ivfpq_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -958,6 +1033,8 @@ def ivfpq_topk_rerank(
     round_digits: int = 6,
     sample_fraction: float | None = None,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVFADC (Jegou et al. 2011, "Product Quantization for Nearest
     Neighbor Search", SIV): the production large-scale ANN index — a
@@ -986,44 +1063,46 @@ def ivfpq_topk_rerank(
     correctness is recall-gated against brute force (ivfpq_recall), with
     the deterministic encode/ADC arithmetic value-hashed separately via
     pq_encode_adc.
+
+    Pass ``centroids`` + ``codebooks`` (e.g. via :func:`load_ivfpq`) to
+    SKIP both trainers — the production reuse path: train once on a
+    corpus sample, persist the KB-sized sidecar, search many times.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    fc = corpus.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
-    )
-    # BOTH trainers honor sample_fraction — the coarse quantizer converges
-    # on a sliver of the corpus just like the PQ codebooks; only the
-    # ASSIGNMENT pass touches every row
-    train_fc = fc.sample(fraction=sample_fraction, seed=seed) if sample_fraction else fc
-    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(
-        train_fc
-    )
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    assigned = model.transform(fc).select(id_col, "cluster")
-
-    # residuals via a broadcast join on the tiny centroid table (nlist
-    # rows) — the centroid arrives as DATA, not an nlist x dim literal
-    # forest in the plan
+    if (centroids is None) != (codebooks is None):
+        raise ValueError("pass centroids and codebooks together, or neither")
+    if centroids is None:
+        centroids, codebooks = ivfpq_train(
+            corpus, dim, id_col=id_col, vec_col=vec_col, nlist=nlist, m=m,
+            codewords=codewords, iters=iters,
+            sample_fraction=sample_fraction, seed=seed,
+        )
+    books = codebooks
+    nlist, m, codewords = len(centroids), len(books), len(books[0])
     spark = corpus.sparkSession
+
+    # assignment against the (trained or loaded) centroids: argmin
+    # ||x - c||^2 via the monotone-equivalent ||c||^2 - 2 x.c, JVM-side —
+    # one model pass over the corpus, identical for both paths
+    assign_structs = [
+        F.struct(
+            (
+                F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col(vec_col, cent)
+            ).alias("score"),
+            F.lit(j).alias("cluster"),
+        )
+        for j, cent in enumerate(centroids)
+    ]
+    assigned = corpus.select(
+        F.col(id_col),
+        F.element_at(F.array_sort(F.array(*assign_structs)), 1)["cluster"].alias(
+            "cluster"
+        ),
+    )
+    # the centroid arrives as DATA via a broadcast join on the tiny
+    # centroid table (nlist rows), not an nlist x dim literal forest
     cents = spark.createDataFrame(
         [(j, c) for j, c in enumerate(centroids)],
         "cluster int, _cent array<double>",
-    )
-    resid = (
-        corpus.join(assigned, id_col)
-        .join(F.broadcast(cents), "cluster")
-        .withColumn(
-            "_resid",
-            F.expr(
-                f"zip_with(cast({vec_col} as array<double>), _cent, (x, y) -> x - y)"
-            ),
-        )
-    )
-    books = pq_train(
-        resid, dim, m, codewords, iters, vec_col="_resid",
-        seed="ivfpq", sample_fraction=sample_fraction,
     )
     # encode the FULL corpus: residual subtraction happens inside the
     # Arrow kernel (center_col) — the _resid zip_with above is evaluated

@@ -529,3 +529,41 @@ def test_ivfpq_rerank_recall_and_exact_rescore(spark):
     # shape contract: k rows max per query, rnk dense from 1
     per = {r["query_id"]: r["n"] for r in ivfpq.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
     assert all(1 <= n <= 5 for n in per.values()) and len(per) == 5
+
+
+def test_ivfpq_pretrained_model_roundtrip(spark, tmp_path):
+    """The production reuse path: ivfpq_train -> save_ivfpq ->
+    load_ivfpq -> rerank with the injected model must equal the
+    train-inside-rerank path exactly (deterministic seeds; assignment is
+    the same expression argmin either way)."""
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        ivfpq_topk_rerank,
+        ivfpq_train,
+        load_ivfpq,
+        save_ivfpq,
+    )
+
+    df = _pq_frame(spark, n=80)
+    q = df.filter(F.col("vec_id") < 5)
+    kw = dict(dim=16, nlist=4, nprobe=2, m=4, codewords=8, iters=3, k=5, shortlist=25)
+    cents, books = ivfpq_train(
+        df, dim=16, nlist=4, m=4, codewords=8, iters=3
+    )
+    p = str(tmp_path / "ivfpq.json")
+    save_ivfpq(cents, books, p)
+    cents2, books2 = load_ivfpq(p)
+    assert cents2 == cents and books2 == books
+
+    inline = ivfpq_topk_rerank(df, q, **kw).collect()
+    injected = ivfpq_topk_rerank(df, q, centroids=cents2, codebooks=books2, **kw).collect()
+    key = lambda r: (r["query_id"], r["rnk"])
+    assert sorted(map(tuple, inline), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, injected), key=lambda t: (t[0], t[3])
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ivfpq_topk_rerank(df, q, centroids=cents2, **kw)
