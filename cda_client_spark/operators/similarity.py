@@ -1078,54 +1078,19 @@ def ivfpq_topk_rerank(
         )
     books = codebooks
     nlist, m, codewords = len(centroids), len(books), len(books[0])
-    spark = corpus.sparkSession
+    sub = len(books[0][0])
 
-    # assignment against the (trained or loaded) centroids: argmin
-    # ||x - c||^2 via the monotone-equivalent ||c||^2 - 2 x.c, JVM-side —
-    # one model pass over the corpus, identical for both paths
-    assign_structs = [
-        F.struct(
-            (
-                F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col(vec_col, cent)
-            ).alias("score"),
-            F.lit(j).alias("cluster"),
-        )
-        for j, cent in enumerate(centroids)
-    ]
-    assigned = corpus.select(
-        F.col(id_col),
-        F.element_at(F.array_sort(F.array(*assign_structs)), 1)["cluster"].alias(
-            "cluster"
-        ),
-    )
-    # the centroid arrives as DATA via a broadcast join on the tiny
-    # centroid table (nlist rows), not an nlist x dim literal forest
-    cents = spark.createDataFrame(
-        [(j, c) for j, c in enumerate(centroids)],
-        "cluster int, _cent array<double>",
-    )
-    # encode the FULL corpus: residual subtraction happens inside the
-    # Arrow kernel (center_col) — the _resid zip_with above is evaluated
-    # only for the training sample
-    enc = pq_encode(
-        corpus.join(assigned, id_col)
-        .join(F.broadcast(cents), "cluster")
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("cluster"),
-            F.col(vec_col),
-            F.col("_cent"),
-            norm_col(vec_col).alias("c_norm"),  # TRUE norm of x, not r
-        ),
-        books,
-        vec_col=vec_col,
-        center_col="_cent",
-    ).select("neighbor_id", "cluster", "pq_code", "c_norm")
+    import numpy as np
+    import pandas as pd
+
+    cents_np = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
+    books_np = np.asarray(books, dtype=np.float64)  # (m, codewords, sub)
 
     # query side: nprobe nearest cells (argmin ||q - c||^2 via the
     # monotone-equivalent ||c||^2 - 2 q.c), carrying q.c per probed cell,
-    # plus the residual-codebook ADC table — all against a handful of
-    # query rows, then broadcast
+    # plus the residual-codebook ADC table — collected: |queries| x
+    # (m x codewords + nprobe) doubles, metadata-sized under the bounded
+    # probe-set contract (the prior shape broadcast the same rows)
     probe_structs = [
         F.struct(
             (F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col("q_vec", cent)).alias(
@@ -1138,30 +1103,80 @@ def ivfpq_topk_rerank(
     ]
     probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
     _, q = _projections(corpus, queries, id_col, vec_col)
-    q = (
+    qrows = (
         q.withColumn("_books", _books_literal(books))
-        .withColumn("_qtab", F.expr(pq_qtab_expr(m, codewords, dim // m, "q_vec")))
-        .withColumn("pr", F.explode(probes))
         .select(
             "query_id",
             "q_norm",
-            "_qtab",
-            F.col("pr.cluster").alias("cluster"),
-            F.col("pr.qdotc").alias("_qdotc"),
+            F.expr(pq_qtab_expr(m, codewords, sub, "q_vec")).alias("_qtab"),
+            probes.alias("_probes"),
         )
+        .collect()
     )
-    pairs = enc.withColumnRenamed("pq_code", "_code").join(F.broadcast(q), "cluster")
-    pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    adc_dot = F.col("_qdotc") + F.expr(PQ_ADC_EXPR)
-    scored = pairs.withColumn(
-        "adc_sim", F.round(adc_dot / (F.col("q_norm") * F.col("c_norm")), round_digits)
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos_sim double, rnk int"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qnorms = np.array([r["q_norm"] for r in qrows], dtype=np.float64)
+    qtab = np.array([r["_qtab"] for r in qrows], dtype=np.float64)
+    # per query: probed-cell membership mask and q.c per cell
+    probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
+    qdotc = np.zeros((len(qrows), nlist), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        for pr in r["_probes"]:
+            probe_mask[qi, pr["cluster"]] = True
+            qdotc[qi, pr["cluster"]] = pr["qdotc"]
+
+    # corpus side, ONE Arrow pass per partition: assign (argmin squared
+    # distance to the centroids), residual-encode against the codebooks,
+    # ADC-score each query over its probed cells only, and emit the local
+    # top-``shortlist`` per query — assignment, residual and the ADC fold
+    # were higher-order functions before (interpreted, ~1 ms/row); the
+    # kernel keeps the encode fold order of the pq_encode spec
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        norm_col(vec_col).alias("c_norm"),  # TRUE norm of x, not r
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc("neighbor_id"))
-    cand = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].values).astype(np.float64)  # (n, dim)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cnorm = pdf["c_norm"].to_numpy(dtype=np.float64)
+            d2 = ((x[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
+            cells = d2.argmin(axis=1)  # (n,)
+            sv = (x - cents_np[cells]).reshape(len(pdf), m, sub)
+            diff = sv[:, :, None, :] - books_np[None, :, :, :]
+            sq = diff * diff
+            dd = sq[..., 0].copy()
+            for p in range(1, sub):
+                dd += sq[..., p]
+            codes = dd.argmin(axis=2)  # (n, m)
+            adc = qtab[:, 0, :][:, codes[:, 0]]  # (nq, n)
+            for j in range(1, m):
+                adc = adc + qtab[:, j, :][:, codes[:, j]]
+            out_q, out_n = [], []
+            for qi, qid in enumerate(qids):
+                mask = probe_mask[qi][cells] & (nids != qid)
+                idx = np.nonzero(mask)[0]
+                if not idx.size:
+                    continue
+                sim = np.round(
+                    (qdotc[qi][cells[idx]] + adc[qi, idx])
+                    / (qnorms[qi] * cnorm[idx]),
+                    round_digits,
+                )
+                order = np.lexsort((nids[idx], -sim))[:shortlist]
+                pick = idx[order]
+                out_q += [int(qid)] * len(pick)
+                out_n += nids[pick].tolist()
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+    cand = base.mapInPandas(scan, schema="query_id bigint, neighbor_id bigint")
     c, qx = _projections(corpus, queries, id_col, vec_col)
     rescored = cand.join(c, "neighbor_id").join(F.broadcast(qx), "query_id").withColumn(
         "cos_sim", _scored(round_digits)
