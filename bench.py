@@ -154,7 +154,10 @@ def select_published_median(
     (tests/test_bench_protocol.py): min-anchored outlier rejection, then
     prefer reps that STARTED on a quiet box when at least ``min(3, reps)``
     clean kept reps exist. Returns (published_median, median_all_kept,
-    n_rejected, n_contended)."""
+    n_rejected, n_contended). ``n_contended`` counts the reps whose
+    pre-rep external load exceeded ``ext_load_max`` — independent of
+    outlier rejection (r8 ADVICE: a quiet-box rep rejected as an outlier
+    is a spike, not contention, and must not inflate the count)."""
     lo = min(samples)
     kept_idx = (
         [i for i, s in enumerate(samples) if s <= outlier_factor * lo]
@@ -168,7 +171,7 @@ def select_published_median(
         round(statistics.median(published), 3),
         round(statistics.median(kept), 3),
         len(samples) - len(kept),
-        len(samples) - len(clean),
+        sum(1 for e in rep_ext if e > ext_load_max),
     )
 
 
@@ -218,12 +221,19 @@ def bench_queries_map():
     from cda_client_spark.queries_llm import (
         doc_minhash_lsh_pairs_fast,
         doc_simhash_near_dups_fast,
+        ivfpq_search_codes,
+        ivfpq_search_raw,
     )
 
     return {
         **SPARK,
         "doc_minhash_lsh_pairs_fast": doc_minhash_lsh_pairs_fast,
         "doc_simhash_near_dups_fast": doc_simhash_near_dups_fast,
+        # r9: IVFADC search over the PERSISTED parquet index vs the same
+        # search re-encoding raw vectors — records what the materialized
+        # index buys per search (model+index built once, outside the reps)
+        "ivfpq_search_codes": ivfpq_search_codes,
+        "ivfpq_search_raw": ivfpq_search_raw,
     }
 
 

@@ -39,6 +39,17 @@ Config shape (every step optional; steps run in the fixed order below):
         storePath: /data/sig_store
         checkpointPath: /data/ckpt
         compactEvery: 16   # fold store history into one partition every N batches
+        # OPTIONAL semantic near-dup stage over an embedding column: an
+        # IVFADC index persisted like the signature store. The model
+        # trains ONCE (on the first delivery, or pre-train offline with
+        # save_ivfpq) and every later delivery searches the persisted
+        # index — streaming/incremental.py AnnIndexConfig
+        annIndex:
+          indexPath: /data/ann_index
+          modelPath: /data/ann_model.json
+          dim: 64
+          vecColumn: embedding
+          threshold: 0.99
 
 Design: transforms (line dedup, PII) rewrite the text in place; filters
 never drop rows mid-stream — each tags the FIRST failing stage in a
@@ -123,6 +134,13 @@ def load_curation_config(path: str | Path) -> CurationConfig:
         for req in ("landingPath", "storePath", "checkpointPath"):
             if not inc.get(req):
                 raise ConfigError(f"curation.incremental.{req} is required")
+        ann = inc.get("annIndex")
+        if ann is not None:
+            for req in ("indexPath", "modelPath", "dim"):
+                if not ann.get(req):
+                    raise ConfigError(
+                        f"curation.incremental.annIndex.{req} is required"
+                    )
     required = ("outputPath",) if inc else ("inputPath", "outputPath")
     for req in required:
         if not c.get(req):
@@ -558,12 +576,17 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
     """
     from cda_client_spark.sinks.files import write_jsonl_sharded
     from cda_client_spark.streaming.incremental import (
+        AnnIndexConfig,
         _finish_compaction,
         _require_local_store,
         _store_batch_ids,
+        ann_dup_ids,
+        ann_index_schema,
         batch_buckets,
         compact_store,
+        ensure_ann_model,
         near_dup_ids,
+        write_ann_index_batch,
         write_store_batch,
     )
 
@@ -576,6 +599,28 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
     _require_local_store(store_dir)
     ckpt = inc["checkpointPath"]
     compact_every = int(inc.get("compactEvery", 16))
+    ann_raw = inc.get("annIndex")
+    ann_cfg = None
+    if ann_raw:
+        ann_cfg = AnnIndexConfig(
+            index_dir=ann_raw["indexPath"],
+            model_path=ann_raw["modelPath"],
+            dim=int(ann_raw["dim"]),
+            vec_col=ann_raw.get("vecColumn", "embedding"),
+            threshold=float(ann_raw.get("threshold", 0.99)),
+            nlist=int(ann_raw.get("nlist", 16)),
+            m=int(ann_raw.get("m", 16)),
+            codewords=int(ann_raw.get("codewords", 16)),
+            iters=int(ann_raw.get("iters", 3)),
+            nprobe=int(ann_raw.get("nprobe", 8)),
+            self_k=int(ann_raw.get("selfK", 10)),
+            sample_fraction=(
+                float(ann_raw["sampleFraction"])
+                if ann_raw.get("sampleFraction")
+                else None
+            ),
+        )
+        _require_local_store(ann_cfg.index_dir)
     dedup_kwargs = {
         k: inc[k]
         for k in ("num_hashes", "bands", "shingle", "hash_fn", "max_bucket_size")
@@ -597,12 +642,15 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
         # whose batch numbering is ahead of this checkpoint lineage
         _finish_compaction(store_dir)
         stale = [b for b in _store_batch_ids(store_dir) if b > batch_id]
+        if ann_cfg is not None:
+            _finish_compaction(ann_cfg.index_dir)
+            stale += [b for b in _store_batch_ids(ann_cfg.index_dir) if b > batch_id]
         if stale:
             raise ValueError(
-                f"store {store_dir} already holds batches {stale} > current "
-                f"batch {batch_id}: the checkpoint lineage restarted against "
-                "an old store. Retain or discard checkpoint/store/output "
-                "together."
+                f"store {store_dir} already holds batches {sorted(set(stale))} "
+                f"> current batch {batch_id}: the checkpoint lineage restarted "
+                "against an old store. Retain or discard checkpoint/store/"
+                "output together."
             )
         frames = curate_frame(spark, batch_df, cfg)
         tagged = frames.tagged.persist()
@@ -627,7 +675,26 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                     ),
                     "near_dup",
                     F.col("_nd").isNotNull(),
-                ).drop("_nd").persist()
+                ).drop("_nd")
+                if ann_cfg is not None:
+                    # semantic near-dup stage: train-once IVFADC model +
+                    # persisted index (streaming/incremental.py); checked
+                    # over the batch-filter survivors, tagged AFTER
+                    # near_dup so an overlap names the text stage first
+                    ann_frame = kept_rows.select(cfg.id_col, ann_cfg.vec_col)
+                    cents, books = ensure_ann_model(ann_frame, ann_cfg, cfg.id_col)
+                    sem = ann_dup_ids(
+                        spark, ann_frame, batch_id, ann_cfg, cents, books,
+                        cfg.id_col,
+                    )
+                    tagged2 = _tag(
+                        tagged2.join(
+                            sem.withColumn("_sd", F.lit(True)), cfg.id_col, "left"
+                        ),
+                        "semantic_dup",
+                        F.col("_sd").isNotNull(),
+                    ).drop("_sd")
+                tagged2 = tagged2.persist()
                 try:
                     funnels.append(
                         {
@@ -654,15 +721,25 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                         compression=cfg.export_compression,
                         partition_cols=["split"],
                     )
+                    accepted_ids = tagged2.filter(
+                        F.col("drop_reason").isNull()
+                    ).select(cfg.id_col)
                     write_store_batch(
-                        buckets,
-                        tagged2.filter(F.col("drop_reason").isNull()).select(cfg.id_col),
-                        store_dir,
-                        batch_id,
-                        cfg.id_col,
+                        buckets, accepted_ids, store_dir, batch_id, cfg.id_col
                     )
+                    if ann_cfg is not None:
+                        write_ann_index_batch(
+                            kept_rows.select(cfg.id_col, ann_cfg.vec_col),
+                            accepted_ids, ann_cfg, cents, books, batch_id,
+                            cfg.id_col,
+                        )
                     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                         compact_store(spark, store_dir, batch_id)
+                        if ann_cfg is not None:
+                            compact_store(
+                                spark, ann_cfg.index_dir, batch_id,
+                                schema=ann_index_schema(cfg.id_col, ann_cfg.vec_col),
+                            )
                 finally:
                     tagged2.unpersist()
             finally:

@@ -123,6 +123,67 @@ def load_quality_model(path: str):
     return PipelineModel.load(path)
 
 
+def score_quality_linear(
+    df: DataFrame,
+    coefficients: list[float],
+    intercept: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "qlin",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The SERVING half of the quality classifier with an EXPLICIT
+    coefficient vector — sigmoid of a dot product over hashed-unigram
+    term counts, the exact arithmetic ``score_quality`` applies, but with
+    the hashing trick on the engine-portable md5 bucket
+    (``hash_bucket``; DuckDB replays it verbatim) instead of HashingTF's
+    murmur3, and coefficients supplied by the caller (imported from an
+    externally-trained model, e.g. fastText-style weights). Returns
+    ``(id, n_tokens, logit_x256, quality_prob, pred_label)``.
+
+    Since sum_b count_b * coef_b == sum over tokens of coef[bucket(tok)],
+    no per-bucket pivot is needed: one explode → coef lookup →
+    map-side-combinable per-doc sum (the only shuffle carries (doc,
+    partial sums)). Empty documents survive via explode_outer with
+    n_tokens=0 and logit=intercept.
+
+    Determinism: when every coefficient (and the intercept) is a dyadic
+    rational k/256, all products/sums are exact in float64 in ANY
+    summation order — ``logit_x256 = 256 * logit`` is then an exact
+    BIGINT, giving a zero-fp-hazard column for cross-engine value
+    verification (the ``classifier_score_fixed`` oracle); only the
+    sigmoid touches libm.
+    """
+    from cda_client_spark.operators.sampling import hash_bucket
+
+    buckets = len(coefficients)
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(_tokens_col(text_col)).alias("_tok"),
+    )
+    coef_arr = F.array(*[F.lit(float(c)) for c in coefficients])
+    w = toks.select(
+        F.col(id_col),
+        F.element_at(
+            coef_arr, (hash_bucket(F.col("_tok"), buckets, seed) + 1).cast("int")
+        ).alias("_w"),
+    )
+    agg = w.groupBy(id_col).agg(
+        F.count("_w").cast("bigint").alias("n_tokens"),  # null tok of empty doc: 0
+        F.coalesce(F.sum("_w"), F.lit(0.0)).alias("_s"),
+    )
+    z = F.lit(float(intercept)) + F.col("_s")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        (z * 256).cast("bigint").alias("logit_x256"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_digits).alias(
+            QUALITY_PROB_COL
+        ),
+        (z >= 0).alias("pred_label"),
+    )
+
+
 def quality_filter(
     model,
     df: DataFrame,

@@ -166,6 +166,19 @@ def sketch_buckets(
     )
 
 
+def _np_round_half_up(x, digits: int):
+    """numpy rounding under the SAME convention as Spark's ``F.round``
+    (HALF_UP, away from zero at the .5 boundary) — np.round is half-to-
+    even, which would silently change the published value (and the
+    ranking) at exact half-boundaries (r8 ADVICE). Ties at the half
+    boundary are near-impossible for cosine quotients, so this is about
+    keeping ONE documented convention across the JVM and kernel paths."""
+    import numpy as np
+
+    scale = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
 def _scored(round_digits: int) -> Column:
     """cosine = dot / (norm_a * norm_b), rounded for engine parity."""
     dot = dot_col("q_vec", "c_vec")
@@ -690,6 +703,24 @@ PQ_ADC_EXPR = (
 )
 
 
+def _bounded_probe_collect(q: DataFrame, max_queries: int, op: str) -> list:
+    """Collect a query-probe frame under the bounded-probe-set contract
+    (r8 verdict #4: the contract lived only in docstrings — a caller
+    passing a corpus-sized "queries" frame got a driver OOM with no
+    useful message). Reads at most ``max_queries`` + 1 rows via limit, so
+    the overflow check itself cannot OOM the driver."""
+    rows = q.limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"{op}: the queries frame exceeds max_queries={max_queries} — "
+            "the query side is collected to the driver under the bounded "
+            "probe-set contract (|queries| x m x codewords doubles must be "
+            "metadata-sized). Batch the queries, or raise max_queries if "
+            "the driver genuinely has the memory."
+        )
+    return rows
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -737,24 +768,49 @@ def pq_encode(
 
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    dim = m * sub
     books = np.asarray(codebooks, dtype=np.float64)  # (m, codewords, sub)
-    out_fields = list(df.schema.fields) + [
+    # REPLACE an existing output column instead of appending a duplicate
+    # field (r8 ADVICE: the pre-kernel withColumn shape replaced it)
+    new_names = {code_col} | ({self_adc_col} if self_adc_col else set())
+    out_fields = [f for f in df.schema.fields if f.name not in new_names] + [
         StructField(code_col, ArrayType(IntegerType()))
     ]
     if self_adc_col:
         out_fields.append(StructField(self_adc_col, DoubleType()))
     out_schema = StructType(out_fields)
+    names = [f.name for f in out_fields]
+
+    def _vectors(pdf, col):
+        """Stack one array column, failing with a USEFUL message on NULL
+        or wrong-length vectors (r8 ADVICE: np.stack/reshape would raise
+        an opaque shape error for the whole task)."""
+        vals = pdf[col].values
+        bad = [
+            (i, "NULL" if v is None else f"len {len(v)}")
+            for i, v in enumerate(vals)
+            if v is None or len(v) != dim
+        ]
+        if bad:
+            i, what = bad[0]
+            raise ValueError(
+                f"pq_encode: column {col!r} must be non-null arrays of "
+                f"length {dim} (= m {m} x sub {sub}); row {i} of this "
+                f"batch has {what} ({len(bad)} bad row(s) in the batch). "
+                "Filter or quarantine malformed vectors upstream."
+            )
+        return np.stack(vals).astype(np.float64)
 
     def encode(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
-                yield pdf.reindex(columns=[f.name for f in out_fields])
+                yield pdf.reindex(columns=names)
                 continue
-            x = np.stack(pdf[vec_col].values).astype(np.float64)
+            x = _vectors(pdf, vec_col)
             if center_col is not None:
-                x = x - np.stack(pdf[center_col].values).astype(np.float64)
+                x = x - _vectors(pdf, center_col)
             sv = x.reshape(len(pdf), m, sub)  # (n, m, sub)
             diff = sv[:, :, None, :] - books[None, :, :, :]  # (n, m, k, sub)
             sq = diff * diff
@@ -777,7 +833,7 @@ def pq_encode(
                 for j in range(1, m):
                     adc = adc + sel[:, j]  # ordered fold over subspaces
                 pdf[self_adc_col] = adc
-            yield pdf
+            yield pdf.reindex(columns=names)
 
     return df.mapInPandas(encode, schema=out_schema)
 
@@ -793,6 +849,7 @@ def pq_topk(
     k: int = 10,
     round_digits: int = 6,
     exclude_self: bool = True,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """ADC cosine top-k over PQ codes: each query precomputes its lookup
     table of dots against the literal codebooks (m x codewords doubles,
@@ -820,6 +877,11 @@ def pq_topk(
     |corpus| x |queries| score matrix. Query-table construction is a
     plan-time action (one tiny job), same precedent as the gate's eager
     classifier fit.
+
+    The bounded-probe-set contract is ENFORCED (r8 verdict #4): the
+    collect reads at most ``max_queries`` + 1 rows and raises a clear
+    ValueError above the cap — a corpus-sized "queries" frame must fail
+    with the contract's name, not a driver OOM.
     """
     import numpy as np
     import pandas as pd
@@ -835,7 +897,7 @@ def pq_topk(
             F.expr(pq_qtab_expr(m, codewords, sub, vec_col)).alias("_qtab"),
         )
     )
-    qrows = q.collect()  # bounded probe set (see docstring)
+    qrows = _bounded_probe_collect(q, max_queries, "pq_topk")
     spark = corpus_codes.sparkSession
     out_schema = "query_id bigint, neighbor_id bigint, cos_sim double"
     if not qrows:
@@ -862,7 +924,9 @@ def pq_topk(
             adc = qtab[:, 0, :][:, codes[:, 0]]  # (nq, n)
             for j in range(1, m):
                 adc = adc + qtab[:, j, :][:, codes[:, j]]
-            cos = np.round(adc / (qnorms[:, None] * cnorm[None, :]), round_digits)
+            cos = _np_round_half_up(
+                adc / (qnorms[:, None] * cnorm[None, :]), round_digits
+            )
             out_q, out_n, out_c = [], [], []
             for qi, qid in enumerate(qids):
                 idx = np.nonzero(nids != qid)[0] if exclude_self else np.arange(
@@ -1017,6 +1081,250 @@ def load_ivfpq(path: str) -> tuple[list[list[float]], list[list[list[float]]]]:
     return d["centroids"], d["codebooks"]
 
 
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+    norm_col_name: str = "c_norm",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Materialize the IVFADC inverted-list index as a DataFrame:
+    ``(id, cell, pq_code, c_norm)`` — coarse-cell assignment (argmin
+    squared distance to the centroids), PQ code of the RESIDUAL
+    ``x - centroid(cell)``, and the TRUE vector norm. One Arrow map pass,
+    no shuffle; persist the result as parquet (this frame IS the index
+    Jegou et al. 2011 store as inverted lists — a few small ints + two
+    scalars per vector, ~32x smaller than the raw vectors at the
+    defaults).
+
+    This is the 100 TB point of the operator (r8 verdict #2: without it,
+    every search re-read and re-encoded the raw corpus): encode ONCE,
+    then ``ivfpq_topk_rerank(..., corpus_codes=enc)`` scans m small ints
+    per row per search and touches raw vectors only for the
+    |queries| x shortlist re-rank. The kernel computes cell/code/norm
+    with EXACTLY the arithmetic of the inline single-pass search scan
+    (same fold orders), so encode-once == encode-inline results
+    (pinned by tests/test_similarity.py)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    books_np = np.asarray(codebooks, dtype=np.float64)
+
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col), norm_col(vec_col).alias(norm_col_name)
+    )
+    out_schema = (
+        f"{id_col} bigint, {cell_col} int, {code_col} array<int>, "
+        f"{norm_col_name} double"
+    )
+    if keep_vec:
+        # self-contained index variant: the raw vector rides along for
+        # exact re-rank/verify reads. Parquet column pruning keeps the
+        # ADC scan's IO at codes + scalars — the vector column is read
+        # only by the (candidate-sized) rerank join.
+        out_schema += f", {vec_col} array<float>"
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].values).astype(np.float64)
+            cells, codes = _ivfpq_assign_encode(x, cents_np, books_np, m, sub)
+            out = {
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                cell_col: cells.astype("int32"),
+                code_col: [c.astype("int32").tolist() for c in codes],
+                norm_col_name: pdf[norm_col_name].to_numpy(dtype=np.float64),
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col].values
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(encode, schema=out_schema)
+
+
+def _ivfpq_assign_encode(x, cents_np, books_np, m: int, sub: int):
+    """Shared assign+residual-encode arithmetic of the IVFADC kernels —
+    ONE implementation so the materialized index (``ivfpq_encode``) and
+    the inline single-pass search produce bit-identical (cell, code)
+    pairs. Fold orders match the pq_encode expression spec."""
+    import numpy as np
+
+    d2 = ((x[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
+    cells = d2.argmin(axis=1)  # (n,)
+    sv = (x - cents_np[cells]).reshape(len(x), m, sub)
+    diff = sv[:, :, None, :] - books_np[None, :, :, :]
+    sq = diff * diff
+    dd = sq[..., 0].copy()
+    for p in range(1, sub):
+        dd += sq[..., p]
+    codes = dd.argmin(axis=2)  # (n, m)
+    return cells, codes
+
+
+def _ivfpq_query_state(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    nprobe: int,
+    max_queries: int,
+    op: str,
+    id_col: str,
+    vec_col: str,
+):
+    """Collect the IVFADC query-side search state — per query: the id,
+    true norm, residual-codebook ADC lookup table, and the ``nprobe``
+    nearest cells (argmin ||q - c||^2 via the monotone-equivalent
+    ||c||^2 - 2 q.c) with q.c carried per probed cell. Collected under
+    the bounded probe-set contract: |queries| x (m x codewords + nprobe)
+    doubles. Returns (qids, qnorms, qtab, probe_mask, qdotc) numpy
+    arrays, or None when the query frame is empty."""
+    import numpy as np
+
+    nlist = len(centroids)
+    m, codewords = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    probe_structs = [
+        F.struct(
+            (F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col("q_vec", cent)).alias(
+                "score"
+            ),
+            F.lit(j).alias("cluster"),
+            plane_dot_col("q_vec", cent).alias("qdotc"),
+        )
+        for j, cent in enumerate(centroids)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_col(vec_col).alias("q_norm"),
+    )
+    qrows = _bounded_probe_collect(
+        q.withColumn("_books", _books_literal(codebooks)).select(
+            "query_id",
+            "q_norm",
+            F.expr(pq_qtab_expr(m, codewords, sub, "q_vec")).alias("_qtab"),
+            probes.alias("_probes"),
+        ),
+        max_queries,
+        op,
+    )
+    if not qrows:
+        return None
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qnorms = np.array([r["q_norm"] for r in qrows], dtype=np.float64)
+    qtab = np.array([r["_qtab"] for r in qrows], dtype=np.float64)
+    probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
+    qdotc = np.zeros((len(qrows), nlist), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        for pr in r["_probes"]:
+            probe_mask[qi, pr["cluster"]] = True
+            qdotc[qi, pr["cluster"]] = pr["qdotc"]
+    return qids, qnorms, qtab, probe_mask, qdotc
+
+
+def ivfpq_topk_adc(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    k: int = 10,
+    round_digits: int = 6,
+    exclude_self: bool = True,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Pure compressed-domain IVFADC search over a MATERIALIZED index
+    (:func:`ivfpq_encode` output): ADC cosine top-k within the probed
+    cells, returning ``(query_id, neighbor_id, adc_cos, rnk)`` — raw
+    corpus vectors are NEVER read. This is the search-many recurring
+    path at 100 TB (the index is m small ints + 2 scalars per vector);
+    compose with an exact re-rank against raw vectors when exact scores
+    matter (:func:`ivfpq_topk_rerank` with ``corpus_codes=``), or use
+    the ADC score directly for threshold decisions (the incremental
+    curation's semantic near-dup check, streaming/incremental.py).
+
+    ``adc_cos`` pairs the reconstructed dot (q.c + q.r̂ via the lookup
+    table) with the TRUE stored norms — approximate in the quantization,
+    deterministic given the model. Each partition emits only its local
+    top-k per query under the global (adc_cos desc, id asc) order."""
+    import numpy as np
+    import pandas as pd
+
+    state = _ivfpq_query_state(
+        queries, centroids, codebooks, nprobe, max_queries, "ivfpq_topk_adc",
+        id_col, vec_col,
+    )
+    out_schema = "query_id bigint, neighbor_id bigint, adc_cos double"
+    spark = corpus_codes.sparkSession
+    if state is None:
+        return (
+            spark.createDataFrame([], out_schema)
+            .withColumn("rnk", F.lit(1))
+            .filter(F.lit(False))
+        )
+    qids, qnorms, qtab, probe_mask, qdotc = state
+    m = len(codebooks)
+
+    enc = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell").alias("_cell"),
+        F.col("pq_code").alias("_code"),
+        F.col("c_norm"),
+    )
+
+    def scan_codes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["_cell"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["_code"].values).astype(np.int64)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cnorm = pdf["c_norm"].to_numpy(dtype=np.float64)
+            adc = qtab[:, 0, :][:, codes[:, 0]]  # (nq, n)
+            for j in range(1, m):
+                adc = adc + qtab[:, j, :][:, codes[:, j]]
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                mask = probe_mask[qi][cells]
+                if exclude_self:
+                    mask = mask & (nids != qid)
+                idx = np.nonzero(mask)[0]
+                if not idx.size:
+                    continue
+                sim = _np_round_half_up(
+                    (qdotc[qi][cells[idx]] + adc[qi, idx])
+                    / (qnorms[qi] * cnorm[idx]),
+                    round_digits,
+                )
+                order = np.lexsort((nids[idx], -sim))[:k]
+                pick = idx[order]
+                out_q += [int(qid)] * len(pick)
+                out_n += nids[pick].tolist()
+                out_s += sim[order].tolist()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_cos": out_s}
+            )
+
+    cand = enc.mapInPandas(scan_codes, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_cos", "rnk")
+    )
+
+
 def ivfpq_topk_rerank(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1035,6 +1343,8 @@ def ivfpq_topk_rerank(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    corpus_codes: DataFrame | None = None,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """IVFADC (Jegou et al. 2011, "Product Quantization for Nearest
     Neighbor Search", SIV): the production large-scale ANN index — a
@@ -1067,10 +1377,27 @@ def ivfpq_topk_rerank(
     Pass ``centroids`` + ``codebooks`` (e.g. via :func:`load_ivfpq`) to
     SKIP both trainers — the production reuse path: train once on a
     corpus sample, persist the KB-sized sidecar, search many times.
+
+    Pass ``corpus_codes`` (a frame from :func:`ivfpq_encode`, typically
+    persisted parquet) to ALSO skip the per-search corpus re-encode
+    (r8 verdict #2 — the materialized-index path, mirroring ``pq_topk``'s
+    ``corpus_codes`` contract): the scan then reads m small ints + 2
+    scalars per row instead of dim floats, and ``corpus`` raw vectors are
+    read only for the |queries| x shortlist re-rank join. Requires the
+    model the codes were encoded with (``centroids``/``codebooks``).
+
+    The query side is collected under the ENFORCED bounded-probe-set
+    contract (``max_queries``, r8 verdict #4) — an oversized queries
+    frame raises a clear ValueError instead of a driver OOM.
     """
     if (centroids is None) != (codebooks is None):
         raise ValueError("pass centroids and codebooks together, or neither")
     if centroids is None:
+        if corpus_codes is not None:
+            raise ValueError(
+                "corpus_codes requires the model it was encoded with — "
+                "pass the same centroids and codebooks (e.g. load_ivfpq)"
+            )
         centroids, codebooks = ivfpq_train(
             corpus, dim, id_col=id_col, vec_col=vec_col, nlist=nlist, m=m,
             codewords=codewords, iters=iters,
@@ -1086,97 +1413,90 @@ def ivfpq_topk_rerank(
     cents_np = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
     books_np = np.asarray(books, dtype=np.float64)  # (m, codewords, sub)
 
-    # query side: nprobe nearest cells (argmin ||q - c||^2 via the
-    # monotone-equivalent ||c||^2 - 2 q.c), carrying q.c per probed cell,
-    # plus the residual-codebook ADC table — collected: |queries| x
-    # (m x codewords + nprobe) doubles, metadata-sized under the bounded
-    # probe-set contract (the prior shape broadcast the same rows)
-    probe_structs = [
-        F.struct(
-            (F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col("q_vec", cent)).alias(
-                "score"
-            ),
-            F.lit(j).alias("cluster"),
-            plane_dot_col("q_vec", cent).alias("qdotc"),
-        )
-        for j, cent in enumerate(centroids)
-    ]
-    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
-    _, q = _projections(corpus, queries, id_col, vec_col)
-    qrows = (
-        q.withColumn("_books", _books_literal(books))
-        .select(
-            "query_id",
-            "q_norm",
-            F.expr(pq_qtab_expr(m, codewords, sub, "q_vec")).alias("_qtab"),
-            probes.alias("_probes"),
-        )
-        .collect()
+    state = _ivfpq_query_state(
+        queries, centroids, books, nprobe, max_queries, "ivfpq_topk_rerank",
+        id_col, vec_col,
     )
-    if not qrows:
+    if state is None:
         return corpus.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cos_sim double, rnk int"
         )
-    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
-    qnorms = np.array([r["q_norm"] for r in qrows], dtype=np.float64)
-    qtab = np.array([r["_qtab"] for r in qrows], dtype=np.float64)
-    # per query: probed-cell membership mask and q.c per cell
-    probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
-    qdotc = np.zeros((len(qrows), nlist), dtype=np.float64)
-    for qi, r in enumerate(qrows):
-        for pr in r["_probes"]:
-            probe_mask[qi, pr["cluster"]] = True
-            qdotc[qi, pr["cluster"]] = pr["qdotc"]
+    qids, qnorms, qtab, probe_mask, qdotc = state
 
-    # corpus side, ONE Arrow pass per partition: assign (argmin squared
-    # distance to the centroids), residual-encode against the codebooks,
-    # ADC-score each query over its probed cells only, and emit the local
-    # top-``shortlist`` per query — assignment, residual and the ADC fold
-    # were higher-order functions before (interpreted, ~1 ms/row); the
-    # kernel keeps the encode fold order of the pq_encode spec
-    base = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col),
-        norm_col(vec_col).alias("c_norm"),  # TRUE norm of x, not r
-    )
-
-    def scan(batches):
-        for pdf in batches:
-            if not len(pdf):
+    def _shortlist(cells, codes, nids, cnorm):
+        """Probed ADC scoring + local top-``shortlist`` per query — the
+        per-partition half shared by both scan paths. ADC fold order
+        matches PQ_ADC_EXPR; ranking rounds HALF_UP like F.round."""
+        adc = qtab[:, 0, :][:, codes[:, 0]]  # (nq, n)
+        for j in range(1, m):
+            adc = adc + qtab[:, j, :][:, codes[:, j]]
+        out_q, out_n = [], []
+        for qi, qid in enumerate(qids):
+            mask = probe_mask[qi][cells] & (nids != qid)
+            idx = np.nonzero(mask)[0]
+            if not idx.size:
                 continue
-            x = np.stack(pdf[vec_col].values).astype(np.float64)  # (n, dim)
-            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            cnorm = pdf["c_norm"].to_numpy(dtype=np.float64)
-            d2 = ((x[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
-            cells = d2.argmin(axis=1)  # (n,)
-            sv = (x - cents_np[cells]).reshape(len(pdf), m, sub)
-            diff = sv[:, :, None, :] - books_np[None, :, :, :]
-            sq = diff * diff
-            dd = sq[..., 0].copy()
-            for p in range(1, sub):
-                dd += sq[..., p]
-            codes = dd.argmin(axis=2)  # (n, m)
-            adc = qtab[:, 0, :][:, codes[:, 0]]  # (nq, n)
-            for j in range(1, m):
-                adc = adc + qtab[:, j, :][:, codes[:, j]]
-            out_q, out_n = [], []
-            for qi, qid in enumerate(qids):
-                mask = probe_mask[qi][cells] & (nids != qid)
-                idx = np.nonzero(mask)[0]
-                if not idx.size:
-                    continue
-                sim = np.round(
-                    (qdotc[qi][cells[idx]] + adc[qi, idx])
-                    / (qnorms[qi] * cnorm[idx]),
-                    round_digits,
-                )
-                order = np.lexsort((nids[idx], -sim))[:shortlist]
-                pick = idx[order]
-                out_q += [int(qid)] * len(pick)
-                out_n += nids[pick].tolist()
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+            sim = _np_round_half_up(
+                (qdotc[qi][cells[idx]] + adc[qi, idx]) / (qnorms[qi] * cnorm[idx]),
+                round_digits,
+            )
+            order = np.lexsort((nids[idx], -sim))[:shortlist]
+            pick = idx[order]
+            out_q += [int(qid)] * len(pick)
+            out_n += nids[pick].tolist()
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
 
-    cand = base.mapInPandas(scan, schema="query_id bigint, neighbor_id bigint")
+    if corpus_codes is not None:
+        # MATERIALIZED-INDEX path (r8 verdict #2): the scan reads the
+        # persisted (cell, code, norm) columns — m small ints + 2 scalars
+        # per row; raw vectors are NOT read here at all
+        enc = corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cell").alias("_cell"),
+            F.col("pq_code").alias("_code"),
+            F.col("c_norm"),
+        )
+
+        def scan_codes(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                yield _shortlist(
+                    pdf["_cell"].to_numpy(dtype=np.int64),
+                    np.stack(pdf["_code"].values).astype(np.int64),
+                    pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    pdf["c_norm"].to_numpy(dtype=np.float64),
+                )
+
+        cand = enc.mapInPandas(
+            scan_codes, schema="query_id bigint, neighbor_id bigint"
+        )
+    else:
+        # INLINE path, ONE Arrow pass per partition: assign (argmin
+        # squared distance to the centroids), residual-encode against the
+        # codebooks (shared _ivfpq_assign_encode kernel — bit-identical
+        # to ivfpq_encode), ADC-score each query over its probed cells
+        # only, and emit the local top-``shortlist`` per query
+        base = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            norm_col(vec_col).alias("c_norm"),  # TRUE norm of x, not r
+        )
+
+        def scan(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf[vec_col].values).astype(np.float64)  # (n, dim)
+                cells, codes = _ivfpq_assign_encode(x, cents_np, books_np, m, sub)
+                yield _shortlist(
+                    cells,
+                    codes,
+                    pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    pdf["c_norm"].to_numpy(dtype=np.float64),
+                )
+
+        cand = base.mapInPandas(scan, schema="query_id bigint, neighbor_id bigint")
     c, qx = _projections(corpus, queries, id_col, vec_col)
     rescored = cand.join(c, "neighbor_id").join(F.broadcast(qx), "query_id").withColumn(
         "cos_sim", _scored(round_digits)

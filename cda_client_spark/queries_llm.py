@@ -17,6 +17,7 @@ scaled vectors — identically in Spark and SQL.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -784,7 +785,13 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible gate for IVFADC (operators/similarity.py
     ``ivfpq_topk_rerank``: coarse KMeans lists + PQ over residuals + ADC
     probe + exact rerank — the production large-scale ANN composition):
-    recall@5 vs the brute-force baseline.
+    recall@5 vs the brute-force baseline, searched over the MATERIALIZED
+    index (r9: ``ivfpq_encode`` → a persisted (id, cell, pq_code, c_norm)
+    frame — localCheckpoint here, parquet in production — consumed via
+    ``corpus_codes``, so the search scans m small ints + 2 scalars per
+    row and raw vectors are read only for the |queries| x shortlist
+    rerank; encode-once == encode-inline is pinned by
+    tests/test_similarity.py).
 
     Oracle-strength justification (REGISTRY_ORDER.md policy): the path
     composes TWO fp-order-dependent trainers (Spark ML KMeans and the
@@ -793,17 +800,30 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic this index shares with plain PQ is value-hashed
     driver-visibly by ``pq_encode_adc``. Trainers run on
     ``PQ_TRAIN_SAMPLE`` of the corpus (the 100 TB amortization), so the
-    row's cost tracks the production assign+encode+probe+rerank path."""
-    from cda_client_spark.operators.similarity import ivfpq_topk_rerank
+    row's cost tracks the production train+encode+probe+rerank path."""
+    from cda_client_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+    )
 
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    # nprobe=6/16 (not IVF's 4): with BOTH trainers on the corpus sample
-    # the coarse cells are a little coarser, and probing two more lists is
-    # the textbook recall knob — cost scales as probed fraction, 37.5%
+    cents, books = ivfpq_train(
+        e, dim=EMB_DIM, nlist=16, iters=3, sample_fraction=PQ_TRAIN_SAMPLE
+    )
+    # the persisted index frame: one Arrow encode pass, then searches
+    # touch codes only (the operator's whole 100 TB story)
+    enc = ivfpq_encode(e, cents, books).localCheckpoint()
+    # nprobe=8/16 (r9, was 6): with BOTH trainers on the corpus sample
+    # the coarse cells are a little coarser, and probing more lists is
+    # the textbook recall knob — measured recall@5 0.84 (sf0.01) / 0.72
+    # (sf0.1) vs 0.84/0.64 at nprobe=6, at no measured cost delta on the
+    # codes path (the probed-fraction cost now applies to m small ints
+    # per row, not dim floats)
     ivfpq = ivfpq_topk_rerank(
-        e, q, dim=EMB_DIM, k=5, nlist=16, nprobe=6, iters=3,
-        sample_fraction=PQ_TRAIN_SAMPLE,
+        e, q, dim=EMB_DIM, k=5, nprobe=8,
+        centroids=cents, codebooks=books, corpus_codes=enc,
     ).select("query_id", "neighbor_id")
     brute = ann_topk(e, q, dim=EMB_DIM, k=5, method="bruteforce").select(
         "query_id", "neighbor_id"
@@ -818,6 +838,68 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("hits") >= IVFPQ_RECALL_BAR * F.col("total"))
             ).alias("recall_ok")
         )
+    )
+
+
+_IVFPQ_BENCH_INDEX: dict[str, tuple] = {}
+
+
+def _ivfpq_bench_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Train-once / encode-once apparatus for the two bench-only search
+    variants below: the model (KB sidecar) and the encoded corpus
+    (parquet index on disk — the production layout) are built on first
+    use per sf_dir and reused across bench reps, so the timed body is the
+    SEARCH, not the amortized-at-scale build."""
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    if key not in _IVFPQ_BENCH_INDEX:
+        from cda_client_spark.operators.similarity import ivfpq_encode, ivfpq_train
+
+        e = t(spark, sf_dir, "embeddings")
+        cents, books = ivfpq_train(
+            e, dim=EMB_DIM, nlist=16, iters=3, sample_fraction=PQ_TRAIN_SAMPLE
+        )
+        idx_dir = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_ivfpq_index_" + key.replace("/", "_"),
+        )
+        ivfpq_encode(e, cents, books).write.mode("overwrite").parquet(idx_dir)
+        _IVFPQ_BENCH_INDEX[key] = (cents, books, idx_dir)
+    return _IVFPQ_BENCH_INDEX[key]
+
+
+def ivfpq_search_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benched production variant (not in the oracle registry — results
+    are identical to ``ivfpq_search_raw`` by the encode-parity pytest, and
+    recall is driver-gated via ``ivfpq_recall``): IVFADC search over the
+    PERSISTED parquet index — the search-many workload's recurring cost.
+    Scans m small ints + 2 scalars per corpus row; raw vectors are read
+    only for the |queries| x shortlist rerank join."""
+    from cda_client_spark.operators.similarity import ivfpq_topk_rerank
+
+    cents, books, idx_dir = _ivfpq_bench_index(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_topk_rerank(
+        e, q, dim=EMB_DIM, k=5, nprobe=8,
+        centroids=cents, codebooks=books,
+        corpus_codes=spark.read.parquet(idx_dir),
+    )
+
+
+def ivfpq_search_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same search WITHOUT the materialized index (pretrained model,
+    but every search re-reads and re-encodes the raw corpus) — benched
+    side-by-side with ``ivfpq_search_codes`` to record what the persisted
+    index buys per search."""
+    from cda_client_spark.operators.similarity import ivfpq_topk_rerank
+
+    cents, books, _ = _ivfpq_bench_index(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_topk_rerank(
+        e, q, dim=EMB_DIM, k=5, nprobe=8, centroids=cents, codebooks=books
     )
 
 
@@ -1164,7 +1246,15 @@ def media_wav_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
     that clamps a truncated chunk, accepts channels=0, or loses chunk
     alignment hash-mismatches instead of passing silently. All features
     are integer/half-integer-valued in float64 (exact) until the final
-    round(·, 6)."""
+    round(·, 6).
+
+    Precondition, asserted INSIDE the lazy plan (r8 ADVICE: the oracle
+    equates DuckDB's len(text)/ord() with byte counts/values, which holds
+    for ASCII corpora only — without the guard a non-ASCII corpus would
+    surface as an opaque hash mismatch in L, the sample values AND the
+    reconstructed RIFF size fields): octet_length must equal the decoded
+    char length on every payload, same in-plan assert_true recipe as
+    ``media_histogram_gate``."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1172,6 +1262,25 @@ def media_wav_hardening(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cda_client_spark.operators.multimodal import audio_features, encode_wav
 
     frame = _media_frame(spark, sf_dir)
+    ascii_guard = frame.select(
+        (F.octet_length("media") - F.length(F.decode(F.col("media"), "UTF-8"))).alias(
+            "_d"
+        )
+    ).agg(F.coalesce(F.max("_d"), F.lit(0)).alias("_non_ascii"))
+    frame = (
+        frame.crossJoin(F.broadcast(ascii_guard))  # 1-row scalar broadcast
+        .filter(
+            F.assert_true(
+                F.col("_non_ascii") == 0,
+                F.lit(
+                    "media_wav_hardening: corpus must be ASCII — the DuckDB "
+                    "oracle replays byte counts/values via len(text)/ord(), "
+                    "exact only when every char is one byte"
+                ),
+            ).isNull()
+        )
+        .drop("_non_ascii")
+    )
 
     def prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1453,6 +1562,75 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         (F.col("pos_hi") & F.col("neg_lo") & F.col("acc_ok")).alias("classifier_ok")
     )
+
+
+CLS_FIXED_BUCKETS = 64
+CLS_FIXED_B0 = -1.0  # exact dyadic intercept
+
+
+def _cls_fixed_coefs() -> list[float]:
+    """Fixed md5-derived coefficients for the driver-visible scoring
+    value-hash: every value is k/256 for an md5-derived k in [-256, 256)
+    — exactly representable in binary64 AND as a short decimal literal
+    both engines parse to the same bits (the pq_encode_adc recipe)."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"clsfix:{b}".encode()).hexdigest()[:8], 16) % 512 - 256)
+        / 256.0
+        for b in range(CLS_FIXED_BUCKETS)
+    ]
+
+
+def classifier_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL value-hash proof of the classifier's deterministic SCORING
+    half (r8 verdict #5 — the split-query policy applied to the
+    model-based quality family, exactly as ``pq_encode_adc`` did for PQ):
+    ``score_quality_linear`` (operators/classifier.py) computes sigmoid
+    of a dot product over hashed-unigram term counts — the arithmetic
+    ``score_quality`` applies at serving time — with FIXED md5-derived
+    dyadic (k/256) coefficients over the engine-portable md5 feature
+    bucket, so DuckDB replays it bit-for-bit. ``logit_x256`` is an exact
+    integer (zero fp-tie hazard); ``quality_prob`` rounds the sigmoid at
+    6 decimals (both engines' round is away-from-zero on positives; exp
+    agrees to the last ulp far from rounding boundaries — the same
+    accepted risk class as every round(·, 6) cosine in the catalog).
+    Only the L-BFGS TRAINER (fp-order-dependent gradient sums) remains
+    behind the ``quality_classifier_gate`` margin gate."""
+    from cda_client_spark.operators.classifier import score_quality_linear
+
+    return score_quality_linear(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _cls_fixed_coefs(),
+        intercept=CLS_FIXED_B0,
+        seed="qlin",
+    )
+
+
+def _classifier_score_fixed_sql() -> str:
+    coefs = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in _cls_fixed_coefs())
+    bucket = (
+        f"(('0x' || substr(md5('qlin:' || token), 1, 8))::BIGINT"
+        f" % {CLS_FIXED_BUCKETS})"
+    )
+    z = f"({CLS_FIXED_B0!r} + COALESCE(agg.s, 0))"
+    return f"""
+WITH toks AS (SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS token
+       FROM documents),
+w AS (SELECT doc_id, ([{coefs}])[CAST({bucket} AS INTEGER) + 1] AS w FROM toks),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(w) AS s
+        FROM w GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(agg.n_tokens, 0) AS n_tokens,
+  CAST(256 * {z} AS BIGINT) AS logit_x256,
+  round(1.0 / (1.0 + exp(-{z})), 6) AS quality_prob,
+  {z} >= 0 AS pred_label
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+CLASSIFIER_SCORE_FIXED_SQL = _classifier_score_fixed_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2614,8 +2792,11 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_wav_features": media_wav_features,
     "media_wav_hardening": media_wav_hardening,
     "media_resize_gate": media_resize_gate,
-    # train/score/filter of operators/classifier.py gated through one entry
+    # the L-BFGS TRAINER of operators/classifier.py is gated through
+    # quality_classifier_gate; the deterministic serving/scoring half is
+    # FULLY value-hashed by classifier_score_fixed (r9, split-query policy)
     "quality_classifier_gate": quality_classifier_gate,
+    "classifier_score_fixed": classifier_score_fixed,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination": doc_contamination,
     "doc_line_dedup": doc_line_dedup,
@@ -2679,6 +2860,7 @@ ORACLE_LLM: dict[str, str] = {
     "media_wav_hardening": MEDIA_WAV_HARDENING_SQL,
     "media_resize_gate": MEDIA_RESIZE_GATE_SQL,
     "quality_classifier_gate": QUALITY_CLASSIFIER_GATE_SQL,
+    "classifier_score_fixed": CLASSIFIER_SCORE_FIXED_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "doc_contamination": DOC_CONTAMINATION_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +52,209 @@ from cda_client_spark.operators.dedup import (
 )
 
 BUCKET_SCHEMA = "doc_id bigint, band int, key string"
+
+
+def ann_index_schema(id_col: str = "doc_id", vec_col: str = "embedding") -> str:
+    """Schema of the persisted IVFADC index partitions
+    (operators/similarity.py ``ivfpq_encode`` with ``keep_vec=True``):
+    codes + scalars drive the ADC scan (parquet column pruning — the
+    vector column's bytes are never read by it); the raw vector rides
+    along for the candidate-sized exact-verify join only."""
+    return (
+        f"{id_col} bigint, cell int, pq_code array<int>, c_norm double, "
+        f"{vec_col} array<float>"
+    )
+
+
+@dataclass(frozen=True)
+class AnnIndexConfig:
+    """Optional SEMANTIC near-dup stage for the incremental curation: an
+    IVFADC index over the accepted documents' embeddings, persisted the
+    same way as the MinHash signature store (``batch=<id>`` partitions,
+    idempotent per-batch overwrite, same compaction/lineage protocol).
+
+    Train-once-search-many (the save_ivfpq sidecar's whole purpose, r8
+    verdict #6): if ``model_path`` is missing, the model (KMeans coarse
+    centroids + residual PQ codebooks) trains on the FIRST delivery —
+    deterministic given seeds, so a crash-replay of that batch retrains
+    to the identical model — and persists as a KB-sized JSON sidecar;
+    every later delivery loads it. Per-delivery cost: one Arrow encode
+    pass over the NEW documents + a compressed-domain ADC scan of the
+    probed cells of the stored codes (m small ints + 2 scalars per
+    accepted doc — parquet column pruning keeps the stored raw vectors
+    out of the scan) + an exact-cosine verify join sized by the
+    candidates.
+
+    The accept/reject decision is two-stage, exactly like
+    ``ivfpq_topk_rerank``: the ADC scan shortlists each new document's
+    top-``self_k`` stored neighbors, then the EXACT cosine against the
+    candidate's stored raw vector decides ``>= threshold`` — ADC alone
+    would under-score true copies of vectors the sampled trainers never
+    saw (reconstruction error), while the exact verify scores a true
+    copy at 1.0 regardless. Both stages are deterministic given the
+    fixed model, so replays and re-runs decide identically."""
+
+    index_dir: str
+    model_path: str
+    dim: int
+    vec_col: str = "embedding"
+    threshold: float = 0.99
+    nlist: int = 16
+    m: int = 16
+    codewords: int = 16
+    iters: int = 3
+    nprobe: int = 8
+    #: within-batch self-check window: a doc is rejected when any of its
+    #: top-``self_k`` ADC neighbors with a LOWER id scores >= threshold
+    #: (lowest id wins, same keep rule as the MinHash within-batch check)
+    self_k: int = 10
+    sample_fraction: float | None = None
+    seed: int = 42
+
+
+def ensure_ann_model(
+    batch_df: DataFrame, cfg: AnnIndexConfig, id_col: str = "doc_id"
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Load the persisted IVFADC model, or train it on this (first)
+    delivery and persist it atomically. Training is deterministic given
+    the seeds and input, so a crash between train and the checkpoint
+    advancing replays to the identical sidecar."""
+    from cda_client_spark.operators.similarity import (
+        ivfpq_train,
+        load_ivfpq,
+        save_ivfpq,
+    )
+
+    if Path(cfg.model_path).exists():
+        return load_ivfpq(cfg.model_path)
+    cents, books = ivfpq_train(
+        batch_df,
+        cfg.dim,
+        id_col=id_col,
+        vec_col=cfg.vec_col,
+        nlist=cfg.nlist,
+        m=cfg.m,
+        codewords=cfg.codewords,
+        iters=cfg.iters,
+        sample_fraction=cfg.sample_fraction,
+        seed=cfg.seed,
+    )
+    save_ivfpq(cents, books, cfg.model_path)
+    return cents, books
+
+
+def _ann_index_frame(
+    spark: SparkSession, cfg: AnnIndexConfig, id_col: str, before_batch: int
+) -> DataFrame | None:
+    """Accepted documents' encoded index rows from batches STRICTLY
+    BEFORE ``before_batch`` (same replay-safe exclusion as
+    ``_store_frame``), or None when there are none."""
+    p = Path(cfg.index_dir)
+    if not p.exists() or not any(p.rglob("*.parquet")):
+        return None
+    idx = spark.read.schema(
+        f"{ann_index_schema(id_col, cfg.vec_col)}, batch int"
+    ).parquet(cfg.index_dir)
+    return idx.filter(F.col("batch") < before_batch).drop("batch")
+
+
+def ann_dup_ids(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    cfg: AnnIndexConfig,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids in this delivery that SEMANTICALLY duplicate (exact cosine >=
+    threshold after an ADC shortlist) an earlier-accepted document, or a
+    lower-id document in the same delivery. Store side: the compressed
+    ADC scan shortlists top-``self_k`` stored neighbors per new doc,
+    then the exact cosine against the candidates' stored raw vectors
+    decides. Within-batch side: same two stages over this delivery's own
+    fresh codes with the lowest-id keep rule."""
+    from cda_client_spark.operators.similarity import (
+        dot_col,
+        ivfpq_encode,
+        ivfpq_topk_adc,
+        norm_col,
+    )
+
+    q = batch_df.select(F.col(id_col), F.col(cfg.vec_col))
+    qvec = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cfg.vec_col).alias("q_vec"),
+        norm_col(cfg.vec_col).alias("q_norm"),
+    )
+
+    def verify(cand: DataFrame, nvec_src: DataFrame) -> DataFrame:
+        """Exact-cosine verify of (query_id, neighbor_id) candidates —
+        the candidate-sized rerank join, same arithmetic as
+        ivfpq_topk_rerank's rescore."""
+        nvec = nvec_src.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cfg.vec_col).alias("c_vec"),
+            norm_col(cfg.vec_col).alias("c_norm2"),
+        )
+        scored = cand.join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id")
+        cos = F.round(
+            dot_col("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm2")), 6
+        )
+        return scored.filter(cos >= cfg.threshold)
+
+    parts = []
+    store = _ann_index_frame(spark, cfg, id_col, batch_id)
+    if store is not None:
+        cand = ivfpq_topk_adc(
+            store, q, centroids, codebooks,
+            id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe, k=cfg.self_k,
+        ).select("query_id", "neighbor_id")
+        parts.append(
+            verify(cand, store).select(F.col("query_id").alias(id_col)).distinct()
+        )
+    batch_codes = ivfpq_encode(
+        q, centroids, codebooks, id_col=id_col, vec_col=cfg.vec_col
+    )
+    within = ivfpq_topk_adc(
+        batch_codes, q, centroids, codebooks,
+        id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe, k=cfg.self_k,
+    ).select("query_id", "neighbor_id")
+    parts.append(
+        verify(within.filter(F.col("neighbor_id") < F.col("query_id")), q)
+        .select(F.col("query_id").alias(id_col))
+        .distinct()
+    )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.distinct()
+
+
+def write_ann_index_batch(
+    batch_df: DataFrame,
+    accepted_ids: DataFrame,
+    cfg: AnnIndexConfig,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Commit the accepted docs' encoded index rows under ``batch=<id>``
+    (overwritten byte-identically on replay — the encode kernel is
+    deterministic given the fixed model)."""
+    from cda_client_spark.operators.similarity import ivfpq_encode
+
+    ivfpq_encode(
+        batch_df.join(accepted_ids, id_col, "left_semi").select(
+            F.col(id_col), F.col(cfg.vec_col)
+        ),
+        centroids,
+        codebooks,
+        id_col=id_col,
+        vec_col=cfg.vec_col,
+        keep_vec=True,
+    ).write.mode("overwrite").parquet(f"{cfg.index_dir}/batch={batch_id}")
 
 _COMPACT_STAGING = ".compact_staging"
 _COMPACT_META = "_COMPACT_META.json"
@@ -127,6 +331,7 @@ def compact_store(
     store_dir: str,
     before_batch: int,
     num_files: int = 1,
+    schema: str = BUCKET_SCHEMA,
 ) -> None:
     """Merge every store partition with ``batch < before_batch`` into ONE
     ``batch=<max merged id>`` partition — the store otherwise grows one
@@ -152,7 +357,7 @@ def compact_store(
     if len(ids) <= 1:
         return
     staging = Path(store_dir) / _COMPACT_STAGING
-    merged = spark.read.schema(BUCKET_SCHEMA).parquet(
+    merged = spark.read.schema(schema).parquet(
         *[f"{store_dir}/batch={b}" for b in ids]
     )
     merged.repartition(num_files).write.mode("overwrite").parquet(str(staging))
@@ -263,12 +468,22 @@ def incremental_dedup_batch(
     shingle: int = 3,
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    ann: AnnIndexConfig | None = None,
 ) -> None:
     """Apply one micro-batch: survivors land in ``out_dir/batch=<id>``,
     their bucket rows in ``store_dir/batch=<id>`` (both overwritten on
     replay — idempotent). Empty batches (AvailableNow sometimes emits a
     trailing one) are skipped — a bare ``batch=<id>`` dir with no files
     breaks partition discovery on read-back.
+
+    With ``ann`` (:class:`AnnIndexConfig`), a SEMANTIC near-dup check
+    runs alongside the MinHash one: the IVFADC model trains once on the
+    first delivery (or loads the persisted sidecar), arriving documents
+    are rejected when their ADC cosine against any earlier-accepted
+    document's stored code — or a lower-id document in the same delivery
+    — reaches ``ann.threshold``, and survivors' encoded rows append to
+    ``ann.index_dir/batch=<id>`` under the same idempotent-replay
+    protocol as the signature store.
 
     Lineage guard (r5 advice): store partitions with ``batch > batch_id``
     mean the checkpoint was discarded and batch numbering restarted
@@ -279,6 +494,8 @@ def incremental_dedup_batch(
     or discarded together. ``batch == batch_id`` is the legitimate
     crash-replay case and stays allowed."""
     _require_local_store(store_dir)
+    if ann is not None:
+        _require_local_store(ann.index_dir)
     if batch_df.isEmpty():
         return
     # a crash INSIDE a previous compaction may have left the merged store
@@ -287,11 +504,15 @@ def incremental_dedup_batch(
     # replayed batch would silently re-accept duplicates of the hidden rows
     _finish_compaction(store_dir)
     stale = [b for b in _store_batch_ids(store_dir) if b > batch_id]
+    if ann is not None:
+        _finish_compaction(ann.index_dir)
+        stale += [b for b in _store_batch_ids(ann.index_dir) if b > batch_id]
     if stale:
         raise ValueError(
-            f"store {store_dir} already holds batches {stale} > current "
-            f"batch {batch_id}: the checkpoint lineage restarted against an "
-            "old store. Retain or discard checkpoint/store/output together."
+            f"store {store_dir} already holds batches {sorted(set(stale))} > "
+            f"current batch {batch_id}: the checkpoint lineage restarted "
+            "against an old store. Retain or discard checkpoint/store/output "
+            "together."
         )
     batch_df = batch_df.persist()
     try:
@@ -303,12 +524,24 @@ def incremental_dedup_batch(
             dups = near_dup_ids(
                 spark, new_b, batch_id, store_dir, id_col, max_bucket_size
             )
+            if ann is not None:
+                cents, books = ensure_ann_model(batch_df, ann, id_col)
+                dups = dups.unionByName(
+                    ann_dup_ids(
+                        spark, batch_df, batch_id, ann, cents, books, id_col
+                    )
+                ).distinct()
             survivors = batch_df.join(dups, id_col, "left_anti").persist()
             try:
                 survivors.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
                 write_store_batch(
                     new_b, survivors.select(id_col), store_dir, batch_id, id_col
                 )
+                if ann is not None:
+                    write_ann_index_batch(
+                        batch_df, survivors.select(id_col), ann, cents, books,
+                        batch_id, id_col,
+                    )
             finally:
                 survivors.unpersist()
         finally:
@@ -327,6 +560,7 @@ def incremental_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = 16,
+    ann: AnnIndexConfig | None = None,
     **dedup_kwargs,
 ) -> None:
     """Run the incremental curation as a checkpointed AvailableNow stream
@@ -347,10 +581,15 @@ def incremental_dedup_stream(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         incremental_dedup_batch(
             spark, batch_df, batch_id, store_dir, out_dir,
-            id_col, text_col, **dedup_kwargs,
+            id_col, text_col, ann=ann, **dedup_kwargs,
         )
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_store(spark, store_dir, batch_id)
+            if ann is not None:
+                compact_store(
+                    spark, ann.index_dir, batch_id,
+                    schema=ann_index_schema(id_col, ann.vec_col),
+                )
 
     (
         stream.writeStream.foreachBatch(apply)

@@ -446,3 +446,95 @@ def test_curate_frame_base_handle_lifecycle(spark, tmp_path):
         assert frames.base.is_cached
     assert not frames.base.is_cached
     frames.release()  # idempotent
+
+
+def test_incremental_curation_ann_index_stage(spark, tmp_path):
+    """The annIndex config (r8 verdict #6): the IVFADC sidecar trains on
+    delivery 1, persists, and delivery 2+ search the persisted index — a
+    doc with FRESH text but a previously-accepted embedding falls at
+    semantic_dup (the MinHash stage cannot see it), and the sidecar is
+    never retrained."""
+    import hashlib
+    import shutil
+
+    from cda_client_spark.curation import run_incremental_curation
+
+    dim = 32
+
+    def emb(i: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"cemb:{i}:{d}".encode()).hexdigest()[:8], 16) % 1000)
+            / 1000.0
+            - 0.5
+            for d in range(dim)
+        ]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def land(rows, name):
+        staging = tmp_path / f"_stage_{name}"
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, embedding array<float>"
+        ).coalesce(1).write.parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        shutil.move(str(part), str(landing / f"{name}.parquet"))
+        shutil.rmtree(staging)
+
+    model_path = tmp_path / "ann_model.json"
+    cfg = CurationConfig(
+        input_path="",
+        output_path=str(tmp_path / "out"),
+        steps={"quality": {"minWords": 5, "minScore": 0.0}},
+        export_shards=1,
+        export_compression=None,
+        incremental={
+            "landingPath": str(landing),
+            "storePath": str(tmp_path / "store"),
+            "checkpointPath": str(tmp_path / "ckpt"),
+            "shingle": 2,
+            "max_bucket_size": 64,
+            "annIndex": {
+                "indexPath": str(tmp_path / "ann_index"),
+                "modelPath": str(model_path),
+                "dim": dim,
+                "threshold": 0.9,
+                "nlist": 4,
+                "m": 8,
+                "codewords": 16,
+                "iters": 3,
+                "nprobe": 4,
+            },
+        },
+    )
+
+    land([(i, good_text(i), "s", emb(i)) for i in range(8)], "d1")
+    r1 = run_incremental_curation(spark, cfg)
+    assert r1.kept == 8 and r1.dropped == {}
+    assert model_path.exists()
+    sidecar = model_path.read_bytes()
+
+    # delivery 2: 20 = fresh text, doc 2's embedding -> semantic_dup;
+    # 21 = near-copy TEXT of doc 0 (fresh embedding) -> near_dup (text
+    # stage wins the overlap race by construction: different embedding);
+    # 22 fresh -> kept
+    land(
+        [
+            (20, good_text(20), "s", emb(2)),
+            (21, good_text(0) + " zz", "s", emb(21)),
+            (22, good_text(22), "s", emb(22)),
+        ],
+        "d2",
+    )
+    r2 = run_incremental_curation(spark, cfg)
+    assert r2.dropped.get("semantic_dup") == 1  # doc 20 vs stored doc 2
+    assert r2.dropped.get("near_dup") == 1  # doc 21 vs stored doc 0
+    assert r2.kept == 1  # doc 22
+    assert model_path.read_bytes() == sidecar  # train-once: never retrained
+
+    # delivery 3: 30 duplicates doc 22's embedding (accepted in d2 — the
+    # index grew incrementally); 31 fresh
+    land([(30, good_text(30), "s", emb(22)), (31, good_text(31), "s", emb(31))], "d3")
+    r3 = run_incremental_curation(spark, cfg)
+    assert r3.dropped.get("semantic_dup") == 1 and r3.kept == 1
+    assert model_path.read_bytes() == sidecar

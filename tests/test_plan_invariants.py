@@ -18,63 +18,8 @@ from __future__ import annotations
 
 import pytest
 
+from cda_client_spark.plan_policy import ARROW_OK, BNLJ_OK, EAGER
 from cda_client_spark.queries import SPARK
-
-# queries whose CONSTRUCTION executes Spark jobs (iterative connected
-# components, gates that train/evaluate) — excluded from the cheap sweep;
-# their plans are covered by tools/plan_audit.py and their own tests
-EAGER = {
-    "doc_dedup_clusters",
-    "doc_neardedup_corpus",
-    "pq_recall",
-    "bpe_gate",
-    "quality_classifier_gate",  # trains an ML pipeline at construction
-}
-
-BNLJ_OK = {
-    "ann_topk_bruteforce",
-    "ann_ivf_recall",
-    "ivfpq_recall",  # same hits x total 1-row scalar crossJoin as ann_ivf
-    "minhash_fast_recall",
-    "simhash_fast_recall",
-    "media_histogram_gate",
-    "doc_tfidf_top_terms",
-    "doc_quality_percentile_filter",
-    "doc_jaccard_allpairs_sample",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    "doc_clean_corpus",
-    "sketch_tolerance_gate",
-    "doc_temperature_sample",
-    # 1-row scalar broadcasts (vocab size / corpus totals / corpus stats)
-    "doc_lm_perplexity",
-    "doc_dsir_select",
-    "doc_bm25_search",
-    # 1x1 scalar crossJoins (determinism + row-conservation checks)
-    "media_resize_gate",
-}
-
-# Arrow-batched mapInPandas is the DOCUMENTED path for byte-level media
-# work (operators/multimodal.py) — never row-at-a-time Python
-ARROW_OK = {
-    "media_histogram_gate",
-    "media_audio_features",
-    "media_wav_features",
-    "media_wav_hardening",
-    "media_resize_gate",
-    # r8: pq_encode is a vectorized Arrow kernel — Spark evaluates
-    # higher-order functions interpreted (measured ~1 ms/row), so the
-    # numeric argmin/ADC work moved to numpy at bit-exact parity with the
-    # SQL-replayable expression spec (tests/test_similarity.py);
-    # ivfpq_recall encodes residuals through the same kernel
-    "pq_encode_adc",
-    "ivfpq_recall",
-    # r8: pq_topk's ADC scan is a two-phase Arrow top-k (per-partition
-    # numpy gather + local top-k, then the exact global window)
-    "pq_recall",
-}
 
 
 def plan_of(spark, sf_dir, name):

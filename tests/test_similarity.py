@@ -567,3 +567,110 @@ def test_ivfpq_pretrained_model_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         ivfpq_topk_rerank(df, q, centroids=cents2, **kw)
+
+
+def test_ivfpq_encode_once_equals_inline(spark, tmp_path):
+    """The materialized-index contract (r8 verdict #1): ivfpq_encode ->
+    persisted parquet -> search via corpus_codes must return EXACTLY the
+    inline single-pass search's results — the shared _ivfpq_assign_encode
+    kernel makes the (cell, code) pairs bit-identical, and the rerank
+    rescores both paths exactly."""
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+    )
+
+    df = _pq_frame(spark, n=80)
+    q = df.filter(F.col("vec_id") < 5)
+    cents, books = ivfpq_train(df, dim=16, nlist=4, m=4, codewords=8, iters=3)
+
+    idx = str(tmp_path / "ivfpq_index")
+    ivfpq_encode(df, cents, books).write.parquet(idx)
+    enc = spark.read.parquet(idx)
+    # the index frame IS the inverted-list layout: small ints + 2 scalars
+    assert enc.schema.simpleString() == (
+        "struct<vec_id:bigint,cell:int,pq_code:array<int>,c_norm:double>"
+    )
+    assert enc.count() == 80
+
+    kw = dict(dim=16, nprobe=2, k=5, shortlist=25)
+    inline = ivfpq_topk_rerank(df, q, centroids=cents, codebooks=books, **kw)
+    codes = ivfpq_topk_rerank(
+        df, q, centroids=cents, codebooks=books, corpus_codes=enc, **kw
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, codes.collect()))
+
+    # corpus_codes without the model it was encoded with is an error
+    with pytest.raises(ValueError, match="corpus_codes requires the model"):
+        ivfpq_topk_rerank(df, q, corpus_codes=enc, **kw)
+
+
+def test_bounded_probe_set_guard(spark):
+    """r8 verdict #3: the query side is collected to the driver — an
+    oversized queries frame must raise the contract's name, not OOM."""
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        ivfpq_topk_rerank,
+        ivfpq_train,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    df = _pq_frame(spark, n=40)
+    books = pq_train(df, dim=16, m=4, codewords=4, iters=2)
+    enc = pq_encode(df, books).select(
+        "vec_id", "pq_code", norm_col("embedding").alias("c_norm")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(enc, df, books, max_queries=10)
+    # under the cap: works
+    assert pq_topk(enc, df.limit(3), books, k=2, max_queries=10).count() > 0
+
+    cents, cbooks = ivfpq_train(df, dim=16, nlist=4, m=4, codewords=4, iters=2)
+    with pytest.raises(ValueError, match="max_queries"):
+        ivfpq_topk_rerank(
+            df, df, dim=16, centroids=cents, codebooks=cbooks, max_queries=10
+        )
+
+
+def test_pq_encode_rejects_bad_vectors_with_clear_message(spark):
+    """r8 ADVICE: a NULL or mis-sized vector used to fail the whole task
+    with an opaque np.stack shape error; the kernel must name the column,
+    the expected length and the offending row instead."""
+    from cda_client_spark.operators.similarity import pq_encode, pq_train
+
+    df = _pq_frame(spark, n=20)
+    books = pq_train(df, dim=16, m=4, codewords=4, iters=2)
+
+    bad_null = spark.createDataFrame(
+        [(0, [0.1] * 16), (1, None)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="pq_encode.*NULL"):
+        pq_encode(bad_null, books).collect()
+
+    bad_len = spark.createDataFrame(
+        [(0, [0.1] * 16), (1, [0.2] * 7)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="pq_encode.*len 7"):
+        pq_encode(bad_len, books).collect()
+
+
+def test_pq_encode_replaces_existing_code_col(spark):
+    """r8 ADVICE: appending the code column when the input already has one
+    produced a duplicate field — the old withColumn shape replaced it."""
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import pq_encode, pq_train
+
+    df = _pq_frame(spark, n=20)
+    books = pq_train(df, dim=16, m=4, codewords=4, iters=2)
+    pre = df.withColumn("pq_code", F.array(F.lit(99)))
+    out = pq_encode(pre, books)
+    assert [f.name for f in out.schema.fields].count("pq_code") == 1
+    # and the values are the fresh codes, not the stale literal
+    assert all(r["pq_code"] != [99] for r in out.select("pq_code").collect())
