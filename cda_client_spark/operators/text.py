@@ -433,6 +433,143 @@ def ngram_contamination(
 
 
 # ---------------------------------------------------------------------------
+# Bloom-pruned contamination: the scale path when the eval-gram set is too
+# big to broadcast as a join hash relation.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_hashes(gram: Column, nbits: int, nhash: int) -> list[Column]:
+    """``nhash`` bit positions for one gram — Kirsch-Mitzenmacher double
+    hashing (pos_i = h1 + i*h2 mod nbits) over two xxhash64 views of the
+    gram. Both base hashes are reduced mod nbits BEFORE the affine
+    combination so every intermediate stays < nhash*nbits (the session
+    runs ANSI mode: silent bigint wraparound is an error, not a hash)."""
+    h1 = F.pmod(F.xxhash64(gram), F.lit(nbits))
+    h2 = F.pmod(F.xxhash64(gram, F.lit("#2")), F.lit(nbits))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(nbits)) for i in range(nhash)]
+
+
+def bloom_bitmap(
+    grams: DataFrame, gram_col: str = "gram", nbits: int = 1 << 20, nhash: int = 5
+) -> DataFrame:
+    """Aggregate a gram set into a ONE-ROW bloom bitmap frame
+    (``bf: map<bigint, bigint>``, 64-bit word index -> word) with pure
+    Catalyst expressions — no driver-side sketch object, so the build is
+    a distributed aggregation like any other: explode each gram's
+    ``nhash`` bit positions, ``bit_or`` per word (map-side combinable,
+    shuffle keyed on <= nbits/64 word indices), then fold the words into
+    one map row. Sparse by construction: words no gram touched are
+    absent (probes ``coalesce`` them to 0), so a lightly-loaded filter
+    costs its set bits, not ``nbits``.
+
+    At 10 bits/item the map is ~1.2 bytes per gram plus map overhead —
+    a 100M-gram benchmark suite fits in ~200 MB broadcast to every
+    executor, where the equivalent broadcast-join hash relation over the
+    gram STRINGS would be many GB."""
+    pos = F.explode(F.array(*_bloom_hashes(F.col(gram_col), nbits, nhash)))
+    return (
+        grams.select(pos.alias("_pos"))
+        .select(
+            F.shiftright(F.col("_pos"), 6).alias("_w"),  # _pos div 64
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("_pos"), F.lit(64)).cast("int"),
+            ).alias("_b"),
+        )
+        .groupBy("_w")
+        .agg(F.expr("bit_or(_b)").alias("_bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias("bf")
+        )
+    )
+
+
+def _bloom_might_contain(
+    bf: Column, gram: Column, nbits: int, nhash: int
+) -> Column:
+    """Membership probe against a :func:`bloom_bitmap` map column — all
+    ``nhash`` bits set. Pure bit arithmetic in codegen; absent words read
+    as 0 (sparse map)."""
+    hit = F.lit(True)
+    for pos in _bloom_hashes(gram, nbits, nhash):
+        word = F.coalesce(F.element_at(bf, F.shiftright(pos, 6)), F.lit(0))
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(pos, F.lit(64)).cast("int")
+        )
+        hit = hit & (word.bitwiseAND(bit) != 0)
+    return hit
+
+
+def bloom_ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    nbits: int = 1 << 20,
+    nhash: int = 5,
+) -> DataFrame:
+    """:func:`ngram_contamination` for eval sets too large to broadcast
+    as a join: a bloom bitmap over the benchmark's distinct word-n-grams
+    prunes the corpus side map-side, and only the (rare) bloom-positive
+    grams meet the real benchmark gram set for exact verification.
+
+    The output is EXACTLY :func:`ngram_contamination`'s — ``(id,
+    n_shared, n_grams, overlap_ratio)`` — because a bloom filter has no
+    false negatives (every truly shared gram reaches the verify join)
+    and the verify join removes every false positive. The filter's
+    parameters trade cost, never correctness: an undersized ``nbits``
+    just verifies more candidates.
+
+    Scale shape (100 TB corpus, 100M-gram benchmark): the broadcast-join
+    in :func:`ngram_contamination` needs the gram STRINGS resident per
+    executor (many GB); here executors hold the ~200 MB bitmap, the
+    corpus side stays one explode + one per-doc aggregation with the
+    probe fused map-side (candidate grams are collected per doc inside
+    the SAME aggregation that counts totals, so the corpus text is read
+    ONCE), and only |candidates| ~ FP-rate x corpus grams + true hits
+    shuffle into the verify join against the benchmark grams. Nothing
+    corpus-sized is ever broadcast, shuffled to the join, or collected.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(ngrams(text_col, n)).alias("gram")).distinct()
+    )
+    bf = bloom_bitmap(bench_grams, "gram", nbits, nhash)
+    doc_grams = (
+        corpus.select(F.col(id_col), F.explode(ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    probed = doc_grams.crossJoin(F.broadcast(bf)).withColumn(
+        "_hit", _bloom_might_contain(F.col("bf"), F.col("gram"), nbits, nhash)
+    )
+    # totals + bloom-surviving candidates from ONE pass over the grams:
+    # the candidate list per doc is bounded by FP-rate x the doc's own
+    # gram count + its true hits, i.e. a fraction of text already held
+    # in one row
+    per_doc = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.collect_list(F.when(F.col("_hit"), F.col("gram"))).alias("_cand"),
+    )
+    # n_grams rides along through the candidate explode so per_doc is
+    # consumed ONCE — a second consumer would re-execute the whole corpus
+    # gram lineage (plan-audited: the corpus parquet appears once per
+    # union branch, not twice)
+    return (
+        per_doc.select(F.col(id_col), "n_grams", F.explode("_cand").alias("gram"))
+        .join(bench_grams, "gram", "left_semi")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            id_col,
+            "n_shared",
+            "n_grams",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("overlap_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-trained n-gram LM scoring (CCNet-style) and BM25 retrieval.
 # The reference has no text operators at all (SURVEY.md §2.11: its one UDF
 # is a struct stringifier, FileBasedOutputWriter.scala:170-187); both of

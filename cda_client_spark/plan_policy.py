@@ -33,6 +33,10 @@ BNLJ_BY_DESIGN: dict[str, str] = {
     "media_histogram_gate": "1x1 scalar crossJoins (row-conservation check)",
     "media_wav_hardening": "1-row ASCII-precondition guard broadcast (in-plan assert_true)",
     "doc_tfidf_top_terms": "1-row corpus-size broadcast (scalar crossJoin)",
+    "doc_contamination_bloom": (
+        "1-row bloom-bitmap broadcast (map<word,bits> built by bit_or agg;"
+        " the whole point is broadcasting ~bits instead of gram strings)"
+    ),
     "doc_quality_percentile_filter": "1-row threshold broadcast (scalar crossJoin)",
     "doc_jaccard_allpairs_sample": "documented O(n^2) small-set path",
     "q11_important_parts": "1-row total broadcast (scalar crossJoin)",

@@ -1852,6 +1852,50 @@ ORDER BY sh.doc_id
 """
 
 
+def doc_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned contamination (operators/text.py
+    ``bloom_ngram_contamination``) — the scale variant of
+    ``doc_contamination`` for eval-gram sets too large to broadcast as a
+    join hash relation: a Catalyst-built bloom bitmap (xxhash64 double
+    hashing, ``bit_or`` per 64-bit word, one-row map broadcast) prunes
+    corpus grams map-side; only bloom survivors meet the real benchmark
+    grams for exact verification.
+
+    FULL value-hash oracle with NO bloom replay needed: a bloom filter
+    has no false negatives and the verify join removes every false
+    positive, so the output is bit-identical to the plain exact n-gram
+    join — which is what the DuckDB oracle runs. The filter parameters
+    (nbits/nhash/xxhash64) affect cost only, never the result; the
+    deliberately-undersized-filter pytest pins that.
+
+    Different eval selector (%41) than doc_contamination's %37 so the two
+    entries don't share a result frame."""
+    from cda_client_spark.operators.text import bloom_ngram_contamination
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    benchmark = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 41 == 0)
+    return bloom_ngram_contamination(
+        corpus, benchmark, n=8, nbits=1 << 17, nhash=5
+    ).orderBy("doc_id")
+
+
+DOC_CONTAMINATION_BLOOM_SQL = f"""
+WITH corpus AS ({DOC_DUPS_SQL}),
+bw AS (SELECT regexp_split_to_array(lower(text), '\\s+') AS wds
+       FROM documents WHERE doc_id % 41 = 0),
+bg AS (SELECT DISTINCT unnest({_GRAM8_SQL}) AS gram FROM bw),
+cw AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS wds FROM corpus),
+cg AS (SELECT DISTINCT doc_id, unnest({_GRAM8_SQL}) AS gram FROM cw),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cg GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM cg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT sh.doc_id, n_shared, n_grams,
+       round(n_shared / CAST(n_grams AS DOUBLE), 6) AS overlap_ratio
+FROM sh JOIN tot ON sh.doc_id = tot.doc_id
+ORDER BY sh.doc_id
+"""
+
+
 def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate removal: a planted newsletter footer appears
     in every 3rd doc (crosses the doc-frequency bar and is stripped);
@@ -2799,6 +2843,7 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "classifier_score_fixed": classifier_score_fixed,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination": doc_contamination,
+    "doc_contamination_bloom": doc_contamination_bloom,
     "doc_line_dedup": doc_line_dedup,
     "doc_train_val_split": doc_train_val_split,
     "doc_training_corpus": doc_training_corpus,
@@ -2863,6 +2908,7 @@ ORACLE_LLM: dict[str, str] = {
     "classifier_score_fixed": CLASSIFIER_SCORE_FIXED_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "doc_contamination": DOC_CONTAMINATION_SQL,
+    "doc_contamination_bloom": DOC_CONTAMINATION_BLOOM_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,
     "doc_train_val_split": DOC_SPLIT_SQL,
     "doc_training_corpus": DOC_CORPUS_SQL,

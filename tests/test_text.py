@@ -484,3 +484,103 @@ def test_encoding_signals_planted_defects(spark):
     assert rows[4]["control_count"] == 1 and not rows[4]["encoding_ok"]
     # accented-but-valid text is non-ASCII yet OK
     assert rows[5]["encoding_ok"] and rows[5]["non_ascii_ratio"] > 0
+
+
+def test_bloom_contamination_equals_exact(spark):
+    """The bloom variant's contract: bit-identical output to the exact
+    join (no false negatives by bloom construction; verify removes every
+    false positive) on a corpus with full, partial and zero overlap."""
+    from cda_client_spark.operators.text import (
+        bloom_ngram_contamination,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),
+            (101, "pack my box with five dozen liquor jugs right now ok"),
+        ],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy cat sleeps here today"),
+            (3, "completely different words that never overlap with anything else at all"),
+            (4, "pack my box with five dozen liquor jugs right now ok friends"),
+            (5, "a b"),  # shorter than the shingle -> zero grams
+        ],
+        "doc_id int, text string",
+    )
+    exact = sorted(
+        ngram_contamination(corpus, bench, n=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    got = sorted(
+        bloom_ngram_contamination(corpus, bench, n=8, nbits=1 << 14).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert got == exact
+    assert {r["doc_id"] for r in got} == {1, 2, 4}
+
+
+def test_bloom_contamination_undersized_filter_still_exact(spark):
+    """Filter parameters trade cost, never correctness: a deliberately
+    tiny, saturated bitmap (64 bits, 1 hash -> nearly everything is a
+    bloom candidate) must still produce the exact-join answer because
+    the verify join strips the false positives."""
+    from cda_client_spark.operators.text import (
+        bloom_ngram_contamination,
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight different tail here"),
+            (2, "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
+        ],
+        "doc_id int, text string",
+    )
+    exact = sorted(
+        ngram_contamination(corpus, bench, n=8).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    got = sorted(
+        bloom_ngram_contamination(corpus, bench, n=8, nbits=64, nhash=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert got == exact
+
+
+def test_bloom_bitmap_is_one_sparse_row(spark):
+    """The broadcastable artifact is ONE row whose map holds only the
+    words some gram actually touched."""
+    from cda_client_spark.operators.text import bloom_bitmap
+
+    grams = spark.createDataFrame(
+        [("alpha beta",), ("gamma delta",)], "gram string"
+    )
+    rows = bloom_bitmap(grams, "gram", nbits=1 << 12, nhash=3).collect()
+    assert len(rows) == 1
+    bf = rows[0]["bf"]
+    # <= 2 grams x 3 hashes words touched, every word index in range
+    assert 1 <= len(bf) <= 6
+    assert all(0 <= w < (1 << 12) // 64 for w in bf)
+    assert all(bits != 0 for bits in bf.values())
+
+
+def test_bloom_contamination_empty_benchmark(spark):
+    """An empty eval set contaminates nothing (and must not error on the
+    empty one-row bitmap)."""
+    from cda_client_spark.operators.text import bloom_ngram_contamination
+
+    bench = spark.createDataFrame([], "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id int, text string",
+    )
+    assert bloom_ngram_contamination(corpus, bench, n=8).count() == 0
