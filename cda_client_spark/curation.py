@@ -613,7 +613,8 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
             codewords=int(ann_raw.get("codewords", 16)),
             iters=int(ann_raw.get("iters", 3)),
             nprobe=int(ann_raw.get("nprobe", 8)),
-            self_k=int(ann_raw.get("selfK", 10)),
+            adc_margin=float(ann_raw.get("adcMargin", 0.08)),
+            max_candidates=int(ann_raw.get("maxCandidates", 512)),
             sample_fraction=(
                 float(ann_raw["sampleFraction"])
                 if ann_raw.get("sampleFraction")

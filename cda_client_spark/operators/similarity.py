@@ -1179,55 +1179,49 @@ def _ivfpq_query_state(
     id_col: str,
     vec_col: str,
 ):
-    """Collect the IVFADC query-side search state — per query: the id,
-    true norm, residual-codebook ADC lookup table, and the ``nprobe``
-    nearest cells (argmin ||q - c||^2 via the monotone-equivalent
-    ||c||^2 - 2 q.c) with q.c carried per probed cell. Collected under
-    the bounded probe-set contract: |queries| x (m x codewords + nprobe)
-    doubles. Returns (qids, qnorms, qtab, probe_mask, qdotc) numpy
-    arrays, or None when the query frame is empty."""
+    """Collect the IVFADC query-side search state — the raw query
+    vectors under the bounded probe-set contract (|queries| x dim
+    doubles), then compute DRIVER-SIDE in numpy: the residual-codebook
+    ADC lookup table, the ``nprobe`` nearest cells (squared distance to
+    the centroids — the SAME arithmetic as the corpus-side
+    ``_ivfpq_assign_encode``, so a vector's own cell is always its rank-1
+    probe), and q.c per cell. Returns (qids, qnorms, qtab, probe_mask,
+    qdotc) numpy arrays, or None when the query frame is empty.
+
+    Why numpy and not Catalyst here: the qtab expression carried the
+    full codebook literal (m x codewords x sub doubles — 16k literals at
+    the 256-codeword dedup default) into every plan; analysis +
+    interpreted evaluation of that expression dominated each incremental
+    delivery (measured 76 s/delivery vs ~13 s after the move, soak log).
+    The collected rows also shrink: dim doubles per query instead of
+    m x codewords."""
     import numpy as np
 
     nlist = len(centroids)
-    m, codewords = len(codebooks), len(codebooks[0])
+    m = len(codebooks)
     sub = len(codebooks[0][0])
-    probe_structs = [
-        F.struct(
-            (F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col("q_vec", cent)).alias(
-                "score"
-            ),
-            F.lit(j).alias("cluster"),
-            plane_dot_col("q_vec", cent).alias("qdotc"),
-        )
-        for j, cent in enumerate(centroids)
-    ]
-    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_col(vec_col).alias("q_norm"),
     )
-    qrows = _bounded_probe_collect(
-        q.withColumn("_books", _books_literal(codebooks)).select(
-            "query_id",
-            "q_norm",
-            F.expr(pq_qtab_expr(m, codewords, sub, "q_vec")).alias("_qtab"),
-            probes.alias("_probes"),
-        ),
-        max_queries,
-        op,
-    )
+    qrows = _bounded_probe_collect(q, max_queries, op)
     if not qrows:
         return None
     qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     qnorms = np.array([r["q_norm"] for r in qrows], dtype=np.float64)
-    qtab = np.array([r["_qtab"] for r in qrows], dtype=np.float64)
+    Q = np.array([r["q_vec"] for r in qrows], dtype=np.float64)  # (nq, dim)
+    books_np = np.asarray(codebooks, dtype=np.float64)  # (m, codewords, sub)
+    cents_np = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
+    qtab = np.einsum("qms,mcs->qmc", Q.reshape(len(Q), m, sub), books_np)
+    d2 = ((Q[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)  # (nq, nlist)
+    # stable sort: distance ties break on the lower cell index, matching
+    # the corpus-side argmin's first-occurrence rule
+    near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
     probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
-    qdotc = np.zeros((len(qrows), nlist), dtype=np.float64)
-    for qi, r in enumerate(qrows):
-        for pr in r["_probes"]:
-            probe_mask[qi, pr["cluster"]] = True
-            qdotc[qi, pr["cluster"]] = pr["qdotc"]
+    np.put_along_axis(probe_mask, near, True, axis=1)
+    # q.c for every cell; the scan only reads probed cells' entries
+    qdotc = Q @ cents_np.T
     return qids, qnorms, qtab, probe_mask, qdotc
 
 
@@ -1243,6 +1237,8 @@ def ivfpq_topk_adc(
     round_digits: int = 6,
     exclude_self: bool = True,
     max_queries: int = 10_000,
+    min_sim: float | None = None,
+    min_keep: int = 0,
 ) -> DataFrame:
     """Pure compressed-domain IVFADC search over a MATERIALIZED index
     (:func:`ivfpq_encode` output): ADC cosine top-k within the probed
@@ -1257,7 +1253,25 @@ def ivfpq_topk_adc(
     ``adc_cos`` pairs the reconstructed dot (q.c + q.r̂ via the lookup
     table) with the TRUE stored norms — approximate in the quantization,
     deterministic given the model. Each partition emits only its local
-    top-k per query under the global (adc_cos desc, id asc) order."""
+    top-k per query under the global (adc_cos desc, id asc) order.
+
+    ``min_sim`` switches the primitive from ranking to THRESHOLD
+    screening: candidates with ``adc_cos >= min_sim`` are emitted,
+    best-first, with ``k`` as a safety cap (per partition and globally)
+    and ``min_keep`` as a floor-independent guarantee (at least the top
+    ``min_keep`` per query per partition survive even when they score
+    below the floor). Top-k alone is the wrong shape for "everything
+    above a similarity bar" decisions — in a clustered corpus the
+    bar-crossing neighbor competes with arbitrarily many near-bar
+    siblings for k slots, so a dedup stage would drop true copies
+    whenever a cluster crowds the shortlist (measured on the 10-cluster
+    soak corpus, tools/incremental_soak.py --ann: 80/185 planted exact
+    copies escaped a k=10 shortlist). But a floor alone is fragile the
+    other way: the margin must exceed the model's quantization error
+    for a true at-bar pair, which a coarse model can blow through —
+    ``min_keep`` restores the shortlist as a safety net underneath the
+    screen, so the candidate set is screen ∪ shortlist and strictly
+    dominates either primitive."""
     import numpy as np
     import pandas as pd
 
@@ -1307,7 +1321,15 @@ def ivfpq_topk_adc(
                     / (qnorms[qi] * cnorm[idx]),
                     round_digits,
                 )
-                order = np.lexsort((nids[idx], -sim))[:k]
+                order = np.lexsort((nids[idx], -sim))
+                if min_sim is not None:
+                    # best-first: the >= floor set, at least min_keep,
+                    # at most k (order is sim-desc, so the floor set is
+                    # exactly its first `above` entries)
+                    above = int((sim >= min_sim).sum())
+                    order = order[: min(max(above, min_keep), k)]
+                else:
+                    order = order[:k]
                 pick = idx[order]
                 out_q += [int(qid)] * len(pick)
                 out_n += nids[pick].tolist()
@@ -1318,9 +1340,15 @@ def ivfpq_topk_adc(
 
     cand = enc.mapInPandas(scan_codes, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
+    keep = F.col("rnk") <= k
+    if min_sim is not None:
+        # global trim mirrors the per-partition emission: the >= floor
+        # set, plus the top-min_keep safety net, capped at k — partition
+        # boundaries must not leak extra below-floor candidates
+        keep = keep & ((F.col("adc_cos") >= min_sim) | (F.col("rnk") <= min_keep))
     return (
         cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+        .filter(keep)
         .select("query_id", "neighbor_id", "adc_cos", "rnk")
     )
 

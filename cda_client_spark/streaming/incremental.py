@@ -86,13 +86,18 @@ class AnnIndexConfig:
     candidates.
 
     The accept/reject decision is two-stage, exactly like
-    ``ivfpq_topk_rerank``: the ADC scan shortlists each new document's
-    top-``self_k`` stored neighbors, then the EXACT cosine against the
-    candidate's stored raw vector decides ``>= threshold`` — ADC alone
-    would under-score true copies of vectors the sampled trainers never
-    saw (reconstruction error), while the exact verify scores a true
-    copy at 1.0 regardless. Both stages are deterministic given the
-    fixed model, so replays and re-runs decide identically."""
+    ``ivfpq_topk_rerank``: the ADC scan SCREENS stored neighbors at
+    ``threshold - adc_margin`` (a top-k shortlist is the wrong primitive
+    for a threshold decision — in a clustered corpus near-bar siblings
+    crowd the k slots and true copies escape; measured 80/185 escapes at
+    k=10 on the 10-cluster soak corpus, tools/incremental_soak.py --ann),
+    then the EXACT cosine against the candidate's stored raw vector
+    decides ``>= threshold`` — ADC alone would under-score true copies
+    of vectors the sampled trainers never saw (reconstruction error,
+    observed <= 0.045 at the defaults; ``adc_margin`` must stay above
+    it), while the exact verify scores a true copy at 1.0 regardless.
+    Both stages are deterministic given the fixed model, so replays and
+    re-runs decide identically."""
 
     index_dir: str
     model_path: str
@@ -101,13 +106,34 @@ class AnnIndexConfig:
     threshold: float = 0.99
     nlist: int = 16
     m: int = 16
-    codewords: int = 16
+    #: 8 bits per subquantizer — the published PQ operating point (Jegou
+    #: et al. 2011). The dedup stage defaults FINER than the search
+    #: gates' toy 16: the screen's false-negative risk is the model's
+    #: self-ADC reconstruction error, and on the 10-cluster soak corpus
+    #: the worst copy error is 0.093 at 16 codewords (blows through any
+    #: reasonable margin) vs 0.035 at 256 (comfortably inside 0.08)
+    codewords: int = 256
     iters: int = 3
     nprobe: int = 8
-    #: within-batch self-check window: a doc is rejected when any of its
-    #: top-``self_k`` ADC neighbors with a LOWER id scores >= threshold
-    #: (lowest id wins, same keep rule as the MinHash within-batch check)
-    self_k: int = 10
+    #: ADC screening floor = threshold - adc_margin: the margin absorbs
+    #: the quantization error of a true at-threshold pair so the screen
+    #: has no practical false negatives (measured max self-ADC error
+    #: 0.035 over 185 planted copies at the 256-codeword default — the
+    #: margin is ~2.3x the worst observation); the exact verify removes
+    #: every false positive the looser floor lets through
+    adc_margin: float = 0.08
+    #: best-first safety cap per query on screened candidates (per
+    #: partition and globally) — bounds a megacluster sitting right at
+    #: the floor; verify cost scales with this, correctness does not
+    #: (the cap keeps the HIGHEST-ADC candidates, and true copies sit
+    #: near the top by construction)
+    max_candidates: int = 512
+    #: floor-independent safety net: at least the top ``min_keep`` ADC
+    #: neighbors always reach the exact verify even when they score
+    #: below the screen floor — protects against a model whose
+    #: quantization error exceeds adc_margin (coarse codebooks, tiny
+    #: training samples); the candidate set is screen ∪ shortlist
+    min_keep: int = 10
     sample_fraction: float | None = None
     seed: int = 42
 
@@ -168,12 +194,13 @@ def ann_dup_ids(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Ids in this delivery that SEMANTICALLY duplicate (exact cosine >=
-    threshold after an ADC shortlist) an earlier-accepted document, or a
+    threshold after an ADC screen) an earlier-accepted document, or a
     lower-id document in the same delivery. Store side: the compressed
-    ADC scan shortlists top-``self_k`` stored neighbors per new doc,
-    then the exact cosine against the candidates' stored raw vectors
-    decides. Within-batch side: same two stages over this delivery's own
-    fresh codes with the lowest-id keep rule."""
+    ADC scan screens stored neighbors at ``threshold - adc_margin``
+    (capped best-first at ``max_candidates``), then the exact cosine
+    against the candidates' stored raw vectors decides. Within-batch
+    side: same two stages over this delivery's own fresh codes with the
+    lowest-id keep rule."""
     from cda_client_spark.operators.similarity import (
         dot_col,
         ivfpq_encode,
@@ -203,12 +230,14 @@ def ann_dup_ids(
         )
         return scored.filter(cos >= cfg.threshold)
 
+    floor = max(cfg.threshold - cfg.adc_margin, 0.0)
     parts = []
     store = _ann_index_frame(spark, cfg, id_col, batch_id)
     if store is not None:
         cand = ivfpq_topk_adc(
             store, q, centroids, codebooks,
-            id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe, k=cfg.self_k,
+            id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe,
+            k=cfg.max_candidates, min_sim=floor, min_keep=cfg.min_keep,
         ).select("query_id", "neighbor_id")
         parts.append(
             verify(cand, store).select(F.col("query_id").alias(id_col)).distinct()
@@ -218,7 +247,8 @@ def ann_dup_ids(
     )
     within = ivfpq_topk_adc(
         batch_codes, q, centroids, codebooks,
-        id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe, k=cfg.self_k,
+        id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe,
+        k=cfg.max_candidates, min_sim=floor, min_keep=cfg.min_keep,
     ).select("query_id", "neighbor_id")
     parts.append(
         verify(within.filter(F.col("neighbor_id") < F.col("query_id")), q)

@@ -674,3 +674,52 @@ def test_pq_encode_replaces_existing_code_col(spark):
     assert [f.name for f in out.schema.fields].count("pq_code") == 1
     # and the values are the fresh codes, not the stale literal
     assert all(r["pq_code"] != [99] for r in out.select("pq_code").collect())
+
+
+def test_ivfpq_adc_threshold_screen_union_shortlist(spark):
+    """min_sim switches ivfpq_topk_adc from ranking to threshold
+    screening, min_keep keeps a shortlist safety net under the floor
+    (the dedup-stage primitive: screen ∪ shortlist, see
+    streaming/incremental.py AnnIndexConfig). Pinned against the plain
+    top-k run's own adc_cos values so the assertions hold for ANY
+    trained model: the floor run must emit exactly the >= floor set, the
+    min_keep run must ALSO emit the top-min_keep below-floor candidates,
+    and k must cap both."""
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_adc,
+        ivfpq_train,
+    )
+
+    df = _pq_frame(spark, n=80)
+    q = df.filter(F.col("vec_id") == 3)
+    cents, books = ivfpq_train(df, dim=16, nlist=4, m=4, codewords=8, iters=3)
+    enc = ivfpq_encode(df, cents, books).localCheckpoint()
+
+    kw = dict(id_col="vec_id", vec_col="embedding", nprobe=4)
+    ranked = ivfpq_topk_adc(enc, q, cents, books, k=40, **kw).collect()
+    assert len(ranked) >= 20  # nprobe=nlist: every candidate visible
+    sims = sorted((r["adc_cos"] for r in ranked), reverse=True)
+    floor = (sims[4] + sims[5]) / 2  # splits the field: exactly 5 above
+
+    screened = ivfpq_topk_adc(
+        enc, q, cents, books, k=40, min_sim=floor, **kw
+    ).collect()
+    above = {r["neighbor_id"] for r in ranked if r["adc_cos"] >= floor}
+    assert {r["neighbor_id"] for r in screened} == above and len(above) == 5
+
+    # the safety net: top-8 survive even though only 5 clear the floor
+    netted = ivfpq_topk_adc(
+        enc, q, cents, books, k=40, min_sim=floor, min_keep=8, **kw
+    ).collect()
+    top8 = {r["neighbor_id"] for r in ranked if r["rnk"] <= 8}
+    assert {r["neighbor_id"] for r in netted} == above | top8
+
+    # k still caps the screened emission best-first
+    capped = ivfpq_topk_adc(
+        enc, q, cents, books, k=3, min_sim=floor, **kw
+    ).collect()
+    top3 = {r["neighbor_id"] for r in ranked if r["rnk"] <= 3}
+    assert {r["neighbor_id"] for r in capped} == top3
