@@ -648,16 +648,9 @@ def pq_train(
                 if books[j][c] is None:
                     books[j][c] = [0.0] * sub
 
-        assign = (
-            f"array_min(transform(sequence(0, {codewords - 1}, 1), c -> named_struct("
-            f"'d', aggregate(zip_with(sv, element_at(element_at(_books, j + 1), c + 1),"
-            f" (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, z) -> a + z),"
-            f" 'c', c))).c"
-        )
         for _ in range(iters):
             means = (
-                subs.withColumn("_books", _books_literal(books))
-                .withColumn("code", F.expr(assign))
+                _pq_assign_frame(subs, books, sub)
                 .select("j", "code", F.posexplode("sv").alias("pos", "x"))
                 .groupBy("j", "code", "pos")
                 .agg(F.avg("x").alias("mu"))
@@ -668,6 +661,60 @@ def pq_train(
     finally:
         subs.unpersist()
     return books
+
+
+def _pq_assign_expr(codewords: int) -> str:
+    """The Lloyd assignment as a scalar SQL expression over ``(j, sv)``
+    rows with the ``_books`` literal riding along — argmin codeword by
+    squared distance, ties to the lowest code. Kept as the executable
+    SPEC for the Arrow kernel below (parity pinned by
+    tests/test_similarity.py); the training loop itself runs the kernel:
+    interpreted higher-order evaluation over a ``codewords``-sized
+    literal costs ~ms/row and the literal alone is m x codewords x sub
+    doubles in every iteration's plan (at the 8-bit dedup operating
+    point that made each Lloyd round ~20 s on a 2k-vector delivery)."""
+    return (
+        f"array_min(transform(sequence(0, {codewords - 1}, 1), c -> named_struct("
+        f"'d', aggregate(zip_with(sv, element_at(element_at(_books, j + 1), c + 1),"
+        f" (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, z) -> a + z),"
+        f" 'c', c))).c"
+    )
+
+
+def _pq_assign_frame(
+    subs: DataFrame, books: list[list[list[float]]], sub: int
+) -> DataFrame:
+    """Vectorized Lloyd assignment over exploded ``(j, sv)`` subvector
+    rows: one Arrow pass emitting ``(j, code, sv)``. Bit-exact vs
+    :func:`_pq_assign_expr`: squared-distance terms fold in subspace
+    order (matching the expression's ordered ``aggregate``) and
+    ``np.argmin`` takes the first minimum (matching ``array_min`` on
+    ``(d, c)`` structs)."""
+    import numpy as np
+    import pandas as pd
+
+    books_np = np.asarray(books, dtype=np.float64)  # (m, codewords, sub)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            j = pdf["j"].to_numpy(dtype=np.int64)
+            sv = np.stack(pdf["sv"].values).astype(np.float64)  # (n, sub)
+            diff = sv[:, None, :] - books_np[j]  # (n, codewords, sub)
+            sq = diff * diff
+            dd = sq[..., 0].copy()
+            for p in range(1, sub):
+                dd += sq[..., p]
+            yield pd.DataFrame(
+                {
+                    "j": j,
+                    "code": dd.argmin(axis=1).astype("int32"),
+                    "sv": pdf["sv"].values,
+                }
+            )
+
+    return subs.mapInPandas(assign, schema="j int, code int, sv array<double>")
 
 
 def pq_encode_expr(m: int, codewords: int, sub: int, vec_col: str) -> str:

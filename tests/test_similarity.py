@@ -723,3 +723,49 @@ def test_ivfpq_adc_threshold_screen_union_shortlist(spark):
     ).collect()
     top3 = {r["neighbor_id"] for r in ranked if r["rnk"] <= 3}
     assert {r["neighbor_id"] for r in capped} == top3
+
+
+def test_pq_assign_kernel_matches_expression_spec(spark):
+    """The Lloyd-assignment Arrow kernel (_pq_assign_frame) is bit-exact
+    vs its executable SQL spec (_pq_assign_expr) — same ordered
+    squared-distance fold, same first-minimum tie rule — including a
+    planted exact tie (duplicate codewords) that must resolve to the
+    LOWER code on both paths."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        _books_literal,
+        _pq_assign_expr,
+        _pq_assign_frame,
+    )
+
+    m, codewords, sub = 3, 5, 4
+    books = [
+        [
+            [math.sin(j * 1.7 + c * 0.9 + p * 0.4) for p in range(sub)]
+            for c in range(codewords)
+        ]
+        for j in range(m)
+    ]
+    books[1][3] = list(books[1][1])  # exact tie: codes 1 and 3 equal
+    rows = [
+        (i % m, [math.cos(i * 0.23 + p * 0.71) for p in range(sub)])
+        for i in range(90)
+    ] + [(1, list(books[1][1]))]  # lands exactly on the tied codewords
+    subs = spark.createDataFrame(rows, "j int, sv array<double>")
+
+    got = sorted(
+        (r["j"], tuple(r["sv"]), r["code"])
+        for r in _pq_assign_frame(subs, books, sub).collect()
+    )
+    want = sorted(
+        (r["j"], tuple(r["sv"]), r["code"])
+        for r in subs.withColumn("_books", _books_literal(books))
+        .withColumn("code", F.expr(_pq_assign_expr(codewords)))
+        .collect()
+    )
+    assert got == want
+    tied = [c for j, sv, c in got if sv == tuple(books[1][1])]
+    assert tied == [1]  # not 3: first-minimum rule
