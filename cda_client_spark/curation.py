@@ -615,6 +615,7 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
             nprobe=int(ann_raw.get("nprobe", 8)),
             adc_margin=float(ann_raw.get("adcMargin", 0.08)),
             max_candidates=int(ann_raw.get("maxCandidates", 512)),
+            query_batch=int(ann_raw.get("queryBatch", 2048)),
             sample_fraction=(
                 float(ann_raw["sampleFraction"])
                 if ann_raw.get("sampleFraction")

@@ -134,6 +134,14 @@ class AnnIndexConfig:
     #: quantization error exceeds adc_margin (coarse codebooks, tiny
     #: training samples); the candidate set is screen ∪ shortlist
     min_keep: int = 10
+    #: the delivery's documents are the QUERY side of the ADC scan, and
+    #: each query carries an m x codewords-double lookup table in driver/
+    #: executor memory (~128 KB at the 8-bit default) — a 20k-doc
+    #: delivery would be ~2.6 GB of query state in one pass. Deliveries
+    #: larger than this are hash-split into ~query_batch-sized chunks,
+    #: each scanning the code store once: bounded memory per pass,
+    #: ceil(|delivery|/query_batch) passes over the store
+    query_batch: int = 2048
     sample_fraction: float | None = None
     seed: int = 42
 
@@ -231,25 +239,45 @@ def ann_dup_ids(
         return scored.filter(cos >= cfg.threshold)
 
     floor = max(cfg.threshold - cfg.adc_margin, 0.0)
+    n_chunks = max(1, -(-q.count() // cfg.query_batch))
+
+    def scan(codes_frame: DataFrame) -> DataFrame:
+        """ADC screen of the delivery's docs against one code frame,
+        hash-split into ~query_batch-sized query chunks so the per-pass
+        query state stays bounded (see AnnIndexConfig.query_batch); each
+        chunk is one scan over the codes, results unioned."""
+        out = None
+        for c in range(n_chunks):
+            qc = q if n_chunks == 1 else q.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == c
+            )
+            cand = ivfpq_topk_adc(
+                codes_frame, qc, centroids, codebooks,
+                id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe,
+                k=cfg.max_candidates, min_sim=floor, min_keep=cfg.min_keep,
+                # hash-uniform chunks: 4x headroom over the mean size
+                max_queries=max(4 * cfg.query_batch, 1024),
+            ).select("query_id", "neighbor_id")
+            out = cand if out is None else out.unionByName(cand)
+        return out
+
     parts = []
     store = _ann_index_frame(spark, cfg, id_col, batch_id)
     if store is not None:
-        cand = ivfpq_topk_adc(
-            store, q, centroids, codebooks,
-            id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe,
-            k=cfg.max_candidates, min_sim=floor, min_keep=cfg.min_keep,
-        ).select("query_id", "neighbor_id")
         parts.append(
-            verify(cand, store).select(F.col("query_id").alias(id_col)).distinct()
+            verify(scan(store), store)
+            .select(F.col("query_id").alias(id_col))
+            .distinct()
         )
     batch_codes = ivfpq_encode(
         q, centroids, codebooks, id_col=id_col, vec_col=cfg.vec_col
     )
-    within = ivfpq_topk_adc(
-        batch_codes, q, centroids, codebooks,
-        id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe,
-        k=cfg.max_candidates, min_sim=floor, min_keep=cfg.min_keep,
-    ).select("query_id", "neighbor_id")
+    if n_chunks > 1:
+        # each chunk re-scans the batch codes: materialize the encode
+        # once (delivery-sized small ints) instead of re-running the
+        # Arrow pass per chunk
+        batch_codes = batch_codes.localCheckpoint()
+    within = scan(batch_codes)
     parts.append(
         verify(within.filter(F.col("neighbor_id") < F.col("query_id")), q)
         .select(F.col("query_id").alias(id_col))
