@@ -203,12 +203,28 @@ def ann_dup_ids(
 ) -> DataFrame:
     """Ids in this delivery that SEMANTICALLY duplicate (exact cosine >=
     threshold after an ADC screen) an earlier-accepted document, or a
-    lower-id document in the same delivery. Store side: the compressed
-    ADC scan screens stored neighbors at ``threshold - adc_margin``
-    (capped best-first at ``max_candidates``), then the exact cosine
-    against the candidates' stored raw vectors decides. Within-batch
-    side: same two stages over this delivery's own fresh codes with the
-    lowest-id keep rule."""
+    lower-id document in the same delivery.
+
+    THREE stages, cheapest-and-strongest first:
+
+    1. EXACT-copy pre-stage: ``xxhash64(vec)`` equi-join against the
+       stored raw vectors (and a lower-id self-join within the batch),
+       array-equality guarded. Bit-identical vectors have cosine 1.0 >=
+       any threshold, and this path is DETERMINISTIC and immune to the
+       ANN screen's two approximation hazards (cluster crowding past the
+       best-first cap, quantization error past the margin) — measured at
+       the sf10 soak density, 2 of ~1,855 planted exact copies escaped
+       the capped ADC screen; none can escape a hash join. Cost: an
+       8-byte-key shuffle, no codebooks involved.
+    2. ADC screen over the code store at ``threshold - adc_margin``
+       (capped best-first at ``max_candidates``, ``min_keep`` net),
+       covering the true semantic band (threshold <= cos < 1) where a
+       miss is an approximation by construction, not a correctness bug.
+    3. Exact-cosine verify of the screened candidates against their
+       stored raw vectors — removes every screen false positive.
+
+    Within-batch side: same stages over this delivery's own fresh codes
+    with the lowest-id keep rule."""
     from cda_client_spark.operators.similarity import (
         dot_col,
         ivfpq_encode,
@@ -238,6 +254,27 @@ def ann_dup_ids(
         )
         return scored.filter(cos >= cfg.threshold)
 
+    qh = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cfg.vec_col).alias("q_vec"),
+        F.xxhash64(cfg.vec_col).alias("_h"),
+    )
+
+    def exact_copies(nvec_src: DataFrame, lower_id_only: bool) -> DataFrame:
+        """Stage-1 exact-copy ids: hash equi-join + array-equality
+        collision guard (the hash only routes the shuffle)."""
+        nv = nvec_src.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cfg.vec_col).alias("c_vec"),
+            F.xxhash64(cfg.vec_col).alias("_h"),
+        )
+        hit = qh.join(nv, "_h").filter(F.col("q_vec") == F.col("c_vec"))
+        if lower_id_only:
+            hit = hit.filter(F.col("neighbor_id") < F.col("query_id"))
+        else:
+            hit = hit.filter(F.col("neighbor_id") != F.col("query_id"))
+        return hit.select(F.col("query_id").alias(id_col)).distinct()
+
     floor = max(cfg.threshold - cfg.adc_margin, 0.0)
     n_chunks = max(1, -(-q.count() // cfg.query_batch))
 
@@ -261,9 +298,10 @@ def ann_dup_ids(
             out = cand if out is None else out.unionByName(cand)
         return out
 
-    parts = []
+    parts = [exact_copies(q, lower_id_only=True)]
     store = _ann_index_frame(spark, cfg, id_col, batch_id)
     if store is not None:
+        parts.append(exact_copies(store, lower_id_only=False))
         parts.append(
             verify(scan(store), store)
             .select(F.col("query_id").alias(id_col))
