@@ -58,6 +58,18 @@ contention directly and per rep:
   taken over those only (``median`` in detail is the published number;
   ``median_all_kept`` records the unfiltered one for comparison).
 
+Clean-series hardening (r9 postmortem, methodology 4): the r9 record ran
+at 1.5-3.9 external busy cores throughout — under the 4.0 ceiling, so
+zero reps were retried or flagged, yet untouched query families drifted
++25-150%. The protocol now holds TWO thresholds: ``ext_clean_max``
+(default 1.0 core) is the clean bar — the sleep-and-retry trigger and the
+clean-rep median filter — while ``ext_load_max`` (default 4.0) remains
+the hard contention ceiling counted in ``contended``. A query whose
+published median could not be taken from clean reps is marked ``dirty``
+in detail, and both JSON artifacts carry a top-level ``dirty`` flag: a
+record produced on a noisy box self-identifies instead of silently
+entering the cross-round series.
+
 Coverage (r4 ask): the ENTIRE catalog is timed — the 34 headline queries
 first (stable cross-round comparison set), then every remaining registry
 entry — so a plan regression in any query shows up as a number, not only
@@ -88,7 +100,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #   3 = r8: extension band widened to <4 s, per-rep EXTERNAL-busy-cores
 #       probe with bounded sleep-and-retry on contention, clean-rep-
 #       preferred median (median_all_kept kept alongside for comparison)
-BENCH_METHODOLOGY = 3
+#   4 = r10 (r9 verdict #3): the CLEAN threshold drops 4.0 -> 1.0 external
+#       cores — r9 proved 4.0 tolerates ~12% stolen CPU on a 32-core box,
+#       enough to drift untouched families +25-150% while recording
+#       contended_reps: 0. Sleep-and-retry now triggers at the clean
+#       threshold (ext_clean_max, default 1.0); 4.0 stays as the HARD
+#       contention ceiling (ext_load_max, counted in `contended`); every
+#       query whose published median had to fall back to non-clean reps
+#       is flagged, and the artifact carries a top-level `dirty` flag so
+#       a noisy-box record can never masquerade as a clean series again
+BENCH_METHODOLOGY = 4
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
@@ -149,15 +170,23 @@ def select_published_median(
     reps: int,
     outlier_factor: float,
     ext_load_max: float,
-) -> tuple[float, float, int, int]:
-    """The methodology-3 median selection, extracted for unit testing
+    ext_clean_max: float | None = None,
+) -> tuple[float, float, int, int, bool]:
+    """The methodology-4 median selection, extracted for unit testing
     (tests/test_bench_protocol.py): min-anchored outlier rejection, then
-    prefer reps that STARTED on a quiet box when at least ``min(3, reps)``
+    prefer reps that STARTED on a quiet box (pre-rep external load <=
+    ``ext_clean_max``, default 1.0 core) when at least ``min(3, reps)``
     clean kept reps exist. Returns (published_median, median_all_kept,
-    n_rejected, n_contended). ``n_contended`` counts the reps whose
-    pre-rep external load exceeded ``ext_load_max`` — independent of
-    outlier rejection (r8 ADVICE: a quiet-box rep rejected as an outlier
-    is a spike, not contention, and must not inflate the count)."""
+    n_rejected, n_contended, dirty). ``n_contended`` counts the reps
+    whose pre-rep external load exceeded the HARD ceiling
+    ``ext_load_max`` — independent of outlier rejection (r8 ADVICE: a
+    quiet-box rep rejected as an outlier is a spike, not contention, and
+    must not inflate the count). ``dirty`` is True when the published
+    median had to fall back to non-clean reps — the r9 failure mode
+    (every rep equally 1-4-core contended, tight spreads, nothing to
+    reject) now flags the number instead of publishing it silently."""
+    if ext_clean_max is None:
+        ext_clean_max = ext_load_max
     lo = min(samples)
     kept_idx = (
         [i for i, s in enumerate(samples) if s <= outlier_factor * lo]
@@ -165,13 +194,18 @@ def select_published_median(
         else list(range(len(samples)))
     )
     kept = [samples[i] for i in kept_idx]
-    clean = [samples[i] for i in kept_idx if rep_ext[i] <= ext_load_max]
-    published = clean if len(clean) >= min(3, reps) else kept
+    clean = [samples[i] for i in kept_idx if rep_ext[i] <= ext_clean_max]
+    use_clean = len(clean) >= min(3, reps)
+    published = clean if use_clean else kept
+    # dirty only when the fallback actually ADMITS non-clean reps into
+    # the published median — a short all-clean kept set is still clean
+    dirty = (not use_clean) and len(clean) < len(kept)
     return (
         round(statistics.median(published), 3),
         round(statistics.median(kept), 3),
         len(samples) - len(kept),
         sum(1 for e in rep_ext if e > ext_load_max),
+        dirty,
     )
 
 
@@ -249,6 +283,13 @@ def main() -> None:
     # warm the JVM/code paths once so per-query numbers measure the engine,
     # not session spin-up
     SPARK["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # pre-build the IVFADC bench model+index HERE, not lazily inside the
+    # first timed rep of ivfpq_search_* (r9 ADVICE: with reps=1 the
+    # published number silently included the build; with reps>=2 it
+    # leaned on outlier rejection to discard rep 1)
+    from cda_client_spark.queries_llm import _ivfpq_bench_index
+
+    _ivfpq_bench_index(spark, sf_dir)
 
     names = list(BENCH_QUERIES)
     if os.environ.get("SPARK_GRAFT_BENCH", "full") != "headline":
@@ -262,11 +303,16 @@ def main() -> None:
     fast_threshold = float(os.environ.get("SPARK_GRAFT_FAST_THRESHOLD", "4.0"))
     outlier_factor = float(os.environ.get("SPARK_GRAFT_OUTLIER_FACTOR", "3.0"))
     ext_load_max = float(os.environ.get("SPARK_GRAFT_EXT_LOAD_MAX", "4.0"))
+    # methodology 4: the CLEAN bar (sleep-retry trigger + clean-rep
+    # median filter) — far stricter than the 4.0 hard ceiling, which on
+    # a 32-core box tolerated ~12% stolen CPU without a retry (r9)
+    ext_clean_max = float(os.environ.get("SPARK_GRAFT_EXT_CLEAN_MAX", "1.0"))
     load_sleep = float(os.environ.get("SPARK_GRAFT_LOAD_SLEEP", "5"))
     load_retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "3"))
     # global sleep budget: a busy-for-hours box must degrade to flagging
-    # contended reps, not hang the bench
-    sleep_budget = float(os.environ.get("SPARK_GRAFT_LOAD_BUDGET", "180"))
+    # contended reps, not hang the bench (raised 180 -> 300 with the
+    # stricter trigger — more reps will wait, each wait is still bounded)
+    sleep_budget = float(os.environ.get("SPARK_GRAFT_LOAD_BUDGET", "300"))
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in names:
@@ -279,7 +325,7 @@ def main() -> None:
             nonlocal sleep_budget
             ext = external_busy_cores()
             tries = 0
-            while ext > ext_load_max and tries < load_retries and sleep_budget >= load_sleep:
+            while ext > ext_clean_max and tries < load_retries and sleep_budget >= load_sleep:
                 time.sleep(load_sleep)
                 sleep_budget -= load_sleep
                 tries += 1
@@ -305,8 +351,8 @@ def main() -> None:
         # gives tight-but-slow spreads that min-anchored rejection can't
         # touch; only when too few clean reps exist do we fall back to all
         # kept reps (and the `contended` count flags the record)
-        published, all_kept, n_rej, n_cont = select_published_median(
-            samples, rep_ext, reps, outlier_factor, ext_load_max
+        published, all_kept, n_rej, n_cont, q_dirty = select_published_median(
+            samples, rep_ext, reps, outlier_factor, ext_load_max, ext_clean_max
         )
         timings[name] = published
         detail[name] = {
@@ -317,6 +363,7 @@ def main() -> None:
             "wait_rounds": rep_waited,
             "contended": n_cont,
             "median_all_kept": all_kept,
+            "dirty": q_dirty,
         }
 
     try:
@@ -344,6 +391,9 @@ def main() -> None:
                     "fast_threshold_s": fast_threshold,
                     "outlier_factor": outlier_factor,
                     "ext_load_max": ext_load_max,
+                    "ext_clean_max": ext_clean_max,
+                    "dirty": any(v["dirty"] for v in detail.values()),
+                    "dirty_queries": sorted(n for n, v in detail.items() if v["dirty"]),
                     "bench_methodology": BENCH_METHODOLOGY,
                     "detail": detail,
                 },
@@ -367,6 +417,11 @@ def main() -> None:
                 "load_1m_max": round(max(v["load_1m"] for v in detail.values()), 2),
                 "ext_busy_max": max(max(v["ext_busy_cores"]) for v in detail.values()),
                 "contended_reps": sum(v["contended"] for v in detail.values()),
+                # True when ANY published per-query median fell back to
+                # non-clean reps (pre-rep ext > ext_clean_max) — the
+                # record is then box-noise-suspect and must not anchor
+                # cross-round ±10% attribution
+                "dirty": any(v["dirty"] for v in detail.values()),
                 "bench_methodology": BENCH_METHODOLOGY,
             }
         )

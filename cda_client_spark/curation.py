@@ -559,6 +559,41 @@ def run_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
     return report
 
 
+def ann_config_from_raw(ann_raw: dict):
+    """Build the semantic-dedup stage's ``AnnIndexConfig`` from the
+    ``incremental.annIndex`` YAML block. Absent keys must NOT override
+    the dataclass defaults — AnnIndexConfig's operating point (256
+    codewords vs the search gates' toy 16, the min_keep net, the
+    soak-calibrated adc_margin) is documented and measured there; only
+    explicitly-set keys reach the constructor."""
+    from cda_client_spark.streaming.incremental import AnnIndexConfig
+
+    opt = {
+        dst: cast(ann_raw[src])
+        for src, dst, cast in (
+            ("vecColumn", "vec_col", str),
+            ("threshold", "threshold", float),
+            ("nlist", "nlist", int),
+            ("m", "m", int),
+            ("codewords", "codewords", int),
+            ("iters", "iters", int),
+            ("nprobe", "nprobe", int),
+            ("adcMargin", "adc_margin", float),
+            ("maxCandidates", "max_candidates", int),
+            ("minKeep", "min_keep", int),
+            ("queryBatch", "query_batch", int),
+            ("sampleFraction", "sample_fraction", float),
+        )
+        if ann_raw.get(src) is not None
+    }
+    return AnnIndexConfig(
+        index_dir=ann_raw["indexPath"],
+        model_path=ann_raw["modelPath"],
+        dim=int(ann_raw["dim"]),
+        **opt,
+    )
+
+
 def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> CurationReport:
     """Streaming curation over a landing folder: each delivery runs the
     SAME stage chain as the batch pipeline, then a ``near_dup`` stage that
@@ -602,26 +637,7 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
     ann_raw = inc.get("annIndex")
     ann_cfg = None
     if ann_raw:
-        ann_cfg = AnnIndexConfig(
-            index_dir=ann_raw["indexPath"],
-            model_path=ann_raw["modelPath"],
-            dim=int(ann_raw["dim"]),
-            vec_col=ann_raw.get("vecColumn", "embedding"),
-            threshold=float(ann_raw.get("threshold", 0.99)),
-            nlist=int(ann_raw.get("nlist", 16)),
-            m=int(ann_raw.get("m", 16)),
-            codewords=int(ann_raw.get("codewords", 16)),
-            iters=int(ann_raw.get("iters", 3)),
-            nprobe=int(ann_raw.get("nprobe", 8)),
-            adc_margin=float(ann_raw.get("adcMargin", 0.08)),
-            max_candidates=int(ann_raw.get("maxCandidates", 512)),
-            query_batch=int(ann_raw.get("queryBatch", 2048)),
-            sample_fraction=(
-                float(ann_raw["sampleFraction"])
-                if ann_raw.get("sampleFraction")
-                else None
-            ),
-        )
+        ann_cfg = ann_config_from_raw(ann_raw)
         _require_local_store(ann_cfg.index_dir)
     dedup_kwargs = {
         k: inc[k]
@@ -681,21 +697,31 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                 if ann_cfg is not None:
                     # semantic near-dup stage: train-once IVFADC model +
                     # persisted index (streaming/incremental.py); checked
-                    # over the batch-filter survivors, tagged AFTER
-                    # near_dup so an overlap names the text stage first
-                    ann_frame = kept_rows.select(cfg.id_col, ann_cfg.vec_col)
+                    # over the NEAR-DUP survivors — the within-batch
+                    # lowest-id keep rule must anchor on docs that will
+                    # actually enter the index, else a keeper that
+                    # near_dup itself drops takes its semantic copies
+                    # down with it and the content vanishes entirely.
+                    # Persist first: the stage's encode/scan/train
+                    # actions all read this frame
+                    tagged2 = tagged2.persist()
+                    ann_frame = tagged2.filter(
+                        F.col("drop_reason").isNull()
+                    ).select(cfg.id_col, ann_cfg.vec_col)
                     cents, books = ensure_ann_model(ann_frame, ann_cfg, cfg.id_col)
                     sem = ann_dup_ids(
                         spark, ann_frame, batch_id, ann_cfg, cents, books,
                         cfg.id_col,
                     )
-                    tagged2 = _tag(
+                    nd_tagged, tagged2 = tagged2, _tag(
                         tagged2.join(
                             sem.withColumn("_sd", F.lit(True)), cfg.id_col, "left"
                         ),
                         "semantic_dup",
                         F.col("_sd").isNotNull(),
                     ).drop("_sd")
+                else:
+                    nd_tagged = None
                 tagged2 = tagged2.persist()
                 try:
                     funnels.append(
@@ -744,6 +770,8 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                             )
                 finally:
                     tagged2.unpersist()
+                    if nd_tagged is not None:
+                        nd_tagged.unpersist()
             finally:
                 buckets.unpersist()
         finally:

@@ -1175,8 +1175,11 @@ def ivfpq_encode(
         # self-contained index variant: the raw vector rides along for
         # exact re-rank/verify reads. Parquet column pruning keeps the
         # ADC scan's IO at codes + scalars — the vector column is read
-        # only by the (candidate-sized) rerank join.
-        out_schema += f", {vec_col} array<float>"
+        # only by the (candidate-sized) rerank join. The stored type is
+        # DERIVED from the input (array<float> or array<double>) — a
+        # silent float downcast of a double column would break exact
+        # hash/equality joins downstream (stored vs source vectors).
+        out_schema += f", {vec_col} {corpus.schema[vec_col].dataType.simpleString()}"
 
     def encode(batches):
         for pdf in batches:

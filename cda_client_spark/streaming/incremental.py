@@ -59,7 +59,13 @@ def ann_index_schema(id_col: str = "doc_id", vec_col: str = "embedding") -> str:
     (operators/similarity.py ``ivfpq_encode`` with ``keep_vec=True``):
     codes + scalars drive the ADC scan (parquet column pruning — the
     vector column's bytes are never read by it); the raw vector rides
-    along for the candidate-sized exact-verify join only."""
+    along for the candidate-sized exact-verify join only.
+
+    The store PINS the vector type to array<float> regardless of the
+    source column's type (write_ann_index_batch casts): one fixed
+    parquet schema across batches/compactions. ann_dup_ids casts the
+    query side to float at the stage-1 hash join so exact copies of a
+    double source column still match the stored floats."""
     return (
         f"{id_col} bigint, cell int, pq_code array<int>, c_norm double, "
         f"{vec_col} array<float>"
@@ -254,10 +260,14 @@ def ann_dup_ids(
         )
         return scored.filter(cos >= cfg.threshold)
 
+    # stage-1 comparisons run in the STORE's pinned type (array<float>,
+    # see ann_index_schema): a double source column is cast before the
+    # hash/equality so an exact copy of a stored vector always matches
+    _f32 = F.col(cfg.vec_col).cast("array<float>")
     qh = q.select(
         F.col(id_col).alias("query_id"),
-        F.col(cfg.vec_col).alias("q_vec"),
-        F.xxhash64(cfg.vec_col).alias("_h"),
+        _f32.alias("q_vec"),
+        F.xxhash64(_f32).alias("_h"),
     )
 
     def exact_copies(nvec_src: DataFrame, lower_id_only: bool) -> DataFrame:
@@ -265,8 +275,8 @@ def ann_dup_ids(
         collision guard (the hash only routes the shuffle)."""
         nv = nvec_src.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(cfg.vec_col).alias("c_vec"),
-            F.xxhash64(cfg.vec_col).alias("_h"),
+            _f32.alias("c_vec"),
+            F.xxhash64(_f32).alias("_h"),
         )
         hit = qh.join(nv, "_h").filter(F.col("q_vec") == F.col("c_vec"))
         if lower_id_only:
@@ -343,7 +353,10 @@ def write_ann_index_batch(
 
     ivfpq_encode(
         batch_df.join(accepted_ids, id_col, "left_semi").select(
-            F.col(id_col), F.col(cfg.vec_col)
+            F.col(id_col),
+            # pin the store's vector type (ann_index_schema): one fixed
+            # parquet schema across batches even from a double source
+            F.col(cfg.vec_col).cast("array<float>").alias(cfg.vec_col),
         ),
         centroids,
         codebooks,
@@ -621,12 +634,22 @@ def incremental_dedup_batch(
                 spark, new_b, batch_id, store_dir, id_col, max_bucket_size
             )
             if ann is not None:
-                cents, books = ensure_ann_model(batch_df, ann, id_col)
+                # the semantic check anchors on the MINHASH SURVIVORS
+                # (id-sized dups frame persisted — the ann stage's
+                # encode/scan actions each re-read it): a within-batch
+                # semantic keeper that the text stage itself drops must
+                # not take its semantic copies down with it, or the
+                # content vanishes from the corpus entirely
+                md_dups = dups = dups.persist()
+                md_survivors = batch_df.join(dups, id_col, "left_anti")
+                cents, books = ensure_ann_model(md_survivors, ann, id_col)
                 dups = dups.unionByName(
                     ann_dup_ids(
-                        spark, batch_df, batch_id, ann, cents, books, id_col
+                        spark, md_survivors, batch_id, ann, cents, books, id_col
                     )
                 ).distinct()
+            else:
+                md_dups = None
             survivors = batch_df.join(dups, id_col, "left_anti").persist()
             try:
                 survivors.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
@@ -640,6 +663,8 @@ def incremental_dedup_batch(
                     )
             finally:
                 survivors.unpersist()
+                if md_dups is not None:
+                    md_dups.unpersist()
         finally:
             new_b.unpersist()
     finally:

@@ -1,4 +1,4 @@
-"""Unit tests for the bench.py measurement protocol (methodology 3) —
+"""Unit tests for the bench.py measurement protocol (methodology 4) —
 the official per-round record, so its selection logic is pinned here
 without spinning Spark."""
 
@@ -19,24 +19,50 @@ def test_median_prefers_clean_reps_under_sustained_load():
     reps exist the published median must come from those only."""
     samples = [2.4, 2.5, 2.6, 1.1, 1.2, 1.0, 1.15]
     ext = [6.0, 6.0, 6.0, 0.1, 0.2, 0.0, 0.3]
-    pub, all_kept, rejected, contended = select_published_median(
-        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0
+    pub, all_kept, rejected, contended, dirty = select_published_median(
+        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0,
+        ext_clean_max=1.0,
     )
     # all within 3x the minimum, so nothing is REJECTED — exactly the
     # tight-but-slow spread min-anchoring can't touch
     assert rejected == 0 and contended == 3
     assert pub == 1.125  # median of the four clean reps
     assert all_kept == 1.2  # median of everything kept, for comparison
+    assert dirty is False
 
 
 def test_median_falls_back_when_too_few_clean_reps():
     samples = [2.0, 2.1, 2.2]
     ext = [5.0, 5.0, 0.1]  # only one clean rep: fall back to all kept
-    pub, all_kept, rejected, contended = select_published_median(
-        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0
+    pub, all_kept, rejected, contended, dirty = select_published_median(
+        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0,
+        ext_clean_max=1.0,
     )
     assert pub == all_kept == 2.1
     assert contended == 2
+    # the fallback publishes a contaminated median — the record must say so
+    assert dirty is True
+
+
+def test_clean_bar_is_stricter_than_contention_ceiling():
+    """r9 failure mode: reps at 1.5-3.9 external cores pass the 4.0
+    ceiling (contended == 0) yet drift untouched queries +25-150%. Under
+    methodology 4 they are NOT clean: the median prefers <=1.0-core reps
+    and, failing that, flags the published number dirty."""
+    samples = [2.4, 2.5, 2.6, 1.1, 1.2, 1.0]
+    ext = [3.9, 3.5, 2.0, 0.2, 0.1, 0.3]
+    pub, all_kept, rejected, contended, dirty = select_published_median(
+        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0,
+        ext_clean_max=1.0,
+    )
+    assert contended == 0  # below the hard ceiling...
+    assert pub == 1.1 and dirty is False  # ...but only quiet reps publish
+    # and when no quiet rep exists, the number is stamped dirty
+    pub2, _, _, cont2, dirty2 = select_published_median(
+        [2.4, 2.5, 2.6], [3.9, 3.5, 2.0], reps=3, outlier_factor=3.0,
+        ext_load_max=4.0, ext_clean_max=1.0,
+    )
+    assert cont2 == 0 and dirty2 is True and pub2 == 2.5
 
 
 def test_outlier_rejection_is_min_anchored():
@@ -44,21 +70,33 @@ def test_outlier_rejection_is_min_anchored():
     before any median is taken (r6 behavior, preserved)."""
     samples = [6.85, 1.20, 0.95]
     ext = [0.0, 0.0, 0.0]
-    pub, all_kept, rejected, contended = select_published_median(
-        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0
+    pub, all_kept, rejected, contended, dirty = select_published_median(
+        samples, ext, reps=3, outlier_factor=3.0, ext_load_max=4.0,
+        ext_clean_max=1.0,
     )
     assert rejected == 1  # 6.85 > 3 x 0.95
     assert pub == all_kept == 1.075
     # r8 ADVICE: a quiet-box rep rejected as an OUTLIER is a spike, not
     # contention — the contended count is over pre-rep external load only
-    assert contended == 0
+    assert contended == 0 and dirty is False
 
 
 def test_reps_one_is_verbatim():
-    pub, all_kept, rejected, contended = select_published_median(
-        [9.0], [0.0], reps=1, outlier_factor=3.0, ext_load_max=4.0
+    pub, all_kept, rejected, contended, dirty = select_published_median(
+        [9.0], [0.0], reps=1, outlier_factor=3.0, ext_load_max=4.0,
+        ext_clean_max=1.0,
     )
-    assert pub == 9.0 and rejected == 0 and contended == 0
+    assert pub == 9.0 and rejected == 0 and contended == 0 and dirty is False
+
+
+def test_clean_max_defaults_to_load_max():
+    """Omitting ext_clean_max reproduces the methodology-3 behavior —
+    callers that predate the clean bar keep their semantics."""
+    pub, all_kept, rejected, contended, dirty = select_published_median(
+        [2.0, 2.1, 2.2], [3.0, 3.0, 3.0], reps=3, outlier_factor=3.0,
+        ext_load_max=4.0,
+    )
+    assert pub == 2.1 and contended == 0 and dirty is False
 
 
 def test_external_busy_excludes_own_process_tree():

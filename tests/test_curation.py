@@ -538,3 +538,103 @@ def test_incremental_curation_ann_index_stage(spark, tmp_path):
     r3 = run_incremental_curation(spark, cfg)
     assert r3.dropped.get("semantic_dup") == 1 and r3.kept == 1
     assert model_path.read_bytes() == sidecar
+
+
+def test_ann_config_defaults_govern_absent_keys(tmp_path):
+    """r9 ADVICE (medium): the YAML loader used to default codewords to
+    16 — contradicting AnnIndexConfig's documented 256 operating point
+    (16-codeword quantization error, worst observed 0.093, exceeds the
+    default adc_margin 0.08) — so a config omitting 'codewords' silently
+    ran the ADC screen at a false-negative-prone point. Absent keys must
+    leave the dataclass defaults in force; set keys (incl. the
+    previously-unexposed minKeep) must flow through."""
+    from cda_client_spark.curation import ann_config_from_raw
+
+    base = {"indexPath": str(tmp_path / "i"), "modelPath": str(tmp_path / "m"),
+            "dim": 32}
+    cfg = ann_config_from_raw(base)
+    assert cfg.codewords == 256  # the dataclass default, not 16
+    assert cfg.min_keep == 10 and cfg.adc_margin == 0.08
+    assert cfg.nprobe == 8 and cfg.max_candidates == 512
+    assert cfg.query_batch == 2048 and cfg.sample_fraction is None
+
+    cfg2 = ann_config_from_raw(
+        {**base, "codewords": 64, "minKeep": 3, "queryBatch": 512,
+         "adcMargin": 0.05, "sampleFraction": 0.5}
+    )
+    assert cfg2.codewords == 64 and cfg2.min_keep == 3
+    assert cfg2.query_batch == 512 and cfg2.adc_margin == 0.05
+    assert cfg2.sample_fraction == 0.5
+
+
+def test_semantic_stage_anchors_on_near_dup_survivors(spark, tmp_path):
+    """r9 ADVICE: the semantic stage used to query the PRE-near-dup
+    survivors, so a within-batch semantic keeper that near_dup itself
+    dropped took its semantic copies down with it — both copies dropped,
+    the content vanished. The stage must anchor its lowest-id keep rule
+    on docs that can actually enter the index (near-dup survivors)."""
+    import hashlib
+    import shutil
+
+    from cda_client_spark.curation import run_incremental_curation
+
+    dim = 32
+
+    def emb(i: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"aemb:{i}:{d}".encode()).hexdigest()[:8], 16) % 1000)
+            / 1000.0
+            - 0.5
+            for d in range(dim)
+        ]
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    staging = tmp_path / "_stage"
+    # doc 1 is a near-copy TEXT of doc 0 (dropped near_dup) and the
+    # lowest-id holder of the shared embedding; doc 2 carries the SAME
+    # embedding with fresh text. Anchoring on pre-near-dup survivors
+    # would drop 2 as semantic_dup of the already-doomed 1.
+    spark.createDataFrame(
+        [
+            (0, good_text(0), "s", emb(0)),
+            (1, good_text(0) + " zz", "s", emb(7)),
+            (2, good_text(2), "s", emb(7)),
+        ]
+        # fresh ballast so the train-on-first-delivery KMeans has more
+        # distinct vectors than nlist
+        + [(i, good_text(i), "s", emb(i)) for i in range(10, 18)],
+        "doc_id bigint, text string, source string, embedding array<float>",
+    ).coalesce(1).write.parquet(str(staging))
+    shutil.move(str(next(staging.glob("part-*.parquet"))), str(landing / "d1.parquet"))
+    shutil.rmtree(staging)
+
+    cfg = CurationConfig(
+        input_path="",
+        output_path=str(tmp_path / "out"),
+        steps={"quality": {"minWords": 5, "minScore": 0.0}},
+        export_shards=1,
+        export_compression=None,
+        incremental={
+            "landingPath": str(landing),
+            "storePath": str(tmp_path / "store"),
+            "checkpointPath": str(tmp_path / "ckpt"),
+            "shingle": 2,
+            "max_bucket_size": 64,
+            "annIndex": {
+                "indexPath": str(tmp_path / "ann_index"),
+                "modelPath": str(tmp_path / "ann_model.json"),
+                "dim": dim,
+                "threshold": 0.9,
+                "nlist": 4,
+                "m": 8,
+                "codewords": 16,
+                "iters": 3,
+                "nprobe": 4,
+            },
+        },
+    )
+    r = run_incremental_curation(spark, cfg)
+    assert r.dropped.get("near_dup") == 1  # doc 1 (text copy of 0)
+    assert "semantic_dup" not in r.dropped  # doc 2 SURVIVES: its only
+    assert r.kept == 10  # embedding-sharer never entered the index

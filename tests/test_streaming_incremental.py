@@ -588,3 +588,74 @@ def test_ann_index_pretrained_sidecar_is_loaded_not_retrained(spark, tmp_path):
     kept = {r["doc_id"] for r in read_curated(spark, out, ANN_SCHEMA).collect()}
     assert kept == {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 101, 201}
     assert Path(ann.model_path).read_bytes() == sidecar
+
+
+def test_ann_keeper_dropped_by_text_stage_spares_semantic_copies(spark, tmp_path):
+    """r9 ADVICE: the semantic check must anchor its within-batch
+    lowest-id keep rule on the MINHASH SURVIVORS — a keeper that the
+    text stage itself drops must not take its semantic copies down with
+    it (both dropped, neither indexed, the content gone)."""
+    d = {k: str(tmp_path / (k + "K")) for k in ("in", "store", "out", "ckpt")}
+    ind, store, out, ckpt = d["in"], d["store"], d["out"], d["ckpt"]
+    ann = _ann_cfg(tmp_path, "K")
+
+    _ann_land(spark, ind, [_ann_doc(i) for i in range(10)], "d1")
+    _ann_run(spark, ind, store, out, ckpt, ann)
+
+    # 100 = near-copy TEXT of doc 0 (minhash-dropped) and the lowest-id
+    # holder of a NEW embedding; 101 = fresh text, SAME embedding
+    rows = [
+        (100, _doc(0)[1] + " zz", _emb(77)),
+        (*_doc(101), _emb(77)),
+    ]
+    _ann_land(spark, ind, rows, "d2")
+    _ann_run(spark, ind, store, out, ckpt, ann)
+
+    kept = {r["doc_id"] for r in read_curated(spark, out, ANN_SCHEMA).collect()}
+    # 100 falls to the text stage; 101 SURVIVES — its only embedding-
+    # sharer never entered the index
+    assert kept == set(range(10)) | {101}
+
+
+def test_ann_double_vectors_exact_copy_still_caught(spark, tmp_path):
+    """r9 ADVICE: the index store pins array<float>; with an
+    array<double> source column, stage-1 exact-copy detection must still
+    match (query side cast to float before the xxhash64 equi-join) —
+    without the cast, double-vs-float hashes never collide and exact
+    copies silently degrade to the approximate ADC path."""
+    schema_d = "doc_id bigint, text string, embedding array<double>"
+    d = {k: str(tmp_path / (k + "D")) for k in ("in", "store", "out", "ckpt")}
+    ind, store, out, ckpt = d["in"], d["store"], d["out"], d["ckpt"]
+    ann = _ann_cfg(tmp_path, "D")
+
+    import shutil
+    from pathlib import Path
+
+    def land_d(rows, name):
+        Path(ind).mkdir(exist_ok=True)
+        staging = Path(ind).parent / f"_stage_{name}"
+        spark.createDataFrame(rows, schema_d).coalesce(1).write.parquet(str(staging))
+        shutil.move(str(next(staging.glob("part-*.parquet"))), f"{ind}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    def run():
+        incremental_dedup_stream(
+            spark, ind, schema_d, store, out, ckpt,
+            shingle=2, max_bucket_size=64, ann=ann,
+        )
+
+    land_d([(*_doc(i), [float(v) for v in _emb(i)]) for i in range(10)], "d1")
+    run()
+    # a float-precision exact copy of stored doc 3's embedding, fresh text
+    # (the store holds doc 3's vector as float32; the double query must
+    # cast to match it), plus one fresh doc
+    land_d(
+        [
+            (*_doc(100), [float(v) for v in _emb(3)]),
+            (*_doc(101), [float(v) for v in _emb(101)]),
+        ],
+        "d2",
+    )
+    run()
+    kept = {r["doc_id"] for r in read_curated(spark, out, schema_d).collect()}
+    assert kept == set(range(10)) | {101}
