@@ -27,7 +27,13 @@ Config shape (every step optional; steps run in the fixed order below):
         qualityModel: {referencePath: /data/reference.parquet, minProb: 0.5}
         lmPerplexity: {maxPerplexity: 120, smoothing: 0.1}  # CCNet-style LM filter
         dsir: {targetPath: /data/target.parquet, minWeight: 0.0}  # DSIR selection
-        contamination: {benchmarkPath: /data/eval.parquet, n: 8}
+        # mode broadcast (default): eval grams broadcast as a join hash
+        # relation — right when the eval suite is MBs. mode bloom: the
+        # scale path for eval suites too big to broadcast as strings
+        # (a ~1.2 B/gram bitmap + exact verify join; decisions are
+        # bit-identical to broadcast mode by construction)
+        contamination: {benchmarkPath: /data/eval.parquet, n: 8,
+                        mode: bloom, nbits: 1048576, nhash: 5}
         sourceQuota: {keyColumn: source, cap: 1000}
       split: {train: 0.98, val: 0.01, test: 0.01}
       export: {shards: 8, compression: gzip}   # sharded JSONL per split
@@ -178,6 +184,15 @@ def load_curation_config(path: str | Path) -> CurationConfig:
     unknown = set(steps) - known
     if unknown:
         raise ConfigError(f"unknown curation steps: {sorted(unknown)}")
+    contam = steps.get("contamination") or {} if "contamination" in steps else None
+    if contam is not None and contam.get("mode", "broadcast") not in (
+        "broadcast",
+        "bloom",
+    ):
+        raise ConfigError(
+            "curation.steps.contamination.mode must be 'broadcast' or "
+            f"'bloom', got {contam.get('mode')!r}"
+        )
     exp = c.get("export") or {}
     return CurationConfig(
         input_path=c.get("inputPath", ""),
@@ -450,9 +465,28 @@ def _signal_stages(
     if "contamination" in steps:
         c = steps["contamination"]
         bench = spark.read.parquet(c["benchmarkPath"])
-        hits = ngram_contamination(
-            base_text, bench, text_c, id_c, n=int(c.get("n", 8))
-        ).select(id_c, F.lit(True).alias("_contaminated"))
+        # mode: bloom selects the scale path (operators/text.py
+        # bloom_ngram_contamination) — bit-identical decisions by
+        # construction (a bloom filter has no false negatives; the
+        # verify join kills every false positive), but executors hold a
+        # ~1.2 B/gram bitmap instead of the gram STRINGS, which is what
+        # survives a 100M-gram eval suite at the 100 TB design point
+        if c.get("mode", "broadcast") == "bloom":
+            from cda_client_spark.operators.text import bloom_ngram_contamination
+
+            hits = bloom_ngram_contamination(
+                base_text,
+                bench,
+                text_c,
+                id_c,
+                n=int(c.get("n", 8)),
+                nbits=int(c.get("nbits", 1 << 20)),
+                nhash=int(c.get("nhash", 5)),
+            ).select(id_c, F.lit(True).alias("_contaminated"))
+        else:
+            hits = ngram_contamination(
+                base_text, bench, text_c, id_c, n=int(c.get("n", 8))
+            ).select(id_c, F.lit(True).alias("_contaminated"))
         df = _tag(
             df.join(hits, id_c, "left"), "contamination", F.col("_contaminated").isNotNull()
         ).select(*df.columns)
@@ -586,6 +620,16 @@ def ann_config_from_raw(ann_raw: dict):
         )
         if ann_raw.get(src) is not None
     }
+    # r10 ADVICE: the pre-r10 loader's falsy check mapped 0/0.0 to
+    # "unset" (train on all rows); the is-not-None guard above would
+    # pass 0.0 through and the first delivery would train IVFADC on an
+    # empty sample. Out-of-range values are config mistakes — fail loud
+    # rather than silently re-interpreting them.
+    sf = opt.get("sample_fraction")
+    if sf is not None and not (0.0 < sf <= 1.0):
+        raise ConfigError(
+            f"incremental.annIndex.sampleFraction must be in (0, 1], got {sf!r}"
+        )
     return AnnIndexConfig(
         index_dir=ann_raw["indexPath"],
         model_path=ann_raw["modelPath"],

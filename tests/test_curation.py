@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pytest
+
 from cda_client_spark.curation import (
     CurationConfig,
     load_curation_config,
@@ -92,6 +94,69 @@ def test_curation_end_to_end(spark, tmp_path):
 
     funnel = json.loads((Path(out) / "curation_report.json").read_text())
     assert funnel["kept"] == 11 and funnel["dropped"]["source_quota"] == 6
+
+
+def test_curation_contamination_bloom_mode(spark, tmp_path):
+    """r10 verdict #2: `contamination: {mode: bloom}` must select the
+    bloom-pruned scale path (operators/text.py
+    bloom_ngram_contamination) and make IDENTICAL drop decisions to the
+    default broadcast mode — bit-identical by construction (no bloom
+    false negatives; the verify join removes false positives), so the
+    whole funnel and the exported ids are the equivalence golden.
+    An undersized nbits (64) still matches: more verify candidates,
+    never different answers."""
+    corpus = str(tmp_path / "corpus.parquet")
+    bench = str(tmp_path / "bench.parquet")
+    build_corpus(spark, corpus)
+    spark.createDataFrame([(0, CONTAM)], "doc_id bigint, text string").write.parquet(bench)
+
+    reports = {}
+    kept_ids = {}
+    for name, contam in (
+        ("broadcast", {"benchmarkPath": bench, "n": 8}),
+        ("bloom", {"benchmarkPath": bench, "n": 8, "mode": "bloom"}),
+        ("bloom_tiny", {"benchmarkPath": bench, "n": 8, "mode": "bloom", "nbits": 64}),
+    ):
+        out = str(tmp_path / f"out_{name}")
+        cfg = make_cfg(tmp_path, corpus, bench, out)
+        cfg.steps["contamination"] = contam
+        reports[name] = run_curation(spark, cfg)
+        kept_ids[name] = sorted(
+            r["doc_id"]
+            for r in spark.read.json(str(Path(out) / "split=train")).collect()
+        )
+    base = reports["broadcast"]
+    assert base.dropped["contamination"] == 1
+    for name in ("bloom", "bloom_tiny"):
+        r = reports[name]
+        assert (r.total, r.kept, r.dropped) == (base.total, base.kept, base.dropped)
+        assert kept_ids[name] == kept_ids["broadcast"]
+
+
+def test_curation_contamination_mode_validated(tmp_path):
+    """Config loader rejects an unknown contamination mode up front."""
+    import yaml
+
+    from cda_client_spark.config import ConfigError
+
+    raw = {
+        "curation": {
+            "inputPath": "/x",
+            "outputPath": "/y",
+            "steps": {"contamination": {"benchmarkPath": "/b", "mode": "bitmap"}},
+        }
+    }
+    p = tmp_path / "cfg.yaml"
+    p.write_text(yaml.safe_dump(raw))
+    with pytest.raises(ConfigError, match="contamination.mode"):
+        load_curation_config(p)
+
+    # the two valid modes load fine
+    for mode in ("broadcast", "bloom"):
+        raw["curation"]["steps"]["contamination"]["mode"] = mode
+        p.write_text(yaml.safe_dump(raw))
+        cfg = load_curation_config(p)
+        assert cfg.steps["contamination"]["mode"] == mode
 
 
 def test_curation_deterministic(spark, tmp_path):
@@ -565,6 +630,16 @@ def test_ann_config_defaults_govern_absent_keys(tmp_path):
     assert cfg2.codewords == 64 and cfg2.min_keep == 3
     assert cfg2.query_batch == 512 and cfg2.adc_margin == 0.05
     assert cfg2.sample_fraction == 0.5
+
+    # r10 ADVICE: sampleFraction 0.0 used to mean "unset" under the old
+    # falsy check; the defaults-passthrough loader must not let it reach
+    # AnnIndexConfig (an empty training sample), nor any out-of-range
+    # value — loud ConfigError, not silent re-interpretation
+    from cda_client_spark.config import ConfigError
+
+    for bad in (0.0, 0, -0.5, 1.5):
+        with pytest.raises(ConfigError, match="sampleFraction"):
+            ann_config_from_raw({**base, "sampleFraction": bad})
 
 
 def test_semantic_stage_anchors_on_near_dup_survivors(spark, tmp_path):
