@@ -431,6 +431,7 @@ def semantic_dedup(
     max_cluster_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     round_digits: int = 6,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup: drop every vector that has a semantically near-identical
     (cosine >= ``threshold``) lower-id neighbor in its k-means cluster.
@@ -457,17 +458,59 @@ def semantic_dedup(
     allowed to go quadratic. KMeans isn't SQL-replayable, so correctness
     is gated (planted exact duplicates must be pruned; see the
     ``semdedup_gate`` catalog entry) rather than oracle-matched.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    fc = df.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
-    )
-    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(fc)
-    assigned = df.join(
-        model.transform(fc).select(id_col, "cluster"), id_col
-    )
+    ``centroids``: FIXED cluster centers (nlist x dim doubles) that
+    bypass the KMeans trainer entirely — the serve-with-a-given-model
+    split (same policy as ``classifier_score_fixed`` /
+    ``pq_topk_rerank(codebooks=...)``): assignment becomes a pure
+    Catalyst argmin of squared distance over a literal array (distance
+    ties break to the LOWER cluster index, matching Spark ML's
+    first-minimum rule), so assignment + prune are deterministic and
+    SQL-replayable — the ``semdedup_assign_prune`` catalog entry
+    value-hashes them; only the trainer stays behind ``semdedup_gate``.
+    At 100 TB this is also the PRODUCTION shape: centers train once on
+    a sample (KMeans converges on a sliver) and serve many runs, so the
+    recurring cost is this trainer-free path.
+    """
+    if centroids is not None:
+        if len(centroids) != nlist:
+            raise ValueError(f"centroids has {len(centroids)} rows, nlist={nlist}")
+        cents = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+        # left-to-right fold (0.0 + t1 is exact) — the oracle replays
+        # the same chain; argmin via array_position (first occurrence)
+        # == lowest-index tie-break
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    c,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda s, t: s + t,
+            ),
+        )
+        assigned = df.withColumn(
+            "cluster",
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        fc = df.select(
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv"),
+        )
+        model = KMeans(
+            k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster"
+        ).fit(fc)
+        assigned = df.join(
+            model.transform(fc).select(id_col, "cluster"), id_col
+        )
     members = assigned.select(
         F.col("cluster"),
         F.col(id_col),

@@ -73,6 +73,10 @@ ARROW_OK = {
     "media_wav_hardening",
     "media_resize_gate",
     "pq_encode_adc",
+    # r11: the IVFADC screen value-hash entry runs the production
+    # ivfpq_encode + ivfpq_topk_adc Arrow kernels over the fixed model —
+    # exact-arithmetic (grid-snapped) and DuckDB-replayed bit-for-bit
+    "ivfpq_screen_fixed",
 }
 
 # queries whose CONSTRUCTION executes Spark jobs (iterative connected

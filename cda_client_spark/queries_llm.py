@@ -2660,6 +2660,176 @@ FROM coded GROUP BY vec_id
 PQ_ENCODE_ADC_SQL = _pq_encode_adc_sql()
 
 
+# --- IVFADC threshold-screen value-hash proof (r10 verdict ask #3) -------
+# ivfpq_topk_adc's screen ∪ shortlist semantics over a FIXED literal model
+# and a pre-encoded corpus are deterministic: per-partition emission is
+# provably lossless under the global (rnk<=k AND (>=floor OR rnk<=min_keep))
+# trim (a row's local rank never exceeds its global rank), so the oracle
+# replays the GLOBAL form with one window function.
+#
+# Bit-exactness across numpy (einsum/BLAS, NOT left-to-right) and SQL
+# (left-to-right chains) comes from making every intermediate EXACT: the
+# corpus/query vectors are snapped to the 1/256 dyadic grid and the model
+# components are k/256 literals, so every product is a multiple of 2^-16
+# with bounded magnitude and every sum stays far inside 53 bits — exact
+# arithmetic is associative, so the fold order stops mattering.
+IVFPQ_SCREEN_NLIST, IVFPQ_SCREEN_NPROBE = 8, 2
+IVFPQ_SCREEN_K, IVFPQ_SCREEN_MIN_SIM, IVFPQ_SCREEN_MIN_KEEP = 10, 0.9, 3
+
+#: snap to the 1/256 grid: float->double is exact, *256 is exact (power
+#: of two), floor is unambiguous in both engines, /256 is exact
+_IVFPQ_SNAP = (
+    "transform(embedding, x -> floor(cast(x as double) * cast(256 as double))"
+    " / cast(256 as double))"
+)
+
+
+def _ivfpq_fixed_cents() -> list[list[float]]:
+    """Fixed literal coarse centroids, k/256 components (the
+    ``_pq_fixed_books`` recipe, distinct seed)."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(hashlib.md5(f"ivfix:{c}:{d}".encode()).hexdigest()[:8], 16)
+                % 512
+                - 256
+            )
+            / 256.0
+            for d in range(EMB_DIM)
+        ]
+        for c in range(IVFPQ_SCREEN_NLIST)
+    ]
+
+
+def ivfpq_screen_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL value-hash proof of the IVFADC threshold-screen production
+    half (r10 verdict ask #3): encode the grid-snapped corpus ONCE with
+    the fixed model (operators/similarity.py ``ivfpq_encode`` — the
+    materialized index), then run the PRODUCTION ``ivfpq_topk_adc``
+    screen ∪ shortlist search (min_sim floor, min_keep net, k cap,
+    probed-cells-only, self excluded) for 8 query vectors. Everything —
+    cell assign, residual PQ codes, the ADC cosine, probe selection,
+    the global trim — replays in DuckDB bit-for-bit; only the trainers
+    stay behind ``ivfpq_recall``. This is the exact operator call shape
+    the incremental semantic-dedup stage depends on
+    (streaming/incremental.py ``ann_dup_ids``)."""
+    from cda_client_spark.operators.similarity import ivfpq_encode, ivfpq_topk_adc
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_IVFPQ_SNAP).alias("embedding")
+    )
+    cents, books = _ivfpq_fixed_cents(), _pq_fixed_books()
+    enc = ivfpq_encode(e, cents, books)
+    return ivfpq_topk_adc(
+        enc,
+        e.filter(F.col("vec_id") < 8),
+        cents,
+        books,
+        nprobe=IVFPQ_SCREEN_NPROBE,
+        k=IVFPQ_SCREEN_K,
+        min_sim=IVFPQ_SCREEN_MIN_SIM,
+        min_keep=IVFPQ_SCREEN_MIN_KEEP,
+    )
+
+
+def _ivfpq_screen_fixed_sql() -> str:
+    """DuckDB replay of ivfpq_screen_fixed. The reconstructed-dot
+    identity: q.c_cell + sum_j(q_j . book[j][code_j]) — grouping
+    irrelevant because every term is exact (see the grid note above)."""
+    books = _pq_fixed_books()
+    cents = _ivfpq_fixed_cents()
+    m, sub = PQ_FIXED_M, PQ_FIXED_SUB
+    snap = ", ".join(
+        f"floor(CAST(embedding[{d + 1}] AS DOUBLE) * 256) / 256"
+        for d in range(EMB_DIM)
+    )
+    cent_vals = ",\n".join(
+        f"({c}, [{', '.join('CAST(' + repr(x) + ' AS DOUBLE)' for x in cents[c])}])"
+        for c in range(IVFPQ_SCREEN_NLIST)
+    )
+    book_vals = ",\n".join(
+        f"({j}, {c}, [{', '.join('CAST(' + repr(x) + ' AS DOUBLE)' for x in books[j][c])}])"
+        for j in range(m)
+        for c in range(len(books[0]))
+    )
+    d2 = " + ".join(
+        f"(v[{d + 1}] - cv[{d + 1}]) * (v[{d + 1}] - cv[{d + 1}])"
+        for d in range(EMB_DIM)
+    )
+    vnorm = "sqrt(" + " + ".join(
+        f"v[{d + 1}] * v[{d + 1}]" for d in range(EMB_DIM)
+    ) + ")"
+    vdotc = " + ".join(f"v[{d + 1}] * cv[{d + 1}]" for d in range(EMB_DIM))
+    sv = ", ".join(f"v[j * {sub} + {p + 1}] - cv[j * {sub} + {p + 1}]" for p in range(sub))
+    dist = " + ".join(
+        f"(sv[{p + 1}] - cent[{p + 1}]) * (sv[{p + 1}] - cent[{p + 1}])"
+        for p in range(sub)
+    )
+    qsv = ", ".join(f"v[j * {sub} + {p + 1}]" for p in range(sub))
+    qdot = " + ".join(f"qsv[{p + 1}] * cent[{p + 1}]" for p in range(sub))
+    return f"""
+WITH e AS (SELECT vec_id, [{snap}] AS v FROM embeddings),
+cents(cell, cv) AS (VALUES {cent_vals}),
+books(j, c, cent) AS (VALUES {book_vals}),
+js AS (SELECT UNNEST(range({m})) AS j),
+cd AS (SELECT vec_id, cell, {d2} AS d2 FROM e, cents),
+cellpick AS (
+  SELECT vec_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cell) AS rn FROM cd)
+  WHERE rn = 1),
+cn AS (SELECT vec_id, {vnorm} AS c_norm FROM e),
+sub AS (SELECT e.vec_id, j, [{sv}] AS sv
+        FROM e JOIN cellpick USING (vec_id) JOIN cents USING (cell), js),
+dist AS (SELECT s.vec_id, s.j, b.c, {dist} AS dist
+         FROM sub s JOIN books b ON s.j = b.j),
+coded AS (
+  SELECT d.vec_id, d.j, b.cent
+  FROM (SELECT vec_id, j, c,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY dist, c) AS rn FROM dist) d
+  JOIN books b ON d.j = b.j AND d.c = b.c
+  WHERE d.rn = 1),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 8),
+qn AS (SELECT query_id, {vnorm} AS q_norm FROM q),
+qd AS (SELECT query_id, cell, {d2} AS d2 FROM q, cents),
+probe AS (
+  SELECT query_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2, cell) AS rn FROM qd)
+  WHERE rn <= {IVFPQ_SCREEN_NPROBE}),
+qdc AS (SELECT query_id, cell, {vdotc} AS qdotc FROM q, cents),
+qsub AS (SELECT query_id, j, [{qsv}] AS qsv FROM q, js),
+resdot AS (
+  SELECT qs.query_id, co.vec_id, sum({qdot}) AS rdot
+  FROM qsub qs JOIN coded co ON qs.j = co.j
+  GROUP BY qs.query_id, co.vec_id),
+cand AS (
+  SELECT pr.query_id, cp.vec_id AS neighbor_id,
+         round((qdc.qdotc + rd.rdot) / (qn.q_norm * cn.c_norm), 6) AS adc_cos
+  FROM cellpick cp
+  JOIN probe pr ON pr.cell = cp.cell
+  JOIN qdc ON qdc.query_id = pr.query_id AND qdc.cell = cp.cell
+  JOIN resdot rd ON rd.query_id = pr.query_id AND rd.vec_id = cp.vec_id
+  JOIN qn ON qn.query_id = pr.query_id
+  JOIN cn ON cn.vec_id = cp.vec_id
+  WHERE cp.vec_id != pr.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_cos DESC, neighbor_id) AS rnk
+  FROM cand)
+SELECT query_id, neighbor_id, adc_cos, rnk
+FROM ranked
+WHERE rnk <= {IVFPQ_SCREEN_K}
+  AND (adc_cos >= {IVFPQ_SCREEN_MIN_SIM} OR rnk <= {IVFPQ_SCREEN_MIN_KEEP})
+"""
+
+
+IVFPQ_SCREEN_FIXED_SQL = _ivfpq_screen_fixed_sql()
+
+
 SEMDEDUP_BAR = 0.8
 
 SEMDEDUP_GATE_SQL = "SELECT true AS semdedup_ok"
@@ -2689,6 +2859,103 @@ def semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("semdedup_ok")
         )
     )
+
+
+SEMDEDUP_FIXED_NLIST = 8
+SEMDEDUP_FIXED_THRESHOLD = 0.95
+
+
+def _semdedup_fixed_cents() -> list[list[float]]:
+    """Deterministic literal cluster centers for the SemDeDup
+    assignment+prune value-hash proof: every component is k/256 for an
+    md5-derived integer k in [-256, 256) — exactly representable in
+    binary64 AND as a short decimal literal both engines parse to the
+    same bits (the ``_pq_fixed_books`` recipe)."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(hashlib.md5(f"sdfix:{c}:{d}".encode()).hexdigest()[:8], 16)
+                % 512
+                - 256
+            )
+            / 256.0
+            for d in range(EMB_DIM)
+        ]
+        for c in range(SEMDEDUP_FIXED_NLIST)
+    ]
+
+
+def semdedup_assign_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL value-hash proof of SemDeDup's deterministic serving half
+    (r10 verdict ask #4 / the split-query policy): with FIXED literal
+    centroids, cluster assignment (argmin squared distance,
+    lowest-index tie-break) and the within-cluster cosine prune
+    (lowest-id-wins at cosine >= threshold, cluster-size cap guard) are
+    pure arithmetic DuckDB replays. Runs the PRODUCTION operator
+    (operators/similarity.py ``semantic_dedup`` with ``centroids=``) on
+    the planted-duplicate corpus; only the KMeans TRAINER stays behind
+    the ``semdedup_gate`` recall gate."""
+    out = semantic_dedup(
+        _embs_with_dups(spark, sf_dir),
+        threshold=SEMDEDUP_FIXED_THRESHOLD,
+        nlist=SEMDEDUP_FIXED_NLIST,
+        centroids=_semdedup_fixed_cents(),
+    )
+    return out.select("vec_id", "cluster", "is_dup", "cluster_capped")
+
+
+def _semdedup_assign_prune_sql() -> str:
+    """DuckDB replay of semdedup_assign_prune: same literal centroids,
+    same left-to-right double folds (both engines evaluate
+    ((t1+t2)+t3)+...; Spark's aggregate starts at 0.0, and 0 + t1 is
+    exact), same dist-then-cluster argmin tie-break, same cap guard and
+    lowest-id prune rule."""
+    cents = _semdedup_fixed_cents()
+    vals = ",\n".join(
+        f"({c}, [{', '.join('CAST(' + repr(x) + ' AS DOUBLE)' for x in cents[c])}])"
+        for c in range(SEMDEDUP_FIXED_NLIST)
+    )
+    d2 = " + ".join(
+        f"(cast(embedding[{d + 1}] as double) - cv[{d + 1}])"
+        f" * (cast(embedding[{d + 1}] as double) - cv[{d + 1}])"
+        for d in range(EMB_DIM)
+    )
+    cos = (
+        f"round(({dot_sql('q.embedding', 'c.embedding', EMB_DIM, base=1)})"
+        f" / (({norm_sql('q.embedding', EMB_DIM, base=1)})"
+        f" * ({norm_sql('c.embedding', EMB_DIM, base=1)})), 6)"
+    )
+    return f"""
+WITH corpus AS ({EMB_DUPS_SQL}),
+cents(cluster, cv) AS (VALUES {vals}),
+d AS (SELECT vec_id, cluster, {d2} AS d2 FROM corpus, cents),
+assigned AS (
+  SELECT vec_id, cluster
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, cluster) AS rn FROM d)
+  WHERE rn = 1),
+sizes AS (SELECT cluster, count(*) AS sz FROM assigned GROUP BY cluster),
+members AS (
+  SELECT a.vec_id, a.cluster, c.embedding
+  FROM assigned a JOIN corpus c USING (vec_id) JOIN sizes s USING (cluster)
+  WHERE s.sz <= {DEFAULT_MAX_BUCKET_SIZE}),
+dups AS (
+  SELECT DISTINCT c.vec_id
+  FROM members q JOIN members c
+    ON q.cluster = c.cluster AND q.vec_id < c.vec_id
+  WHERE {cos} >= {SEMDEDUP_FIXED_THRESHOLD})
+SELECT a.vec_id, a.cluster,
+       (du.vec_id IS NOT NULL) AS is_dup,
+       (s.sz > {DEFAULT_MAX_BUCKET_SIZE}) AS cluster_capped
+FROM assigned a
+JOIN sizes s USING (cluster)
+LEFT JOIN dups du ON a.vec_id = du.vec_id
+"""
+
+
+SEMDEDUP_ASSIGN_PRUNE_SQL = _semdedup_assign_prune_sql()
 
 
 def _docs_with_encoding_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2860,16 +3127,21 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_dsir_select": doc_dsir_select,
     "doc_bm25_search": doc_bm25_search,
-    # semantic_dedup (KMeans) is exercised and gated through semdedup_gate,
-    # same pattern as ann_topk_ivf / media_histogram_features
+    # semantic_dedup's KMeans TRAINER is gated through semdedup_gate; the
+    # deterministic assignment+prune serving half is FULLY value-hashed by
+    # semdedup_assign_prune (r10, split-query policy)
     "semdedup_gate": semdedup_gate,
+    "semdedup_assign_prune": semdedup_assign_prune,
     # pq_train (Lloyd, fp-order-dependent) is exercised and gated through
     # pq_recall; the deterministic encode/ADC half is FULLY value-hashed
     # by pq_encode_adc (r8)
     "pq_recall": pq_recall,
     "pq_encode_adc": pq_encode_adc,
-    # IVFADC composition (KMeans + Lloyd trainers): gated like its parts
+    # IVFADC composition (KMeans + Lloyd trainers): gated like its parts;
+    # the deterministic encode + screen ∪ shortlist search half is FULLY
+    # value-hashed by ivfpq_screen_fixed (r10, split-query policy)
     "ivfpq_recall": ivfpq_recall,
+    "ivfpq_screen_fixed": ivfpq_screen_fixed,
     "doc_encoding_signals": doc_encoding_signals,
     "doc_corpus_report": doc_corpus_report,
     # bpe_train/bpe_encode are exercised and gated through bpe_gate
@@ -2926,9 +3198,11 @@ ORACLE_LLM: dict[str, str] = {
     "doc_dsir_select": DOC_DSIR_SQL,
     "doc_bm25_search": DOC_BM25_SQL,
     "semdedup_gate": SEMDEDUP_GATE_SQL,
+    "semdedup_assign_prune": SEMDEDUP_ASSIGN_PRUNE_SQL,
     "pq_recall": PQ_RECALL_SQL,
     "pq_encode_adc": PQ_ENCODE_ADC_SQL,
     "ivfpq_recall": IVFPQ_RECALL_SQL,
+    "ivfpq_screen_fixed": IVFPQ_SCREEN_FIXED_SQL,
     "doc_encoding_signals": DOC_ENCODING_SQL,
     "doc_corpus_report": DOC_CORPUS_REPORT_SQL,
     "bpe_gate": BPE_GATE_SQL,

@@ -267,6 +267,44 @@ def test_semantic_dedup_flags_planted_copies(spark):
     assert not any(flags[i] for i in range(5))
 
 
+def test_semantic_dedup_fixed_centroids(spark):
+    """r10 verdict #4: `centroids=` bypasses the KMeans trainer — the
+    serving split behind the semdedup_assign_prune oracle entry. The
+    assignment must be the literal-argmin (lowest-index tie-break), the
+    prune identical to the trained path's rule, and the whole thing
+    deterministic across partitionings."""
+    from cda_client_spark.operators.similarity import semantic_dedup
+
+    frame = _semdedup_frame(spark)
+    cents = [
+        [math.cos(c * 1.3 + d * 0.29) for d in range(8)] for c in range(4)
+    ]
+    out = semantic_dedup(frame, threshold=0.999, nlist=4, centroids=cents).collect()
+    flags = {r["vec_id"]: r["is_dup"] for r in out}
+    assert len(flags) == 25
+    # scaled copies share their original's argmin cell (cosine 1.0 pair
+    # in one cluster) -> flagged; originals (lowest id) survive
+    assert all(flags[100 + i] for i in range(5))
+    assert not any(flags[i] for i in range(5))
+
+    # deterministic under repartitioning (pure expression assignment)
+    out2 = semantic_dedup(
+        frame.repartition(7), threshold=0.999, nlist=4, centroids=cents
+    ).collect()
+    assert {(r["vec_id"], r["cluster"], r["is_dup"]) for r in out2} == {
+        (r["vec_id"], r["cluster"], r["is_dup"]) for r in out
+    }
+
+    # argmin ties break to the LOWER cluster index: duplicate centroid
+    # rows must all assign to the first occurrence
+    dup_cents = [cents[0], cents[0], cents[0], cents[0]]
+    out3 = semantic_dedup(frame, threshold=0.999, nlist=4, centroids=dup_cents)
+    assert {r["cluster"] for r in out3.collect()} == {0}
+
+    with pytest.raises(ValueError, match="nlist"):
+        semantic_dedup(frame, nlist=8, centroids=cents)
+
+
 def test_semantic_dedup_cluster_cap_guard(spark):
     from cda_client_spark.operators.similarity import semantic_dedup
 
