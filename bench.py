@@ -24,6 +24,13 @@ still drag a 3-rep median, e.g. asof reps [6.85, 1.20, 0.95]):
   (the whole dedup/similarity family) drifted +15-51% in r7 under
   sustained load with only 3 reps, so it now gets the same evidence as
   the sub-second band;
+- queries whose fastest rep lands under ``SPARK_GRAFT_SUBSEC_THRESHOLD``
+  (default 1.5 s) extend further to ``SPARK_GRAFT_REPS_SUBSEC`` reps
+  (default 11) — r10 vs r8, two CLEAN records (ext_busy <= 0.45), still
+  showed +25-42% swings on 0.3-1 s queries (q9, q3, cdc_merge) in files
+  untouched between the rounds: below ~1.5 s the 7-rep median still
+  aliases page-cache/JIT state, so the shortest queries buy the most
+  evidence (they are also the cheapest reps to buy);
 - reps slower than ``SPARK_GRAFT_OUTLIER_FACTOR`` x the fastest rep of
   the same query (default 3.0) are REJECTED before taking the median — a
   contended rep is an artifact of the box, not the plan (the minimum rep
@@ -109,7 +116,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #       query whose published median had to fall back to non-clean reps
 #       is flagged, and the artifact carries a top-level `dirty` flag so
 #       a noisy-box record can never masquerade as a clean series again
-BENCH_METHODOLOGY = 4
+#   5 = r11 (r10 verdict #3/#5): sub-second band — queries under
+#       SPARK_GRAFT_SUBSEC_THRESHOLD (1.5 s) extend to REPS_SUBSEC (11):
+#       two consecutive clean records still swung +25-42% on 0.3-1 s
+#       queries at 7 reps (same-box page-cache/JIT noise floor)
+BENCH_METHODOLOGY = 5
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
@@ -301,6 +312,14 @@ def main() -> None:
         reps if reps == 1 else max(reps, int(os.environ.get("SPARK_GRAFT_REPS_FAST", "7")))
     )
     fast_threshold = float(os.environ.get("SPARK_GRAFT_FAST_THRESHOLD", "4.0"))
+    # methodology 5: the shortest queries need the most reps — see the
+    # sub-second band note in the module docstring
+    subsec_reps = (
+        reps
+        if reps == 1
+        else max(fast_reps, int(os.environ.get("SPARK_GRAFT_REPS_SUBSEC", "11")))
+    )
+    subsec_threshold = float(os.environ.get("SPARK_GRAFT_SUBSEC_THRESHOLD", "1.5"))
     outlier_factor = float(os.environ.get("SPARK_GRAFT_OUTLIER_FACTOR", "3.0"))
     ext_load_max = float(os.environ.get("SPARK_GRAFT_EXT_LOAD_MAX", "4.0"))
     # methodology 4: the CLEAN bar (sleep-retry trigger + clean-rep
@@ -347,6 +366,9 @@ def main() -> None:
         if min(samples) < fast_threshold:
             while len(samples) < fast_reps:
                 one_rep()
+        if min(samples) < subsec_threshold:
+            while len(samples) < subsec_reps:
+                one_rep()
         # prefer reps that STARTED on a quiet box: sustained contention
         # gives tight-but-slow spreads that min-anchored rejection can't
         # touch; only when too few clean reps exist do we fall back to all
@@ -389,6 +411,8 @@ def main() -> None:
                     "reps": reps,
                     "reps_fast": fast_reps,
                     "fast_threshold_s": fast_threshold,
+                    "reps_subsec": subsec_reps,
+                    "subsec_threshold_s": subsec_threshold,
                     "outlier_factor": outlier_factor,
                     "ext_load_max": ext_load_max,
                     "ext_clean_max": ext_clean_max,
