@@ -1324,7 +1324,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # Training-data pipeline: dedup families
     "doc_exact_dedup",
     "doc_minhash_lsh_pairs",
-    "semdedup_gate",
+    # r11: semdedup_assign_prune (FULL value-hash of the serving half —
+    # fixed centroids, argmin assign + within-cluster prune) swaps in for
+    # semdedup_gate, whose KMeans-trainer recall gate moves to the tail
+    # (still replica-checked every round + planted-defect pytest)
+    "semdedup_assign_prune",
     "doc_simhash_near_dups",
     "doc_duplicate_spans",
     "doc_dedup_clusters",
@@ -1335,7 +1339,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # for pq_recall, whose Lloyd-trainer recall gate stays tail-replica +
     # pytest-covered; see REGISTRY_ORDER.md)
     "ann_topk_lsh",
-    "ann_ivf_recall",
+    # r11: ivfpq_screen_fixed (FULL value-hash of the production encode +
+    # screen ∪ shortlist ADC search over a fixed model) swaps in for
+    # ann_ivf_recall, whose KMeans-gated recall row moves to the tail
+    "ivfpq_screen_fixed",
     "pq_encode_adc",
     "emb_near_dup_pairs",
     # text analysis / model-based quality
