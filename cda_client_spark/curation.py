@@ -616,6 +616,7 @@ def ann_config_from_raw(ann_raw: dict):
             ("maxCandidates", "max_candidates", int),
             ("minKeep", "min_keep", int),
             ("queryBatch", "query_batch", int),
+            ("scanBatch", "scan_batch", int),
             ("sampleFraction", "sample_fraction", float),
         )
         if ann_raw.get(src) is not None
@@ -808,8 +809,13 @@ def run_incremental_curation(spark: SparkSession, cfg: CurationConfig) -> Curati
                     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                         compact_store(spark, store_dir, batch_id)
                         if ann_cfg is not None:
+                            # scan-balanced layout — see the matching
+                            # call in streaming/runner-side compaction
+                            # (streaming/incremental.py): the ADC scan's
+                            # parallelism is the code store's file count
                             compact_store(
                                 spark, ann_cfg.index_dir, batch_id,
+                                num_files=spark.sparkContext.defaultParallelism,
                                 schema=ann_index_schema(cfg.id_col, ann_cfg.vec_col),
                             )
                 finally:

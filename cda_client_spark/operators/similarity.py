@@ -1432,18 +1432,149 @@ def ivfpq_topk_adc(
             )
 
     cand = enc.mapInPandas(scan_codes, schema=out_schema)
+    return _adc_global_trim(cand, k, min_sim, min_keep)
+
+
+def _adc_global_trim(
+    cand: DataFrame, k: int, min_sim: float | None, min_keep: int
+) -> DataFrame:
+    """Global trim over per-partition ADC emissions: the >= floor set,
+    plus the top-min_keep safety net, capped at k — partition boundaries
+    must not leak extra below-floor candidates. Mirrors (and is provably
+    lossless over) the kernels' local best-first emission: a row's local
+    rank never exceeds its global rank."""
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cos"), F.asc("neighbor_id"))
     keep = F.col("rnk") <= k
     if min_sim is not None:
-        # global trim mirrors the per-partition emission: the >= floor
-        # set, plus the top-min_keep safety net, capped at k — partition
-        # boundaries must not leak extra below-floor candidates
         keep = keep & ((F.col("adc_cos") >= min_sim) | (F.col("rnk") <= min_keep))
     return (
         cand.withColumn("rnk", F.row_number().over(w))
         .filter(keep)
         .select("query_id", "neighbor_id", "adc_cos", "rnk")
     )
+
+
+def ivfpq_screen_chunked(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    k: int = 10,
+    round_digits: int = 6,
+    exclude_self: bool = True,
+    max_queries: int = 100_000,
+    min_sim: float | None = None,
+    min_keep: int = 0,
+    qtab_batch: int = 2048,
+) -> DataFrame:
+    """:func:`ivfpq_topk_adc` with the SAME results but ONE scan of the
+    code store for the whole query set (r10 verdict #6, the
+    AnnIndexConfig.query_batch trade resolved): instead of shipping the
+    full ADC lookup table for every query into the closure (m x
+    codewords doubles per query — ~130 KB each at the 8-bit dedup
+    default, ~2.6 GB for a 20k-doc delivery) and paying ceil(n/batch)
+    store scans to bound it, this ships only the RAW query vectors (dim
+    doubles per query — ~0.5 KB each, 10 MB at 20k) plus the per-query
+    probe row, and each scan task builds the lookup table for
+    ``qtab_batch`` queries at a time INSIDE the kernel. Per-task
+    transient memory keeps the same qtab_batch bound; the rebuild
+    costs m x codewords x sub flops per query per partition —
+    noise next to the scan itself. The sf10 soak measured the
+    difference this makes: 10 store passes per 20k-doc delivery at
+    query_batch=2048, wall growing ~1.3 ms per store row per delivery.
+
+    Emission and trim are IDENTICAL to :func:`ivfpq_topk_adc` (shared
+    code), so results match bit-for-bit for any qtab_batch (pinned by
+    tests/test_similarity.py)."""
+    import numpy as np
+    import pandas as pd
+
+    nlist = len(centroids)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_col(vec_col).alias("q_norm"),
+    )
+    qrows = _bounded_probe_collect(qf, max_queries, "ivfpq_screen_chunked")
+    out_schema = "query_id bigint, neighbor_id bigint, adc_cos double"
+    spark = corpus_codes.sparkSession
+    if not qrows:
+        return (
+            spark.createDataFrame([], out_schema)
+            .withColumn("rnk", F.lit(1))
+            .filter(F.lit(False))
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    qnorms = np.array([r["q_norm"] for r in qrows], dtype=np.float64)
+    Q = np.array([r["q_vec"] for r in qrows], dtype=np.float64)
+    books_np = np.asarray(codebooks, dtype=np.float64)
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    # probe cells + q.c driver-side, exactly as _ivfpq_query_state — tiny
+    # (nq x nlist); only the qtab is deferred to the kernel
+    d2 = ((Q[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
+    near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
+    np.put_along_axis(probe_mask, near, True, axis=1)
+    qdotc = Q @ cents_np.T
+
+    enc = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cell").alias("_cell"),
+        F.col("pq_code").alias("_code"),
+        F.col("c_norm"),
+    )
+
+    def scan_codes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["_cell"].to_numpy(dtype=np.int64)
+            codes = np.stack(pdf["_code"].values).astype(np.int64)
+            nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cnorm = pdf["c_norm"].to_numpy(dtype=np.float64)
+            out_q, out_n, out_s = [], [], []
+            for lo in range(0, len(qids), qtab_batch):
+                sl = slice(lo, lo + qtab_batch)
+                qtab = np.einsum(
+                    "qms,mcs->qmc", Q[sl].reshape(-1, m, sub), books_np
+                )
+                adc = qtab[:, 0, :][:, codes[:, 0]]
+                for j in range(1, m):
+                    adc = adc + qtab[:, j, :][:, codes[:, j]]
+                for qi, qid in enumerate(qids[sl]):
+                    gi = lo + qi
+                    mask = probe_mask[gi][cells]
+                    if exclude_self:
+                        mask = mask & (nids != qid)
+                    idx = np.nonzero(mask)[0]
+                    if not idx.size:
+                        continue
+                    sim = _np_round_half_up(
+                        (qdotc[gi][cells[idx]] + adc[qi, idx])
+                        / (qnorms[gi] * cnorm[idx]),
+                        round_digits,
+                    )
+                    order = np.lexsort((nids[idx], -sim))
+                    if min_sim is not None:
+                        above = int((sim >= min_sim).sum())
+                        order = order[: min(max(above, min_keep), k)]
+                    else:
+                        order = order[:k]
+                    pick = idx[order]
+                    out_q += [int(qid)] * len(pick)
+                    out_n += nids[pick].tolist()
+                    out_s += sim[order].tolist()
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_cos": out_s}
+            )
+
+    cand = enc.mapInPandas(scan_codes, schema=out_schema)
+    return _adc_global_trim(cand, k, min_sim, min_keep)
 
 
 def ivfpq_topk_rerank(

@@ -140,14 +140,23 @@ class AnnIndexConfig:
     #: quantization error exceeds adc_margin (coarse codebooks, tiny
     #: training samples); the candidate set is screen ∪ shortlist
     min_keep: int = 10
-    #: the delivery's documents are the QUERY side of the ADC scan, and
-    #: each query carries an m x codewords-double lookup table in driver/
-    #: executor memory (~128 KB at the 8-bit default) — a 20k-doc
-    #: delivery would be ~2.6 GB of query state in one pass. Deliveries
-    #: larger than this are hash-split into ~query_batch-sized chunks,
-    #: each scanning the code store once: bounded memory per pass,
-    #: ceil(|delivery|/query_batch) passes over the store
+    #: per-task ADC-lookup-table memory bound: each query's table is
+    #: m x codewords doubles (~128 KB at the 8-bit default), so the scan
+    #: kernel materializes it for query_batch queries AT A TIME inside
+    #: the task (~270 MB transient at the defaults) and rebuilds per
+    #: chunk from the raw query vectors — the rebuild is m x codewords x
+    #: sub flops per query, noise next to the scan. Before r11 this was
+    #: a STORE-PASS bound instead (each chunk re-scanned the code store:
+    #: ceil(|delivery|/2048) passes — the sf10 soak measured 10 passes
+    #: per 20k-doc delivery with wall growing ~1.3 ms per store row);
+    #: now a delivery scans the store ceil(|delivery|/scan_batch) times
     query_batch: int = 2048
+    #: STORE-PASS bound: queries ship into the scan closure as raw
+    #: vectors (dim doubles each, ~0.5 KB — not lookup tables), so one
+    #: pass can carry far more queries than query_batch; scan_batch caps
+    #: the closure/collect at ~32 MB of vectors (65536 x 64 doubles) and
+    #: deliveries beyond it hash-split into ceil(n/scan_batch) passes
+    scan_batch: int = 65536
     sample_fraction: float | None = None
     seed: int = 42
 
@@ -234,7 +243,7 @@ def ann_dup_ids(
     from cda_client_spark.operators.similarity import (
         dot_col,
         ivfpq_encode,
-        ivfpq_topk_adc,
+        ivfpq_screen_chunked,
         norm_col,
     )
 
@@ -286,24 +295,27 @@ def ann_dup_ids(
         return hit.select(F.col("query_id").alias(id_col)).distinct()
 
     floor = max(cfg.threshold - cfg.adc_margin, 0.0)
-    n_chunks = max(1, -(-q.count() // cfg.query_batch))
+    n_passes = max(1, -(-q.count() // cfg.scan_batch))
 
     def scan(codes_frame: DataFrame) -> DataFrame:
-        """ADC screen of the delivery's docs against one code frame,
-        hash-split into ~query_batch-sized query chunks so the per-pass
-        query state stays bounded (see AnnIndexConfig.query_batch); each
-        chunk is one scan over the codes, results unioned."""
+        """ADC screen of the delivery's docs against one code frame:
+        ONE pass over the codes for up to scan_batch queries (raw query
+        vectors ship in the closure; the per-task lookup-table memory is
+        bounded by query_batch INSIDE the kernel — see
+        ivfpq_screen_chunked). Deliveries beyond scan_batch hash-split
+        into ceil(n/scan_batch) passes, results unioned."""
         out = None
-        for c in range(n_chunks):
-            qc = q if n_chunks == 1 else q.filter(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == c
+        for c in range(n_passes):
+            qc = q if n_passes == 1 else q.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_passes)) == c
             )
-            cand = ivfpq_topk_adc(
+            cand = ivfpq_screen_chunked(
                 codes_frame, qc, centroids, codebooks,
                 id_col=id_col, vec_col=cfg.vec_col, nprobe=cfg.nprobe,
                 k=cfg.max_candidates, min_sim=floor, min_keep=cfg.min_keep,
-                # hash-uniform chunks: 4x headroom over the mean size
-                max_queries=max(4 * cfg.query_batch, 1024),
+                # hash-uniform passes: 4x headroom over the mean size
+                max_queries=max(4 * cfg.scan_batch, 1024),
+                qtab_batch=cfg.query_batch,
             ).select("query_id", "neighbor_id")
             out = cand if out is None else out.unionByName(cand)
         return out
@@ -320,10 +332,10 @@ def ann_dup_ids(
     batch_codes = ivfpq_encode(
         q, centroids, codebooks, id_col=id_col, vec_col=cfg.vec_col
     )
-    if n_chunks > 1:
-        # each chunk re-scans the batch codes: materialize the encode
+    if n_passes > 1:
+        # each pass re-scans the batch codes: materialize the encode
         # once (delivery-sized small ints) instead of re-running the
-        # Arrow pass per chunk
+        # Arrow pass per pass
         batch_codes = batch_codes.localCheckpoint()
     within = scan(batch_codes)
     parts.append(
@@ -707,8 +719,16 @@ def incremental_dedup_stream(
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_store(spark, store_dir, batch_id)
             if ann is not None:
+                # the ANN code store is consumed by a NARROW scan
+                # (ivfpq_screen_chunked) whose task balance IS the file
+                # layout — a single merged file would funnel every later
+                # delivery's whole scan into one task (measured: 149 ->
+                # 690 s/delivery at sf10). The bucket store above keeps
+                # the 1-file default: its consumers are equi-joins that
+                # shuffle regardless of layout.
                 compact_store(
                     spark, ann.index_dir, batch_id,
+                    num_files=spark.sparkContext.defaultParallelism,
                     schema=ann_index_schema(id_col, ann.vec_col),
                 )
 

@@ -763,6 +763,48 @@ def test_ivfpq_adc_threshold_screen_union_shortlist(spark):
     assert {r["neighbor_id"] for r in capped} == top3
 
 
+def test_ivfpq_screen_chunked_equals_topk_adc(spark):
+    """r10 verdict #6 (single-scan): ivfpq_screen_chunked ships raw
+    query vectors and builds each chunk's ADC table inside the scan task
+    — its results must be IDENTICAL to ivfpq_topk_adc for any
+    qtab_batch, in every mode (plain top-k, floor screen, screen ∪
+    shortlist net), including qtab_batch=1 (maximum chunking) and a
+    batch larger than the query count (single chunk)."""
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_screen_chunked,
+        ivfpq_topk_adc,
+        ivfpq_train,
+    )
+
+    df = _pq_frame(spark, n=80)
+    q = df.filter(F.col("vec_id") < 7)
+    cents, books = ivfpq_train(df, dim=16, nlist=4, m=4, codewords=8, iters=3)
+    enc = ivfpq_encode(df, cents, books).localCheckpoint()
+
+    kw = dict(id_col="vec_id", vec_col="embedding", nprobe=3)
+    for mode in (
+        dict(k=10),
+        dict(k=10, min_sim=0.9),
+        dict(k=10, min_sim=0.9, min_keep=4),
+    ):
+        want = {
+            (r["query_id"], r["neighbor_id"], r["adc_cos"], r["rnk"])
+            for r in ivfpq_topk_adc(enc, q, cents, books, **kw, **mode).collect()
+        }
+        assert want  # non-degenerate comparison
+        for qtab_batch in (1, 3, 1000):
+            got = {
+                (r["query_id"], r["neighbor_id"], r["adc_cos"], r["rnk"])
+                for r in ivfpq_screen_chunked(
+                    enc, q, cents, books, qtab_batch=qtab_batch, **kw, **mode
+                ).collect()
+            }
+            assert got == want, (mode, qtab_batch)
+
+
 def test_pq_assign_kernel_matches_expression_spec(spark):
     """The Lloyd-assignment Arrow kernel (_pq_assign_frame) is bit-exact
     vs its executable SQL spec (_pq_assign_expr) — same ordered
