@@ -87,6 +87,29 @@ driver's stdout tail capture and BENCH_r05.json recorded ``parsed: null``):
 the FINAL stdout line is now a compact headline-only JSON (34 timings, the
 size that parsed fine in r4), and the full per-query map is written to
 ``BENCH_FULL.json`` next to this script, which is committed per round.
+
+Calibration probe (r11 postmortem, methodology 6): r9 (+12%) and r11
+(+13-17%) both recorded phantom regressions on git-untouched files with
+byte-identical plans and UNIFORMLY inflated per-query minima — a
+globally slower box, which the clean bar cannot see (it watches
+EXTERNAL busy cores, and they were idle). The fix measures the box
+itself: a fixed deterministic CPU workload — single-thread (48 sha256
+passes over an 8 MiB buffer) and 32-thread (32 concurrent fixed-size
+numpy elementwise chains; numpy releases the GIL, BLAS threading is
+not involved) — timed at session START and END and stamped into both
+JSON artifacts as ``calib`` = {"start"/"end": {"calib_1t_s",
+"calib_32t_s"}}. Each probe takes the MIN of its reps after a warm rep
+(the least-contended observation; the workload is fixed, so only the
+box varies).
+
+NORMALIZATION RULE for cross-round comparison: let c =
+mean(start,end calib_32t_s of round B) / mean(of round A). The
+calibration-normalized total ratio is (total_B / total_A) / c, and the
+per-query ratios divide by the same c. When the two rounds' own
+start-vs-end probes disagree by more than ~10% (the box drifted
+MID-RUN), or |1 - c| > 0.25, flag the comparison as box-dominated
+rather than normalizing through it. Sub-second queries additionally
+follow calib_1t_s (fixed overheads are single-thread-bound).
 """
 
 from __future__ import annotations
@@ -120,7 +143,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #       SPARK_GRAFT_SUBSEC_THRESHOLD (1.5 s) extend to REPS_SUBSEC (11):
 #       two consecutive clean records still swung +25-42% on 0.3-1 s
 #       queries at 7 reps (same-box page-cache/JIT noise floor)
-BENCH_METHODOLOGY = 5
+#   6 = r12 (r11 verdict #1): calibration probe — a fixed deterministic
+#       CPU workload timed at session start and end, stamped into every
+#       artifact (`calib`), so a globally-slower-box round (r9, r11 —
+#       invisible to the external-cores clean bar) normalizes out of
+#       cross-round ratios instead of reading as a plan regression; the
+#       normalization rule is in the module docstring
+BENCH_METHODOLOGY = 6
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
@@ -173,6 +202,55 @@ def external_busy_cores(window_s: float = 0.1) -> float:
         return max(0.0, round(ext, 2))
     except OSError:  # non-Linux fallback: never gate, never flag
         return 0.0
+
+
+def calibration_probe(reps_1t: int = 3, reps_32t: int = 5) -> dict[str, float]:
+    """Methodology-6 box-speed probe (module docstring: Calibration
+    probe). Deterministic fixed-size work, MIN of reps after a warm rep:
+
+    - ``calib_1t_s``: 48 sha256 passes over a pinned 8 MiB buffer —
+      single-thread scalar CPU speed (fixed per-query overheads, plan
+      construction and the sub-second band follow this axis);
+    - ``calib_32t_s``: 32 concurrent numpy elementwise chains (sqrt/mul
+      over pinned 2M-element arrays) on a 32-thread pool — aggregate
+      compute+memory bandwidth, the axis executor-side query work
+      follows. Elementwise numpy releases the GIL and never calls
+      threaded BLAS, so the probe cannot oversubscribe itself.
+
+    ~4 s total; runs twice per bench session (start + end)."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    buf = bytes(range(256)) * (8 * 1024 * 1024 // 256)
+
+    def one_1t() -> float:
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(48):
+            h.update(buf)
+        h.digest()
+        return time.perf_counter() - t0
+
+    base = np.linspace(0.0, 1.0, 2_000_000)
+
+    def work(i: int) -> float:
+        x = base + (i * 0.0)
+        for _ in range(24):
+            x = np.sqrt(x * x + 0.5)
+        return float(x[0])
+
+    one_1t()  # warm (page in the buffer)
+    calib_1t = min(one_1t() for _ in range(reps_1t))
+    with ThreadPoolExecutor(32) as ex:
+        list(ex.map(work, range(32)))  # warm (threads + numpy dispatch)
+        t32 = []
+        for _ in range(reps_32t):
+            t0 = time.perf_counter()
+            list(ex.map(work, range(32)))
+            t32.append(time.perf_counter() - t0)
+    return {"calib_1t_s": round(calib_1t, 3), "calib_32t_s": round(min(t32), 3)}
 
 
 def select_published_median(
@@ -284,6 +362,8 @@ def bench_queries_map():
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # probe BEFORE the Spark session exists (nothing of ours competes)
+    calib = {"start": calibration_probe()}
     from cda_client_spark.session import get_spark
 
     SPARK = bench_queries_map()
@@ -388,6 +468,12 @@ def main() -> None:
             "dirty": q_dirty,
         }
 
+    # end-of-session probe AFTER the Spark session is gone (its JVM's GC/
+    # shutdown threads would otherwise count against the box): a
+    # start-vs-end disagreement means the box drifted MID-RUN and the
+    # record should not anchor cross-round attribution at all
+    spark.stop()
+    calib["end"] = calibration_probe()
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -419,6 +505,7 @@ def main() -> None:
                     "dirty": any(v["dirty"] for v in detail.values()),
                     "dirty_queries": sorted(n for n, v in detail.items() if v["dirty"]),
                     "bench_methodology": BENCH_METHODOLOGY,
+                    "calib": calib,
                     "detail": detail,
                 },
                 fh,
@@ -447,10 +534,13 @@ def main() -> None:
                 # cross-round ±10% attribution
                 "dirty": any(v["dirty"] for v in detail.values()),
                 "bench_methodology": BENCH_METHODOLOGY,
+                # box-speed calibration (methodology 6) — normalize
+                # cross-round ratios by the calib_32t_s ratio before
+                # reading any delta as a plan change (module docstring)
+                "calib": calib,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

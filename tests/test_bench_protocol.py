@@ -122,3 +122,18 @@ def test_external_busy_excludes_own_process_tree():
         for p in procs:
             p.kill()
     assert ext - baseline < 1.0, (ext, baseline)
+
+
+def test_calibration_probe_shape_and_determinism():
+    """Methodology 6: the probe returns both axes as positive seconds,
+    and two back-to-back runs of the FIXED workload agree within a loose
+    band (the probe's whole premise is that the workload is pinned, so
+    only the box moves it — a 2x disagreement seconds apart would mean
+    the probe itself is too noisy to normalize with)."""
+    from bench import calibration_probe
+
+    a = calibration_probe(reps_1t=2, reps_32t=2)
+    b = calibration_probe(reps_1t=2, reps_32t=2)
+    for k in ("calib_1t_s", "calib_32t_s"):
+        assert a[k] > 0 and b[k] > 0
+        assert max(a[k], b[k]) / min(a[k], b[k]) < 2.0, (k, a, b)
