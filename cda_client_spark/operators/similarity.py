@@ -901,28 +901,41 @@ def pq_encode(
             x = _vectors(pdf, vec_col)
             if center_col is not None:
                 x = x - _vectors(pdf, center_col)
-            sv = x.reshape(len(pdf), m, sub)  # (n, m, sub)
-            diff = sv[:, :, None, :] - books[None, :, :, :]  # (n, m, k, sub)
-            sq = diff * diff
-            # sequential fold over the subvector — same addition order as
-            # the expression spec / the DuckDB oracle (numpy's own sum may
-            # pairwise-block); 0 + t0 is exact, so orders coincide
-            d = sq[..., 0].copy()
-            for p in range(1, sub):
-                d += sq[..., p]
-            codes = d.argmin(axis=2)  # first min == smallest c on ties
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            adc_all = np.empty(len(pdf), dtype=np.float64) if self_adc_col else None
+            # row-blocked (r12, same bound as _ivfpq_assign_encode): the
+            # (n, m, codewords, sub) broadcast is ~1.3 GB per 10k-row
+            # batch at the 256-codeword production point; per-row
+            # arithmetic is elementwise + ordered folds, so blocking is
+            # bit-identical
+            for rlo in range(0, len(pdf), _ENC_ROW_BLOCK):
+                xb = x[rlo : rlo + _ENC_ROW_BLOCK]
+                sv = xb.reshape(len(xb), m, sub)  # (nb, m, sub)
+                diff = sv[:, :, None, :] - books[None, :, :, :]  # (nb, m, k, sub)
+                sq = diff * diff
+                # sequential fold over the subvector — same addition order
+                # as the expression spec / the DuckDB oracle (numpy's own
+                # sum may pairwise-block); 0 + t0 is exact, so orders
+                # coincide
+                d = sq[..., 0].copy()
+                for p in range(1, sub):
+                    d += sq[..., p]
+                cb = d.argmin(axis=2)  # first min == smallest c on ties
+                codes[rlo : rlo + len(xb)] = cb
+                if self_adc_col:
+                    prod = sv[:, :, None, :] * books[None, :, :, :]
+                    tab = prod[..., 0].copy()
+                    for p in range(1, sub):
+                        tab += prod[..., p]
+                    sel = np.take_along_axis(tab, cb[:, :, None], axis=2)[:, :, 0]
+                    adc = sel[:, 0].copy()
+                    for j in range(1, m):
+                        adc = adc + sel[:, j]  # ordered fold over subspaces
+                    adc_all[rlo : rlo + len(xb)] = adc
             pdf = pdf.copy()
             pdf[code_col] = [c.astype("int32").tolist() for c in codes]
             if self_adc_col:
-                prod = sv[:, :, None, :] * books[None, :, :, :]
-                tab = prod[..., 0].copy()
-                for p in range(1, sub):
-                    tab += prod[..., p]
-                sel = np.take_along_axis(tab, codes[:, :, None], axis=2)[:, :, 0]
-                adc = sel[:, 0].copy()
-                for j in range(1, m):
-                    adc = adc + sel[:, j]  # ordered fold over subspaces
-                pdf[self_adc_col] = adc
+                pdf[self_adc_col] = adc_all
             yield pdf.reindex(columns=names)
 
     return df.mapInPandas(encode, schema=out_schema)
@@ -1243,22 +1256,67 @@ def ivfpq_encode(
     return base.mapInPandas(encode, schema=out_schema)
 
 
+# kernel blocking bounds (r12, found by tools/adc_block_bench.py): the
+# un-blocked encode broadcast materialized (batch x nlist x dim) and
+# (batch x m x codewords x sub) float64 intermediates — ~5 GB transient
+# PER WORKER at batch=6250/nlist=1024 (measured 259-492 s encode walls
+# from allocator pressure alone), and unboundedly worse at production
+# nlist. Blocking rows (and centroids, for the assign) bounds every
+# intermediate at a few hundred MB while keeping the arithmetic
+# BIT-IDENTICAL: each (row, centroid/codeword) distance is the same
+# subtract/square/pairwise-sum over the same contiguous axis, and the
+# cross-block argmin combine updates on STRICT < only, so the earliest
+# index still wins ties exactly like np.argmin over the full axis.
+_ENC_ROW_BLOCK = 256
+_ENC_CENT_BLOCK = 4096
+
+
+def _blocked_argmin_d2(x, cents_np):
+    """argmin_c ||x - c||^2 per row, row/centroid-blocked; bit-identical
+    (values and first-index tie-breaks) to the dense broadcast form."""
+    import numpy as np
+
+    n = len(x)
+    cells = np.empty(n, dtype=np.int64)
+    for rlo in range(0, n, _ENC_ROW_BLOCK):
+        xb = x[rlo : rlo + _ENC_ROW_BLOCK]
+        best_d = None
+        best_i = None
+        for clo in range(0, len(cents_np), _ENC_CENT_BLOCK):
+            cb = cents_np[clo : clo + _ENC_CENT_BLOCK]
+            d2 = ((xb[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            bi = d2.argmin(axis=1)
+            bd = d2[np.arange(len(xb)), bi]
+            if best_d is None:
+                best_d, best_i = bd, bi + clo
+            else:
+                upd = bd < best_d  # strict: earlier block keeps ties
+                best_d[upd] = bd[upd]
+                best_i[upd] = bi[upd] + clo
+        cells[rlo : rlo + len(xb)] = best_i
+    return cells
+
+
 def _ivfpq_assign_encode(x, cents_np, books_np, m: int, sub: int):
     """Shared assign+residual-encode arithmetic of the IVFADC kernels —
     ONE implementation so the materialized index (``ivfpq_encode``) and
     the inline single-pass search produce bit-identical (cell, code)
-    pairs. Fold orders match the pq_encode expression spec."""
+    pairs. Fold orders match the pq_encode expression spec. Row-blocked
+    (see _ENC_ROW_BLOCK above): same per-row arithmetic, bounded
+    transients."""
     import numpy as np
 
-    d2 = ((x[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
-    cells = d2.argmin(axis=1)  # (n,)
-    sv = (x - cents_np[cells]).reshape(len(x), m, sub)
-    diff = sv[:, :, None, :] - books_np[None, :, :, :]
-    sq = diff * diff
-    dd = sq[..., 0].copy()
-    for p in range(1, sub):
-        dd += sq[..., p]
-    codes = dd.argmin(axis=2)  # (n, m)
+    cells = _blocked_argmin_d2(x, cents_np)
+    codes = np.empty((len(x), m), dtype=np.int64)
+    for rlo in range(0, len(x), _ENC_ROW_BLOCK):
+        xb = x[rlo : rlo + _ENC_ROW_BLOCK]
+        sv = (xb - cents_np[cells[rlo : rlo + len(xb)]]).reshape(len(xb), m, sub)
+        diff = sv[:, :, None, :] - books_np[None, :, :, :]
+        sq = diff * diff
+        dd = sq[..., 0].copy()
+        for p in range(1, sub):
+            dd += sq[..., p]
+        codes[rlo : rlo + len(xb)] = dd.argmin(axis=2)
     return cells, codes
 
 
@@ -1551,7 +1609,14 @@ def ivfpq_screen_chunked(
             cnorm = pdf["c_norm"].to_numpy(dtype=np.float64)
             row_order = np.argsort(cells, kind="stable")
             sorted_cells = cells[row_order]
-            bounds = np.searchsorted(sorted_cells, np.arange(nlist + 1))
+            # iterate PRESENT cells only (r11 verdict #3): at production
+            # nlist ~ 100k a range(nlist) bounds walk costs 100k Python
+            # iterations per task per chunk even when the partition holds
+            # rows for a few hundred cells; `present` is sorted ascending
+            # (np.unique), so the visit order — and the emission — is
+            # identical to the old full-range walk
+            present, starts = np.unique(sorted_cells, return_index=True)
+            ends = np.append(starts[1:], len(sorted_cells))
             out_q, out_n, out_s = [], [], []
             for lo in range(0, len(qids), qtab_batch):
                 sl = slice(lo, lo + qtab_batch)
@@ -1562,24 +1627,35 @@ def ivfpq_screen_chunked(
                 pm = probe_mask[sl]
                 cand_rows = [[] for _ in range(nq_c)]
                 cand_sims = [[] for _ in range(nq_c)]
-                for cell in range(nlist):
-                    a, b = bounds[cell], bounds[cell + 1]
-                    if a == b:
-                        continue
+                # ...and of the present cells, touch only those probed by
+                # at least one query of this chunk (the union, vectorized)
+                probed_any = pm.any(axis=0)
+                for ci in np.nonzero(probed_any[present])[0]:
+                    cell = int(present[ci])
+                    a, b = starts[ci], ends[ci]
                     qsel = np.nonzero(pm[:, cell])[0]
-                    if not qsel.size:
-                        continue
                     ridx = row_order[a:b]
                     rcodes = codes[ridx]
-                    blk = qtab[qsel, 0, :][:, rcodes[:, 0]]
-                    for j in range(1, m):
-                        blk = blk + qtab[qsel, j, :][:, rcodes[:, j]]
-                    sims_blk = (
-                        qdotc[lo + qsel, cell][:, None] + blk
-                    ) / (qnorms[lo + qsel][:, None] * cnorm[ridx][None, :])
-                    for t in range(len(qsel)):
-                        cand_rows[qsel[t]].append(ridx)
-                        cand_sims[qsel[t]].append(sims_blk[t])
+                    # query SUB-blocking (r12, measured by tools/
+                    # adc_block_bench.py): at 2048 queries the (nq x
+                    # rows) accumulator is rewritten m times through
+                    # DRAM (~2.7 GB of gather traffic per partition per
+                    # chunk); 512-query sub-blocks keep it cache-
+                    # resident (~4x standalone). Each query lands in
+                    # exactly ONE sub-block, the j-order adds per
+                    # (query, row) are unchanged — results bit-identical
+                    # (pinned by the qtab_batch-variance pytest).
+                    for qlo in range(0, len(qsel), 512):
+                        qss = qsel[qlo : qlo + 512]
+                        blk = qtab[qss, 0, :][:, rcodes[:, 0]]
+                        for j in range(1, m):
+                            blk = blk + qtab[qss, j, :][:, rcodes[:, j]]
+                        sims_blk = (
+                            qdotc[lo + qss, cell][:, None] + blk
+                        ) / (qnorms[lo + qss][:, None] * cnorm[ridx][None, :])
+                        for t in range(len(qss)):
+                            cand_rows[qss[t]].append(ridx)
+                            cand_sims[qss[t]].append(sims_blk[t])
                 for qi in range(nq_c):
                     if not cand_rows[qi]:
                         continue
