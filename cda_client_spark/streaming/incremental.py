@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -207,6 +208,16 @@ def _ann_index_frame(
     return idx.filter(F.col("batch") < before_batch).drop("batch")
 
 
+def _stage_mark(timings: dict | None, key: str, t0: float) -> float:
+    """Accumulate ``monotonic() - t0`` into ``timings[key]`` (no-op when
+    timings is None) and return a fresh t0. Soak/diagnostic
+    instrumentation — the production path passes None and pays nothing."""
+    now = time.monotonic()
+    if timings is not None:
+        timings[key] = round(timings.get(key, 0.0) + (now - t0), 3)
+    return now
+
+
 def ann_dup_ids(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -215,6 +226,7 @@ def ann_dup_ids(
     centroids: list[list[float]],
     codebooks: list[list[list[float]]],
     id_col: str = "doc_id",
+    timings: dict | None = None,
 ) -> DataFrame:
     """Ids in this delivery that SEMANTICALLY duplicate (exact cosine >=
     threshold after an ADC screen) an earlier-accepted document, or a
@@ -239,7 +251,14 @@ def ann_dup_ids(
        stored raw vectors — removes every screen false positive.
 
     Within-batch side: same stages over this delivery's own fresh codes
-    with the lowest-id keep rule."""
+    with the lowest-id keep rule.
+
+    With ``timings`` (a dict; soak/diagnostic use), each stage is FORCED
+    (persist + count) and its wall accumulated under ``ann_exact`` /
+    ``ann_screen`` / ``ann_verify``; the returned frame is then
+    localCheckpoint-materialized so the stage caches can be freed here.
+    Decisions are identical either way (pinned by pytest) — only job
+    boundaries move."""
     from cda_client_spark.operators.similarity import (
         dot_col,
         ivfpq_encode,
@@ -320,14 +339,32 @@ def ann_dup_ids(
             out = cand if out is None else out.unionByName(cand)
         return out
 
-    parts = [exact_copies(q, lower_id_only=True)]
+    cached: list[DataFrame] = []
+
+    def force(df: DataFrame, key: str) -> DataFrame:
+        """Timings mode: materialize the stage (persist + count) and book
+        its wall; production mode: identity (stay lazy, one fused job)."""
+        if timings is None:
+            return df
+        df = df.persist()
+        cached.append(df)
+        t0 = time.monotonic()
+        df.count()
+        _stage_mark(timings, key, t0)
+        return df
+
+    parts = [force(exact_copies(q, lower_id_only=True), "ann_exact")]
     store = _ann_index_frame(spark, cfg, id_col, batch_id)
     if store is not None:
-        parts.append(exact_copies(store, lower_id_only=False))
+        parts.append(force(exact_copies(store, lower_id_only=False), "ann_exact"))
+        store_cand = force(scan(store), "ann_screen")
         parts.append(
-            verify(scan(store), store)
-            .select(F.col("query_id").alias(id_col))
-            .distinct()
+            force(
+                verify(store_cand, store)
+                .select(F.col("query_id").alias(id_col))
+                .distinct(),
+                "ann_verify",
+            )
         )
     batch_codes = ivfpq_encode(
         q, centroids, codebooks, id_col=id_col, vec_col=cfg.vec_col
@@ -337,16 +374,25 @@ def ann_dup_ids(
         # once (delivery-sized small ints) instead of re-running the
         # Arrow pass per pass
         batch_codes = batch_codes.localCheckpoint()
-    within = scan(batch_codes)
+    within = force(scan(batch_codes), "ann_screen")
     parts.append(
-        verify(within.filter(F.col("neighbor_id") < F.col("query_id")), q)
-        .select(F.col("query_id").alias(id_col))
-        .distinct()
+        force(
+            verify(within.filter(F.col("neighbor_id") < F.col("query_id")), q)
+            .select(F.col("query_id").alias(id_col))
+            .distinct(),
+            "ann_verify",
+        )
     )
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
-    return out.distinct()
+    out = out.distinct()
+    if timings is not None:
+        # id-sized; cutting lineage here lets the stage caches go
+        out = out.localCheckpoint()
+        for c in cached:
+            c.unpersist()
+    return out
 
 
 def write_ann_index_batch(
@@ -590,6 +636,7 @@ def incremental_dedup_batch(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     ann: AnnIndexConfig | None = None,
+    timings: dict | None = None,
 ) -> None:
     """Apply one micro-batch: survivors land in ``out_dir/batch=<id>``,
     their bucket rows in ``store_dir/batch=<id>`` (both overwritten on
@@ -613,7 +660,14 @@ def incremental_dedup_batch(
     stale higher-numbered output partitions duplicate re-accepted docs.
     Fail fast instead: checkpoint, store and output dirs must be retained
     or discarded together. ``batch == batch_id`` is the legitimate
-    crash-replay case and stays allowed."""
+    crash-replay case and stays allowed.
+
+    ``timings`` (soak/diagnostic, r11 verdict #4): when a dict is passed,
+    per-stage walls accumulate into it — ``text`` (MinHash buckets +
+    store/self join), ``ann_model``, ``ann_exact``/``ann_screen``/
+    ``ann_verify`` (see :func:`ann_dup_ids`), ``write_out``,
+    ``write_store``, ``write_ann``. Stage boundaries are forced
+    (persist + count) in this mode; decisions are identical (pytest)."""
     _require_local_store(store_dir)
     if ann is not None:
         _require_local_store(ann.index_dir)
@@ -637,6 +691,7 @@ def incremental_dedup_batch(
         )
     batch_df = batch_df.persist()
     try:
+        t0 = time.monotonic()
         new_b = batch_buckets(
             batch_df, id_col, text_col, num_hashes, bands, shingle, hash_fn,
             max_bucket_size,
@@ -645,7 +700,7 @@ def incremental_dedup_batch(
             dups = near_dup_ids(
                 spark, new_b, batch_id, store_dir, id_col, max_bucket_size
             )
-            if ann is not None:
+            if ann is not None or timings is not None:
                 # the semantic check anchors on the MINHASH SURVIVORS
                 # (id-sized dups frame persisted — the ann stage's
                 # encode/scan actions each re-read it): a within-batch
@@ -653,26 +708,36 @@ def incremental_dedup_batch(
                 # not take its semantic copies down with it, or the
                 # content vanishes from the corpus entirely
                 md_dups = dups = dups.persist()
-                md_survivors = batch_df.join(dups, id_col, "left_anti")
-                cents, books = ensure_ann_model(md_survivors, ann, id_col)
-                dups = dups.unionByName(
-                    ann_dup_ids(
-                        spark, md_survivors, batch_id, ann, cents, books, id_col
-                    )
-                ).distinct()
             else:
                 md_dups = None
+            if timings is not None:
+                dups.count()  # force the TEXT stage boundary
+                t0 = _stage_mark(timings, "text", t0)
+            if ann is not None:
+                md_survivors = batch_df.join(dups, id_col, "left_anti")
+                cents, books = ensure_ann_model(md_survivors, ann, id_col)
+                t0 = _stage_mark(timings, "ann_model", t0)
+                dups = dups.unionByName(
+                    ann_dup_ids(
+                        spark, md_survivors, batch_id, ann, cents, books,
+                        id_col, timings=timings,
+                    )
+                ).distinct()
             survivors = batch_df.join(dups, id_col, "left_anti").persist()
             try:
+                t0 = time.monotonic()
                 survivors.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+                t0 = _stage_mark(timings, "write_out", t0)
                 write_store_batch(
                     new_b, survivors.select(id_col), store_dir, batch_id, id_col
                 )
+                t0 = _stage_mark(timings, "write_store", t0)
                 if ann is not None:
                     write_ann_index_batch(
                         batch_df, survivors.select(id_col), ann, cents, books,
                         batch_id, id_col,
                     )
+                    _stage_mark(timings, "write_ann", t0)
             finally:
                 survivors.unpersist()
                 if md_dups is not None:

@@ -659,3 +659,50 @@ def test_ann_double_vectors_exact_copy_still_caught(spark, tmp_path):
     run()
     kept = {r["doc_id"] for r in read_curated(spark, out, schema_d).collect()}
     assert kept == set(range(10)) | {101}
+
+
+def test_timings_mode_books_stages_and_preserves_decisions(spark, tmp_path):
+    """r11 verdict #4: the soak's per-delivery stage attribution. Passing
+    a timings dict forces stage boundaries (persist + count) — it must
+    book every stage the delivery actually ran (text, ann_model,
+    ann_exact/ann_screen/ann_verify, the three writes) and must NOT
+    change any accept/reject decision vs the un-instrumented run."""
+    from cda_client_spark.streaming.incremental import (
+        incremental_dedup_batch,
+        read_curated,
+    )
+
+    deliveries = [
+        [_ann_doc(i) for i in range(10)],
+        [
+            _ann_doc(100, emb_of=3),
+            _ann_doc(101),
+            _ann_doc(102, emb_of=102),
+            _ann_doc(103, emb_of=102),
+        ],
+        [_ann_doc(200, emb_of=101), _ann_doc(201)],
+    ]
+    kept = {}
+    all_tm: list[dict] = []
+    for sub, tm_on in (("T1", False), ("T2", True)):
+        ann = _ann_cfg(tmp_path, sub)
+        store, out = str(tmp_path / f"store{sub}"), str(tmp_path / f"out{sub}")
+        for i, rows in enumerate(deliveries):
+            tm: dict | None = {} if tm_on else None
+            incremental_dedup_batch(
+                spark, spark.createDataFrame(rows, ANN_SCHEMA), i, store, out,
+                shingle=2, max_bucket_size=64, ann=ann, timings=tm,
+            )
+            if tm_on:
+                all_tm.append(tm)
+        kept[sub] = {
+            r["doc_id"] for r in read_curated(spark, out, ANN_SCHEMA).collect()
+        }
+    assert kept["T1"] == kept["T2"] == {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 101, 102, 201}
+    # delivery 0 has no store yet: text + model + within-batch ann + writes
+    assert {"text", "ann_model", "ann_exact", "ann_screen", "ann_verify",
+            "write_out", "write_store", "write_ann"} <= set(all_tm[0])
+    # later deliveries additionally scanned the store (same keys, larger
+    # accumulations) and every booked wall is a non-negative float
+    for tm in all_tm:
+        assert all(isinstance(v, float) and v >= 0 for v in tm.values()), tm
