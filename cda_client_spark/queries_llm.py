@@ -2707,22 +2707,27 @@ def ivfpq_screen_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL value-hash proof of the IVFADC threshold-screen production
     half (r10 verdict ask #3): encode the grid-snapped corpus ONCE with
     the fixed model (operators/similarity.py ``ivfpq_encode`` — the
-    materialized index), then run the PRODUCTION ``ivfpq_topk_adc``
-    screen ∪ shortlist search (min_sim floor, min_keep net, k cap,
-    probed-cells-only, self excluded) for 8 query vectors. Everything —
-    cell assign, residual PQ codes, the ADC cosine, probe selection,
-    the global trim — replays in DuckDB bit-for-bit; only the trainers
-    stay behind ``ivfpq_recall``. This is the exact operator call shape
-    the incremental semantic-dedup stage depends on
-    (streaming/incremental.py ``ann_dup_ids``)."""
-    from cda_client_spark.operators.similarity import ivfpq_encode, ivfpq_topk_adc
+    materialized index), then run the PRODUCTION single-scan
+    ``ivfpq_screen_chunked`` screen ∪ shortlist search (min_sim floor,
+    min_keep net, k cap, probed-cells-only, self excluded) for 8 query
+    vectors — the EXACT kernel ``ann_dup_ids`` drives per delivery
+    (streaming/incremental.py), sub-blocked cell loop included (r12;
+    it ran ``ivfpq_topk_adc`` before, which stays pinned bit-equal to
+    this kernel by tests/test_similarity.py). Everything — cell assign,
+    residual PQ codes, the ADC cosine, probe selection, the global trim
+    — replays in DuckDB bit-for-bit; only the trainers stay behind
+    ``ivfpq_recall``."""
+    from cda_client_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_screen_chunked,
+    )
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_IVFPQ_SNAP).alias("embedding")
     )
     cents, books = _ivfpq_fixed_cents(), _pq_fixed_books()
     enc = ivfpq_encode(e, cents, books)
-    return ivfpq_topk_adc(
+    return ivfpq_screen_chunked(
         enc,
         e.filter(F.col("vec_id") < 8),
         cents,
