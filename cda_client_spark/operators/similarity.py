@@ -1320,6 +1320,29 @@ def _ivfpq_assign_encode(x, cents_np, books_np, m: int, sub: int):
     return cells, codes
 
 
+def _blocked_probe_cells(Q, cents_np, nprobe: int):
+    """``nprobe`` nearest cells per query row (squared distance, stable
+    sort — distance ties break on the lower cell index, matching the
+    corpus-side argmin's first-occurrence rule), computed in query row
+    blocks: the dense broadcast materializes (nq x nlist x dim) doubles
+    — 3.4 GB driver-side at scan_batch 65536 / nlist 1024 / dim 64, and
+    unboundedly worse at production nlist. Per-(query, cell) arithmetic
+    and the per-row stable argsort are row-independent, so blocking is
+    bit-identical. The returned (nq x nprobe) array is the compact probe
+    state; callers that still hold dense (nq x nlist) masks/q.c tables
+    bound nq via scan_batch (see AnnIndexConfig.scan_batch)."""
+    import numpy as np
+
+    near = np.empty((len(Q), nprobe), dtype=np.int64)
+    for rlo in range(0, len(Q), _ENC_ROW_BLOCK):
+        qb = Q[rlo : rlo + _ENC_ROW_BLOCK]
+        d2 = ((qb[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
+        near[rlo : rlo + len(qb)] = np.argsort(d2, axis=1, kind="stable")[
+            :, :nprobe
+        ]
+    return near
+
+
 def _ivfpq_query_state(
     queries: DataFrame,
     centroids: list[list[float]],
@@ -1365,10 +1388,7 @@ def _ivfpq_query_state(
     books_np = np.asarray(codebooks, dtype=np.float64)  # (m, codewords, sub)
     cents_np = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
     qtab = np.einsum("qms,mcs->qmc", Q.reshape(len(Q), m, sub), books_np)
-    d2 = ((Q[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)  # (nq, nlist)
-    # stable sort: distance ties break on the lower cell index, matching
-    # the corpus-side argmin's first-occurrence rule
-    near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    near = _blocked_probe_cells(Q, cents_np, nprobe)
     probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
     np.put_along_axis(probe_mask, near, True, axis=1)
     # q.c for every cell; the scan only reads probed cells' entries
@@ -1572,10 +1592,13 @@ def ivfpq_screen_chunked(
     Q = np.array([r["q_vec"] for r in qrows], dtype=np.float64)
     books_np = np.asarray(codebooks, dtype=np.float64)
     cents_np = np.asarray(centroids, dtype=np.float64)
-    # probe cells + q.c driver-side, exactly as _ivfpq_query_state — tiny
-    # (nq x nlist); only the qtab is deferred to the kernel
-    d2 = ((Q[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
-    near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+    # probe cells + q.c driver-side, exactly as _ivfpq_query_state; the
+    # (nq x nlist x dim) distance broadcast is row-blocked (bit-identical
+    # — see _blocked_probe_cells); the dense (nq x nlist) mask + q.c
+    # table stay bounded by scan_batch x nlist — at production nlist,
+    # size scan_batch accordingly (the kernel's per-task memory is
+    # qtab_batch-bounded regardless)
+    near = _blocked_probe_cells(Q, cents_np, nprobe)
     probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
     np.put_along_axis(probe_mask, near, True, axis=1)
     qdotc = Q @ cents_np.T
