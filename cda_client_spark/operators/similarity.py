@@ -1333,12 +1333,15 @@ def _blocked_probe_cells(Q, cents_np, nprobe: int):
     bound nq via scan_batch (see AnnIndexConfig.scan_batch)."""
     import numpy as np
 
-    near = np.empty((len(Q), nprobe), dtype=np.int64)
+    # nprobe >= nlist degenerates to probing every cell (the un-blocked
+    # slice capped silently; the preallocation must cap the same way)
+    width = min(nprobe, len(cents_np))
+    near = np.empty((len(Q), width), dtype=np.int64)
     for rlo in range(0, len(Q), _ENC_ROW_BLOCK):
         qb = Q[rlo : rlo + _ENC_ROW_BLOCK]
         d2 = ((qb[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
         near[rlo : rlo + len(qb)] = np.argsort(d2, axis=1, kind="stable")[
-            :, :nprobe
+            :, :width
         ]
     return near
 

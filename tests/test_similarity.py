@@ -803,6 +803,19 @@ def test_ivfpq_screen_chunked_equals_topk_adc(spark):
                 ).collect()
             }
             assert got == want, (mode, qtab_batch)
+    # nprobe >= nlist degenerates to probing every cell — both kernels
+    # must accept it (r12 regression: the blocked probe state
+    # preallocated (nq, nprobe) and crashed when nprobe > nlist)
+    full_kw = dict(id_col="vec_id", vec_col="embedding", nprobe=9, k=10)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["adc_cos"], r["rnk"])
+        for r in ivfpq_topk_adc(enc, q, cents, books, **full_kw).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc_cos"], r["rnk"])
+        for r in ivfpq_screen_chunked(enc, q, cents, books, **full_kw).collect()
+    }
+    assert want and got == want
 
 
 def test_pq_assign_kernel_matches_expression_spec(spark):
