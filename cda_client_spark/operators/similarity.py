@@ -1323,27 +1323,98 @@ def _ivfpq_assign_encode(x, cents_np, books_np, m: int, sub: int):
 def _blocked_probe_cells(Q, cents_np, nprobe: int):
     """``nprobe`` nearest cells per query row (squared distance, stable
     sort — distance ties break on the lower cell index, matching the
-    corpus-side argmin's first-occurrence rule), computed in query row
-    blocks: the dense broadcast materializes (nq x nlist x dim) doubles
-    — 3.4 GB driver-side at scan_batch 65536 / nlist 1024 / dim 64, and
-    unboundedly worse at production nlist. Per-(query, cell) arithmetic
-    and the per-row stable argsort are row-independent, so blocking is
-    bit-identical. The returned (nq x nprobe) array is the compact probe
-    state; callers that still hold dense (nq x nlist) masks/q.c tables
-    bound nq via scan_batch (see AnnIndexConfig.scan_batch)."""
+    corpus-side argmin's first-occurrence rule), blocked on BOTH axes
+    (r13, closing the r12 advice gap): the dense broadcast materializes
+    (nq x nlist x dim) doubles, and row-blocking alone still left a
+    (row_block x nlist x dim) transient — ~13 GB at production
+    nlist ~ 100k, dim 64. Centroid-blocking assembles the d2 row into a
+    preallocated (row_block x nlist) matrix instead, bounding the
+    transient at a few hundred MB at that point. Each (query, cell)
+    distance is the same subtract/square/sum over the contiguous dim
+    axis and the per-row stable argsort runs over the assembled full
+    row, so results are bit-identical to the dense form. The returned
+    (nq x nprobe) array IS the compact probe state (see
+    :func:`_compact_probe_state`)."""
     import numpy as np
 
+    nlist = len(cents_np)
     # nprobe >= nlist degenerates to probing every cell (the un-blocked
     # slice capped silently; the preallocation must cap the same way)
-    width = min(nprobe, len(cents_np))
+    width = min(nprobe, nlist)
     near = np.empty((len(Q), width), dtype=np.int64)
     for rlo in range(0, len(Q), _ENC_ROW_BLOCK):
         qb = Q[rlo : rlo + _ENC_ROW_BLOCK]
-        d2 = ((qb[:, None, :] - cents_np[None, :, :]) ** 2).sum(axis=2)
+        d2 = np.empty((len(qb), nlist), dtype=np.float64)
+        for clo in range(0, nlist, _ENC_CENT_BLOCK):
+            cb = cents_np[clo : clo + _ENC_CENT_BLOCK]
+            d2[:, clo : clo + len(cb)] = (
+                (qb[:, None, :] - cb[None, :, :]) ** 2
+            ).sum(axis=2)
         near[rlo : rlo + len(qb)] = np.argsort(d2, axis=1, kind="stable")[
             :, :width
         ]
     return near
+
+
+def _compact_probe_state(Q, cents_np, nprobe: int):
+    """The full compact query-side probe state (r12 verdict #4 — the
+    last dense-in-nlist structure): ``(near_s, qdotc_s)``, both
+    (nq x min(nprobe, nlist)), where each query's probed cell ids are
+    sorted ASCENDING with its q.c entries aligned. Kernels test store
+    rows for membership with a vectorized ``searchsorted`` against the
+    sorted row (:func:`_probe_lookup`) instead of indexing a dense
+    (nq x nlist) bool mask, and read q.c only for probed cells — the
+    old mask + full q.c table were 6.5 GB + 52 GB driver-side at
+    scan_batch 65536 x nlist 100k. q.c is computed row-blocked over the
+    GATHERED probed centroids only ((row_block x nprobe x dim)
+    transient), never over all nlist."""
+    import numpy as np
+
+    near = _blocked_probe_cells(Q, cents_np, nprobe)
+    qdotc_near = np.empty(near.shape, dtype=np.float64)
+    for rlo in range(0, len(Q), _ENC_ROW_BLOCK):
+        qb = Q[rlo : rlo + _ENC_ROW_BLOCK]
+        nb = near[rlo : rlo + len(qb)]
+        qdotc_near[rlo : rlo + len(qb)] = np.einsum(
+            "qd,qpd->qp", qb, cents_np[nb]
+        )
+    order = np.argsort(near, axis=1, kind="stable")
+    near_s = np.take_along_axis(near, order, axis=1)
+    qdotc_s = np.take_along_axis(qdotc_near, order, axis=1)
+    return near_s, qdotc_s
+
+
+def _probe_lookup(near_row, qdotc_row, cells):
+    """Membership + q.c lookup for ONE query against a batch of store
+    rows: ``(mask, qd)`` where ``mask[i]`` is True iff ``cells[i]`` is
+    probed by this query and ``qd[i]`` is q.c for that cell (valid only
+    where ``mask``). ``near_row`` must be sorted ascending
+    (:func:`_compact_probe_state`). Equivalent to the old dense
+    ``probe_mask[qi][cells]`` / ``qdotc[qi][cells]`` pair, O(n log
+    nprobe) instead of O(nlist) state."""
+    import numpy as np
+
+    pos = np.searchsorted(near_row, cells)
+    pos = np.minimum(pos, len(near_row) - 1)
+    mask = near_row[pos] == cells
+    return mask, qdotc_row[pos]
+
+
+def _check_cell_range(cells, nlist: int, op: str):
+    """Fail fast on a stale materialized index (r12 advice): a code-store
+    row whose cell id is >= nlist was encoded with a DIFFERENT (larger)
+    coarse model than the one passed in — scoring it against this model's
+    centroids would be silently wrong, and the old bounds walk just
+    skipped such rows. Raise with the mismatch spelled out instead."""
+    if len(cells):
+        mx = int(cells.max())
+        if mx >= nlist:
+            raise ValueError(
+                f"{op}: stale IVF index — code-store cell id {mx} >= "
+                f"nlist {nlist}; the store was encoded with a different "
+                "model. Re-encode the corpus or load the matching "
+                "centroids/codebooks."
+            )
 
 
 def _ivfpq_query_state(
@@ -1362,8 +1433,11 @@ def _ivfpq_query_state(
     ADC lookup table, the ``nprobe`` nearest cells (squared distance to
     the centroids — the SAME arithmetic as the corpus-side
     ``_ivfpq_assign_encode``, so a vector's own cell is always its rank-1
-    probe), and q.c per cell. Returns (qids, qnorms, qtab, probe_mask,
-    qdotc) numpy arrays, or None when the query frame is empty.
+    probe), and q.c for the PROBED cells only. Returns (qids, qnorms,
+    qtab, near_s, qdotc_s) numpy arrays — the compact
+    (nq x min(nprobe, nlist)) probe state of
+    :func:`_compact_probe_state`, nothing dense in nlist — or None when
+    the query frame is empty.
 
     Why numpy and not Catalyst here: the qtab expression carried the
     full codebook literal (m x codewords x sub doubles — 16k literals at
@@ -1391,12 +1465,8 @@ def _ivfpq_query_state(
     books_np = np.asarray(codebooks, dtype=np.float64)  # (m, codewords, sub)
     cents_np = np.asarray(centroids, dtype=np.float64)  # (nlist, dim)
     qtab = np.einsum("qms,mcs->qmc", Q.reshape(len(Q), m, sub), books_np)
-    near = _blocked_probe_cells(Q, cents_np, nprobe)
-    probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
-    np.put_along_axis(probe_mask, near, True, axis=1)
-    # q.c for every cell; the scan only reads probed cells' entries
-    qdotc = Q @ cents_np.T
-    return qids, qnorms, qtab, probe_mask, qdotc
+    near_s, qdotc_s = _compact_probe_state(Q, cents_np, nprobe)
+    return qids, qnorms, qtab, near_s, qdotc_s
 
 
 def ivfpq_topk_adc(
@@ -1461,8 +1531,9 @@ def ivfpq_topk_adc(
             .withColumn("rnk", F.lit(1))
             .filter(F.lit(False))
         )
-    qids, qnorms, qtab, probe_mask, qdotc = state
+    qids, qnorms, qtab, near_s, qdotc_s = state
     m = len(codebooks)
+    nlist = len(centroids)
 
     enc = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1476,6 +1547,7 @@ def ivfpq_topk_adc(
             if not len(pdf):
                 continue
             cells = pdf["_cell"].to_numpy(dtype=np.int64)
+            _check_cell_range(cells, nlist, "ivfpq_topk_adc")
             codes = np.stack(pdf["_code"].values).astype(np.int64)
             nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             cnorm = pdf["c_norm"].to_numpy(dtype=np.float64)
@@ -1484,14 +1556,14 @@ def ivfpq_topk_adc(
                 adc = adc + qtab[:, j, :][:, codes[:, j]]
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(qids):
-                mask = probe_mask[qi][cells]
+                mask, qd = _probe_lookup(near_s[qi], qdotc_s[qi], cells)
                 if exclude_self:
                     mask = mask & (nids != qid)
                 idx = np.nonzero(mask)[0]
                 if not idx.size:
                     continue
                 sim = _np_round_half_up(
-                    (qdotc[qi][cells[idx]] + adc[qi, idx])
+                    (qd[idx] + adc[qi, idx])
                     / (qnorms[qi] * cnorm[idx]),
                     round_digits,
                 )
@@ -1595,16 +1667,13 @@ def ivfpq_screen_chunked(
     Q = np.array([r["q_vec"] for r in qrows], dtype=np.float64)
     books_np = np.asarray(codebooks, dtype=np.float64)
     cents_np = np.asarray(centroids, dtype=np.float64)
-    # probe cells + q.c driver-side, exactly as _ivfpq_query_state; the
-    # (nq x nlist x dim) distance broadcast is row-blocked (bit-identical
-    # — see _blocked_probe_cells); the dense (nq x nlist) mask + q.c
-    # table stay bounded by scan_batch x nlist — at production nlist,
-    # size scan_batch accordingly (the kernel's per-task memory is
-    # qtab_batch-bounded regardless)
-    near = _blocked_probe_cells(Q, cents_np, nprobe)
-    probe_mask = np.zeros((len(qrows), nlist), dtype=bool)
-    np.put_along_axis(probe_mask, near, True, axis=1)
-    qdotc = Q @ cents_np.T
+    # probe cells + q.c driver-side, exactly as _ivfpq_query_state —
+    # the COMPACT (nq x nprobe) state (r12 verdict #4): nothing here is
+    # dense in nlist, so the driver/closure cost is nq x nprobe x 16
+    # bytes regardless of nlist (the old mask + full q.c table were
+    # 6.5 GB + 52 GB at scan_batch 65536 x nlist 100k); the kernel's
+    # per-task memory stays qtab_batch-bounded
+    near_s, qdotc_s = _compact_probe_state(Q, cents_np, nprobe)
 
     enc = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1630,6 +1699,7 @@ def ivfpq_screen_chunked(
             if not len(pdf):
                 continue
             cells = pdf["_cell"].to_numpy(dtype=np.int64)
+            _check_cell_range(cells, nlist, "ivfpq_screen_chunked")
             codes = np.stack(pdf["_code"].values).astype(np.int64)
             nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
             cnorm = pdf["c_norm"].to_numpy(dtype=np.float64)
@@ -1650,16 +1720,36 @@ def ivfpq_screen_chunked(
                 qtab = np.einsum(
                     "qms,mcs->qmc", Q[sl].reshape(-1, m, sub), books_np
                 )
-                pm = probe_mask[sl]
                 cand_rows = [[] for _ in range(nq_c)]
                 cand_sims = [[] for _ in range(nq_c)]
+                # invert the chunk's compact probe state into per-cell
+                # query lists (r12 verdict #4 — replaces the dense
+                # (nq_c x nlist) mask): flat index is q-major, so the
+                # stable sort keeps each cell's queries ASCENDING and
+                # each (q, cell) pair appears at most once — `qsel` is
+                # exactly the old np.nonzero(pm[:, cell])[0], with the
+                # aligned q.c entries riding along
+                near_c = near_s[sl]
+                width = near_c.shape[1]
+                flat_q = np.repeat(np.arange(nq_c), width)
+                fo = np.argsort(near_c.ravel(), kind="stable")
+                fc_sorted = near_c.ravel()[fo]
+                probed_cells, pstarts = np.unique(
+                    fc_sorted, return_index=True
+                )
+                pends = np.append(pstarts[1:], len(fc_sorted))
+                flat_q_sorted = flat_q[fo]
+                flat_qd_sorted = qdotc_s[sl].ravel()[fo]
                 # ...and of the present cells, touch only those probed by
-                # at least one query of this chunk (the union, vectorized)
-                probed_any = pm.any(axis=0)
-                for ci in np.nonzero(probed_any[present])[0]:
-                    cell = int(present[ci])
+                # at least one query of this chunk (sorted-set intersect)
+                ppos = np.searchsorted(probed_cells, present)
+                ppos_c = np.minimum(ppos, len(probed_cells) - 1)
+                hit = probed_cells[ppos_c] == present
+                for ci in np.nonzero(hit)[0]:
                     a, b = starts[ci], ends[ci]
-                    qsel = np.nonzero(pm[:, cell])[0]
+                    pa, pb = pstarts[ppos[ci]], pends[ppos[ci]]
+                    qsel = flat_q_sorted[pa:pb]
+                    qd_sel = flat_qd_sorted[pa:pb]
                     ridx = row_order[a:b]
                     rcodes = codes[ridx]
                     # query SUB-blocking (r12, measured by tools/
@@ -1677,7 +1767,7 @@ def ivfpq_screen_chunked(
                         for j in range(1, m):
                             blk = blk + qtab[qss, j, :][:, rcodes[:, j]]
                         sims_blk = (
-                            qdotc[lo + qss, cell][:, None] + blk
+                            qd_sel[qlo : qlo + 512][:, None] + blk
                         ) / (qnorms[lo + qss][:, None] * cnorm[ridx][None, :])
                         for t in range(len(qss)):
                             cand_rows[qss[t]].append(ridx)
@@ -1816,23 +1906,25 @@ def ivfpq_topk_rerank(
         return corpus.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cos_sim double, rnk int"
         )
-    qids, qnorms, qtab, probe_mask, qdotc = state
+    qids, qnorms, qtab, near_s, qdotc_s = state
 
     def _shortlist(cells, codes, nids, cnorm):
         """Probed ADC scoring + local top-``shortlist`` per query — the
         per-partition half shared by both scan paths. ADC fold order
         matches PQ_ADC_EXPR; ranking rounds HALF_UP like F.round."""
+        _check_cell_range(cells, nlist, "ivfpq_topk_rerank")
         adc = qtab[:, 0, :][:, codes[:, 0]]  # (nq, n)
         for j in range(1, m):
             adc = adc + qtab[:, j, :][:, codes[:, j]]
         out_q, out_n = [], []
         for qi, qid in enumerate(qids):
-            mask = probe_mask[qi][cells] & (nids != qid)
+            mask, qd = _probe_lookup(near_s[qi], qdotc_s[qi], cells)
+            mask = mask & (nids != qid)
             idx = np.nonzero(mask)[0]
             if not idx.size:
                 continue
             sim = _np_round_half_up(
-                (qdotc[qi][cells[idx]] + adc[qi, idx]) / (qnorms[qi] * cnorm[idx]),
+                (qd[idx] + adc[qi, idx]) / (qnorms[qi] * cnorm[idx]),
                 round_digits,
             )
             order = np.lexsort((nids[idx], -sim))[:shortlist]

@@ -862,3 +862,78 @@ def test_pq_assign_kernel_matches_expression_spec(spark):
     assert got == want
     tied = [c for j, sv, c in got if sv == tuple(books[1][1])]
     assert tied == [1]  # not 3: first-minimum rule
+
+
+def test_compact_probe_state_equals_dense_reference():
+    """r12 verdict #5: the compact (nq x nprobe) probe state must carry
+    EXACTLY the information of the dense (nq x nlist) mask + q.c table
+    it replaced — same probed set per query (including distance ties,
+    which break on the lower cell id) and the same q.c value for every
+    probed (query, cell). Pure-numpy check against the dense broadcast
+    reference, including a planted exact distance tie and the
+    nprobe > nlist degenerate case."""
+    import numpy as np
+
+    from cda_client_spark.operators.similarity import (
+        _compact_probe_state,
+        _probe_lookup,
+    )
+
+    rng_q = np.array(
+        [[np.sin(i * 0.37 + d * 0.11) for d in range(8)] for i in range(23)],
+        dtype=np.float64,
+    )
+    cents = np.array(
+        [[np.cos(c * 0.53 + d * 0.29) for d in range(8)] for c in range(11)],
+        dtype=np.float64,
+    )
+    cents[7] = cents[2]  # exact tie: cells 2 and 7 equidistant everywhere
+    for nprobe in (1, 4, 11, 50):
+        near_s, qdotc_s = _compact_probe_state(rng_q, cents, nprobe)
+        width = min(nprobe, len(cents))
+        assert near_s.shape == (len(rng_q), width) == qdotc_s.shape
+        # dense reference: full broadcast distances, stable argsort
+        d2 = ((rng_q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        ref_near = np.argsort(d2, axis=1, kind="stable")[:, :width]
+        qdotc_full = rng_q @ cents.T
+        for qi in range(len(rng_q)):
+            assert set(near_s[qi]) == set(ref_near[qi]), (nprobe, qi)
+            # tie rule: the lower cell id (2) is probed before 7
+            if nprobe == 1:
+                assert 7 not in near_s[qi]
+            cells = np.arange(len(cents))
+            mask, qd = _probe_lookup(near_s[qi], qdotc_s[qi], cells)
+            assert set(np.nonzero(mask)[0]) == set(ref_near[qi])
+            got = qd[mask]
+            want = qdotc_full[qi][cells[mask]]
+            np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_ivfpq_stale_index_raises(spark):
+    """r12 advice: a code store whose cell ids exceed the passed model's
+    nlist was encoded with a DIFFERENT model — the scan kernels must
+    fail with an explicit stale-index error instead of an IndexError
+    (screen path) or a silent drop (compact-state membership miss)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_screen_chunked,
+        ivfpq_topk_adc,
+        ivfpq_train,
+    )
+
+    df = _pq_frame(spark, n=40)
+    q = df.filter(F.col("vec_id") < 3)
+    cents, books = ivfpq_train(df, dim=16, nlist=4, m=4, codewords=8, iters=2)
+    stale = (
+        ivfpq_encode(df, cents, books)
+        .withColumn("cell", F.col("cell") + F.lit(4))
+        .localCheckpoint()
+    )
+    kw = dict(id_col="vec_id", vec_col="embedding", nprobe=2, k=5)
+    for fn in (ivfpq_topk_adc, ivfpq_screen_chunked):
+        with pytest.raises(Exception) as ei:
+            fn(stale, q, cents, books, **kw).collect()
+        assert "stale IVF index" in str(ei.value)
