@@ -162,10 +162,20 @@ def score_quality_linear(
         F.explode_outer(_tokens_col(text_col)).alias("_tok"),
     )
     coef_arr = F.array(*[F.lit(float(c)) for c in coefficients])
+    # the null-token guard is LOAD-BEARING: explode_outer emits _tok=NULL
+    # for an empty document, and Spark's element_at with a NULL index
+    # returns the LAST array element (observed on 4.1.2), not NULL — an
+    # unguarded lookup would hand every empty doc coefficients[-1] and
+    # n_tokens=1, breaking both this function's contract and the DuckDB
+    # oracle agreement (found by the r13 featurization-composition test)
     w = toks.select(
         F.col(id_col),
-        F.element_at(
-            coef_arr, (hash_bucket(F.col("_tok"), buckets, seed) + 1).cast("int")
+        F.when(
+            F.col("_tok").isNotNull(),
+            F.element_at(
+                coef_arr,
+                (hash_bucket(F.col("_tok"), buckets, seed) + 1).cast("int"),
+            ),
         ).alias("_w"),
     )
     agg = w.groupBy(id_col).agg(
@@ -182,6 +192,43 @@ def score_quality_linear(
         ),
         (z >= 0).alias("pred_label"),
     )
+
+
+def featurize_hashed_counts(
+    df: DataFrame,
+    num_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "qlin",
+) -> DataFrame:
+    """The FEATURIZATION half of the quality classifier as sparse
+    ``(id, bucket, term_count)`` rows — the hashed-unigram count vector
+    ``train_quality_classifier``/``score_quality`` consume, materialized
+    explicitly so it can be value-hashed cross-engine (r12 verdict #7:
+    with both featurization and the serving dot-product value-hashed,
+    what hides behind ``quality_classifier_gate`` is strictly the L-BFGS
+    solver). Same tokenizer expression (``_tokens_col``) as train/score;
+    the hashing trick runs on the engine-portable md5 bucket
+    (``hash_bucket``, replayed verbatim by DuckDB) instead of HashingTF's
+    murmur3 — hash choice doesn't change the feature-space structure,
+    only the bucket permutation. Empty documents contribute no rows
+    (sparse representation; the serving half's explode_outer owns the
+    empty-doc contract).
+
+    100 TB shape: one explode → one partial-combinable groupBy; the
+    shuffle carries (id, bucket, partial count) — nothing model- or
+    vocabulary-sized anywhere. ``sum(term_count * coef[bucket])`` over
+    these rows is EXACTLY ``score_quality_linear``'s logit minus the
+    intercept (pinned by tests/test_classifier.py)."""
+    from cda_client_spark.operators.sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens_col(text_col)).alias("_tok")
+    )
+    return toks.groupBy(
+        F.col(id_col),
+        hash_bucket(F.col("_tok"), num_buckets, seed).alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("term_count"))
 
 
 def quality_filter(

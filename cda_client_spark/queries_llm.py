@@ -1633,6 +1633,38 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 CLASSIFIER_SCORE_FIXED_SQL = _classifier_score_fixed_sql()
 
 
+def classifier_features_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL value-hash proof of the classifier's FEATURIZATION half (r12
+    verdict #7, completing the split-query policy for this family):
+    ``featurize_hashed_counts`` (operators/classifier.py) materializes
+    the hashed-unigram sparse count vector — same tokenizer expression
+    as train/score, hashing trick on the engine-portable md5 bucket —
+    as exact-integer ``(doc_id, bucket, term_count)`` rows DuckDB
+    replays verbatim (zero fp anywhere). Together with
+    ``classifier_score_fixed`` (the serving dot-product + sigmoid), the
+    only arithmetic still behind ``quality_classifier_gate`` is the
+    L-BFGS solver itself."""
+    from cda_client_spark.operators.classifier import featurize_hashed_counts
+
+    return featurize_hashed_counts(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        CLS_FIXED_BUCKETS,
+        seed="qlin",
+    )
+
+
+CLASSIFIER_FEATURES_FIXED_SQL = f"""
+WITH toks AS (SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS token
+       FROM documents)
+SELECT doc_id,
+  (('0x' || substr(md5('qlin:' || token), 1, 8))::BIGINT
+     % {CLS_FIXED_BUCKETS}) AS bucket,
+  CAST(count(*) AS BIGINT) AS term_count
+FROM toks GROUP BY doc_id, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic splits / corpus curation (operators/sampling.py)
 # ---------------------------------------------------------------------------
@@ -3192,9 +3224,12 @@ SPARK_LLM: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_resize_gate": media_resize_gate,
     # the L-BFGS TRAINER of operators/classifier.py is gated through
     # quality_classifier_gate; the deterministic serving/scoring half is
-    # FULLY value-hashed by classifier_score_fixed (r9, split-query policy)
+    # FULLY value-hashed by classifier_score_fixed (r9, split-query
+    # policy) and the featurization half by classifier_features_fixed
+    # (r13) — the gate now hides strictly the solver
     "quality_classifier_gate": quality_classifier_gate,
     "classifier_score_fixed": classifier_score_fixed,
+    "classifier_features_fixed": classifier_features_fixed,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_contamination": doc_contamination,
     "doc_contamination_bloom": doc_contamination_bloom,
@@ -3268,6 +3303,7 @@ ORACLE_LLM: dict[str, str] = {
     "media_resize_gate": MEDIA_RESIZE_GATE_SQL,
     "quality_classifier_gate": QUALITY_CLASSIFIER_GATE_SQL,
     "classifier_score_fixed": CLASSIFIER_SCORE_FIXED_SQL,
+    "classifier_features_fixed": CLASSIFIER_FEATURES_FIXED_SQL,
     "doc_pii_scrub": DOC_PII_SQL,
     "doc_contamination": DOC_CONTAMINATION_SQL,
     "doc_contamination_bloom": DOC_CONTAMINATION_BLOOM_SQL,
