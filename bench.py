@@ -110,6 +110,28 @@ start-vs-end probes disagree by more than ~10% (the box drifted
 MID-RUN), or |1 - c| > 0.25, flag the comparison as box-dominated
 rather than normalizing through it. Sub-second queries additionally
 follow calib_1t_s (fixed overheads are single-thread-bound).
+``tools/bench_compare.py`` applies this rule mechanically to two
+BENCH_FULL.json files — use it instead of re-deriving the arithmetic.
+
+Self-gating (methodology 7, r12 verdict #1): the record now APPLIES its
+own rule instead of leaving it in prose — BENCH_r12 recorded a ~3x
+mid-run calib swing (1.588 -> 0.537) while carrying ``dirty: false``.
+After the end probe, the start/end calib_32t agreement is computed and
+stamped as ``calib_agree``; on disagreement the probe re-runs after a
+cool-down (``SPARK_GRAFT_CALIB_COOLDOWN``, default 30 s):
+
+- retry agrees with START -> the end reading was itself a transient
+  blip; the record is clean (``calib_agree`` true, retry documented);
+- retry confirms the new speed -> the box genuinely changed mid-run;
+  unless ``SPARK_GRAFT_DRIFT_RERUN=0``, the HEADLINE set is re-measured
+  once in a fresh session bracketed by its own probes, and the re-run
+  is published when ITS probes agree (``headline_rerun`` in
+  BENCH_FULL.json records both passes).
+
+Both artifacts carry ``calib_agree`` and ``box_dominated`` (the
+published numbers' own flag: true iff the pass they came from drifted
+mid-run and no clean re-run replaced it). A box_dominated record must
+not anchor cross-round attribution — compare kernels, not totals.
 """
 
 from __future__ import annotations
@@ -149,7 +171,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #       invisible to the external-cores clean bar) normalizes out of
 #       cross-round ratios instead of reading as a plan regression; the
 #       normalization rule is in the module docstring
-BENCH_METHODOLOGY = 6
+#   7 = r13 (r12 verdict #1): the record SELF-GATES on that rule —
+#       start/end calib agreement is computed (`calib_agree`), a
+#       disagreement triggers a cooled-down probe retry and (when the
+#       drift is confirmed persistent) one headline re-measure in a
+#       fresh session; both artifacts stamp `box_dominated` so a
+#       mid-run-drift record machine-identifies instead of relying on
+#       after-the-fact forensics
+BENCH_METHODOLOGY = 7
+
+# the module-docstring "~10%" start-vs-end agreement band, as code
+CALIB_AGREE_BAND = 0.10
+
+
+def calib_agreement(start: dict, end: dict, band: float = CALIB_AGREE_BAND) -> bool:
+    """True when two box-speed probes agree within ``band`` on the
+    32-thread axis (the axis executor-side work follows — see the
+    NORMALIZATION RULE in the module docstring). False means the box
+    drifted between the probes and timings taken between them mix two
+    box speeds."""
+    return abs(1.0 - end["calib_32t_s"] / start["calib_32t_s"]) <= band
 
 _CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
@@ -362,25 +403,9 @@ def bench_queries_map():
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # probe BEFORE the Spark session exists (nothing of ours competes)
-    calib = {"start": calibration_probe()}
     from cda_client_spark.session import get_spark
 
     SPARK = bench_queries_map()
-
-    spark = get_spark(app_name="cda_client_spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    # warm the JVM/code paths once so per-query numbers measure the engine,
-    # not session spin-up
-    SPARK["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # pre-build the IVFADC bench model+index HERE, not lazily inside the
-    # first timed rep of ivfpq_search_* (r9 ADVICE: with reps=1 the
-    # published number silently included the build; with reps>=2 it
-    # leaned on outlier rejection to discard rep 1)
-    from cda_client_spark.queries_llm import _ivfpq_bench_index
-
-    _ivfpq_bench_index(spark, sf_dir)
 
     names = list(BENCH_QUERIES)
     if os.environ.get("SPARK_GRAFT_BENCH", "full") != "headline":
@@ -412,73 +437,141 @@ def main() -> None:
     # contended reps, not hang the bench (raised 180 -> 300 with the
     # stricter trigger — more reps will wait, each wait is still bounded)
     sleep_budget = float(os.environ.get("SPARK_GRAFT_LOAD_BUDGET", "300"))
-    timings: dict[str, float] = {}
-    detail: dict[str, dict] = {}
-    for name in names:
-        load_1m = os.getloadavg()[0]
-        samples: list[float] = []
-        rep_ext: list[float] = []  # pre-rep external busy cores
-        rep_waited: list[int] = []  # contention-sleep rounds before the rep
 
-        def one_rep() -> None:
-            nonlocal sleep_budget
-            ext = external_busy_cores()
-            tries = 0
-            while ext > ext_clean_max and tries < load_retries and sleep_budget >= load_sleep:
-                time.sleep(load_sleep)
-                sleep_budget -= load_sleep
-                tries += 1
+    def run_pass(pass_names: list[str]) -> tuple[dict[str, float], dict[str, dict]]:
+        """One full measurement pass in a FRESH Spark session (so a
+        drift re-run starts from the same JVM state as the first pass).
+        The caller brackets it with calibration probes — the session is
+        created after the start probe and stopped before the end probe
+        so our own JVM never competes with the probe."""
+        nonlocal sleep_budget
+        spark = get_spark(app_name="cda_client_spark-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm the JVM/code paths once so per-query numbers measure the
+        # engine, not session spin-up
+        SPARK["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        # pre-build the IVFADC bench model+index HERE, not lazily inside
+        # the first timed rep of ivfpq_search_* (r9 ADVICE: with reps=1
+        # the published number silently included the build; with reps>=2
+        # it leaned on outlier rejection to discard rep 1)
+        from cda_client_spark.queries_llm import _ivfpq_bench_index
+
+        _ivfpq_bench_index(spark, sf_dir)
+
+        timings: dict[str, float] = {}
+        detail: dict[str, dict] = {}
+        for name in pass_names:
+            load_1m = os.getloadavg()[0]
+            samples: list[float] = []
+            rep_ext: list[float] = []  # pre-rep external busy cores
+            rep_waited: list[int] = []  # contention-sleep rounds before the rep
+
+            def one_rep() -> None:
+                nonlocal sleep_budget
                 ext = external_busy_cores()
-            start = time.perf_counter()
-            SPARK[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - start)
-            rep_ext.append(ext)
-            rep_waited.append(tries)
+                tries = 0
+                while ext > ext_clean_max and tries < load_retries and sleep_budget >= load_sleep:
+                    time.sleep(load_sleep)
+                    sleep_budget -= load_sleep
+                    tries += 1
+                    ext = external_busy_cores()
+                start = time.perf_counter()
+                SPARK[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+                rep_ext.append(ext)
+                rep_waited.append(tries)
 
-        for _ in range(reps):
-            one_rep()
-        # load-fragile queries buy more evidence. Trigger on the MINIMUM
-        # rep (the least-contended observation) — triggering on the median
-        # would let one contended early rep push a genuinely-fast query
-        # over the threshold and deny it the extra reps this feature
-        # exists to collect (e.g. [6.85, 1.20, 0.95] has median 1.20 but
-        # is a ~0.95 s query)
-        if min(samples) < fast_threshold:
-            while len(samples) < fast_reps:
+            for _ in range(reps):
                 one_rep()
-        if min(samples) < subsec_threshold:
-            while len(samples) < subsec_reps:
-                one_rep()
-        # prefer reps that STARTED on a quiet box: sustained contention
-        # gives tight-but-slow spreads that min-anchored rejection can't
-        # touch; only when too few clean reps exist do we fall back to all
-        # kept reps (and the `contended` count flags the record)
-        published, all_kept, n_rej, n_cont, q_dirty = select_published_median(
-            samples, rep_ext, reps, outlier_factor, ext_load_max, ext_clean_max
-        )
-        timings[name] = published
-        detail[name] = {
-            "samples": [round(s, 3) for s in samples],
-            "rejected": n_rej,
-            "load_1m": round(load_1m, 2),
-            "ext_busy_cores": rep_ext,
-            "wait_rounds": rep_waited,
-            "contended": n_cont,
-            "median_all_kept": all_kept,
-            "dirty": q_dirty,
-        }
+            # load-fragile queries buy more evidence. Trigger on the MINIMUM
+            # rep (the least-contended observation) — triggering on the median
+            # would let one contended early rep push a genuinely-fast query
+            # over the threshold and deny it the extra reps this feature
+            # exists to collect (e.g. [6.85, 1.20, 0.95] has median 1.20 but
+            # is a ~0.95 s query)
+            if min(samples) < fast_threshold:
+                while len(samples) < fast_reps:
+                    one_rep()
+            if min(samples) < subsec_threshold:
+                while len(samples) < subsec_reps:
+                    one_rep()
+            # prefer reps that STARTED on a quiet box: sustained contention
+            # gives tight-but-slow spreads that min-anchored rejection can't
+            # touch; only when too few clean reps exist do we fall back to all
+            # kept reps (and the `contended` count flags the record)
+            published, all_kept, n_rej, n_cont, q_dirty = select_published_median(
+                samples, rep_ext, reps, outlier_factor, ext_load_max, ext_clean_max
+            )
+            timings[name] = published
+            detail[name] = {
+                "samples": [round(s, 3) for s in samples],
+                "rejected": n_rej,
+                "load_1m": round(load_1m, 2),
+                "ext_busy_cores": rep_ext,
+                "wait_rounds": rep_waited,
+                "contended": n_cont,
+                "median_all_kept": all_kept,
+                "dirty": q_dirty,
+            }
+        spark.stop()
+        return timings, detail
 
+    # probe BEFORE the Spark session exists (nothing of ours competes);
     # end-of-session probe AFTER the Spark session is gone (its JVM's GC/
     # shutdown threads would otherwise count against the box): a
     # start-vs-end disagreement means the box drifted MID-RUN and the
-    # record should not anchor cross-round attribution at all
-    spark.stop()
+    # record must not anchor cross-round attribution
+    calib: dict = {"start": calibration_probe()}
+    timings, detail = run_pass(names)
     calib["end"] = calibration_probe()
+
+    # methodology 7: SELF-GATE on the module-docstring agreement band
+    calib_agree = calib_agreement(calib["start"], calib["end"])
+    headline_rerun = None
+    pub_headline_timings = {n: t for n, t in timings.items() if n in set(BENCH_QUERIES)}
+    pub_headline_detail = {n: d for n, d in detail.items() if n in set(BENCH_QUERIES)}
+    headline_box_dominated = not calib_agree
+    headline_from_rerun = False
+    if not calib_agree:
+        # cool down and re-probe: distinguishes a transient end-probe
+        # blip (retry ~ start: the pass itself ran at the start speed)
+        # from a persistent mid-run box change (retry ~ end)
+        cool = float(os.environ.get("SPARK_GRAFT_CALIB_COOLDOWN", "30"))
+        time.sleep(cool)
+        calib["retry_cooldown_s"] = cool
+        calib["retry"] = calibration_probe()
+        if calib_agreement(calib["start"], calib["retry"]):
+            calib_agree = True
+            headline_box_dominated = False
+        elif os.environ.get("SPARK_GRAFT_DRIFT_RERUN", "1") != "0":
+            # the box REALLY changed speed mid-run: re-measure the
+            # headline set once in a fresh session bracketed by its own
+            # probes, and publish the re-run iff ITS probes agree
+            rr_calib: dict = {"start": calibration_probe()}
+            rr_timings, rr_detail = run_pass(
+                [n for n in names if n in set(BENCH_QUERIES)]
+            )
+            rr_calib["end"] = calibration_probe()
+            rr_agree = calib_agreement(rr_calib["start"], rr_calib["end"])
+            headline_rerun = {
+                "calib": rr_calib,
+                "calib_agree": rr_agree,
+                "queries": rr_timings,
+                "detail": rr_detail,
+            }
+            if rr_agree:
+                pub_headline_timings = rr_timings
+                pub_headline_detail = rr_detail
+                headline_box_dominated = False
+                headline_from_rerun = True
+
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
-    headline = {n: t for n, t in timings.items() if n in set(BENCH_QUERIES)}
+    headline = pub_headline_timings
     if os.environ.get("SPARK_GRAFT_BENCH", "full") != "headline":
         # only a FULL catalog run may overwrite the committed per-round
         # artifact — a quick headline-mode run must not clobber it with a
@@ -506,6 +599,13 @@ def main() -> None:
                     "dirty_queries": sorted(n for n, v in detail.items() if v["dirty"]),
                     "bench_methodology": BENCH_METHODOLOGY,
                     "calib": calib,
+                    # methodology 7 self-gate: these flags describe THE
+                    # CATALOG NUMBERS IN THIS FILE (pass 1). A clean
+                    # headline re-run, if any, lives under headline_rerun
+                    # and is what the stdout headline line published.
+                    "calib_agree": calib_agree,
+                    "box_dominated": not calib_agree,
+                    "headline_rerun": headline_rerun,
                     "detail": detail,
                 },
                 fh,
@@ -525,19 +625,31 @@ def main() -> None:
                 "sf": sf,
                 # machine-load context for cross-round comparison: the
                 # per-query series lives in BENCH_FULL.json `detail`
-                "load_1m_max": round(max(v["load_1m"] for v in detail.values()), 2),
-                "ext_busy_max": max(max(v["ext_busy_cores"]) for v in detail.values()),
-                "contended_reps": sum(v["contended"] for v in detail.values()),
+                "load_1m_max": round(
+                    max(v["load_1m"] for v in pub_headline_detail.values()), 2
+                ),
+                "ext_busy_max": max(
+                    max(v["ext_busy_cores"]) for v in pub_headline_detail.values()
+                ),
+                "contended_reps": sum(
+                    v["contended"] for v in pub_headline_detail.values()
+                ),
                 # True when ANY published per-query median fell back to
                 # non-clean reps (pre-rep ext > ext_clean_max) — the
                 # record is then box-noise-suspect and must not anchor
                 # cross-round ±10% attribution
-                "dirty": any(v["dirty"] for v in detail.values()),
+                "dirty": any(v["dirty"] for v in pub_headline_detail.values()),
                 "bench_methodology": BENCH_METHODOLOGY,
                 # box-speed calibration (methodology 6) — normalize
                 # cross-round ratios by the calib_32t_s ratio before
-                # reading any delta as a plan change (module docstring)
+                # reading any delta as a plan change (module docstring);
+                # methodology 7: calib_agree/box_dominated apply the rule
+                # to THIS record's published numbers (post-retry, and
+                # post-re-run when headline_from_rerun)
                 "calib": calib,
+                "calib_agree": calib_agree,
+                "box_dominated": headline_box_dominated,
+                "headline_from_rerun": headline_from_rerun,
             }
         )
     )

@@ -137,3 +137,77 @@ def test_calibration_probe_shape_and_determinism():
     for k in ("calib_1t_s", "calib_32t_s"):
         assert a[k] > 0 and b[k] > 0
         assert max(a[k], b[k]) / min(a[k], b[k]) < 2.0, (k, a, b)
+
+
+def test_calib_agreement_band():
+    """Methodology 7 (r12 verdict #1): the ~10% start/end agreement band
+    from the module docstring, as code — BENCH_r12's own record
+    (calib_32t 1.588 start vs 0.537 end) must gate as box-dominated."""
+    from bench import calib_agreement
+
+    s = {"calib_32t_s": 1.0}
+    assert calib_agreement(s, {"calib_32t_s": 1.0})
+    assert calib_agreement(s, {"calib_32t_s": 1.09})
+    assert calib_agreement(s, {"calib_32t_s": 0.91})
+    assert not calib_agreement(s, {"calib_32t_s": 1.12})
+    assert not calib_agreement(s, {"calib_32t_s": 0.88})
+    # the r12 record that motivated the gate
+    assert not calib_agreement({"calib_32t_s": 1.588}, {"calib_32t_s": 0.537})
+    # custom band widens/narrows symmetrically around 1
+    assert calib_agreement(s, {"calib_32t_s": 1.2}, band=0.25)
+
+
+def test_bench_compare_normalization_rule():
+    """r12 verdict #2: tools/bench_compare.py applies the docstring
+    normalization rule mechanically — c32 scaling, the sub-second 1t
+    axis, mid-run-drift and cross-round-gap flags, and honoring a
+    record's own calib_agree self-gate."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from bench_compare import compare
+
+    def rec(q, c32s, c32e, c1=0.5, agree=None, samples=None):
+        r = {
+            "queries": dict(q),
+            "calib": {
+                "start": {"calib_32t_s": c32s, "calib_1t_s": c1},
+                "end": {"calib_32t_s": c32e, "calib_1t_s": c1},
+            },
+        }
+        if agree is not None:
+            r["calib_agree"] = agree
+        if samples:
+            r["detail"] = {n: {"samples": s} for n, s in samples.items()}
+        return r
+
+    # NEW box is 2x slower (c32=2): a raw 2x slowdown normalizes to 1.0
+    old = rec({"qa": 10.0, "qb": 0.5}, 1.0, 1.0)
+    new = rec({"qa": 20.0, "qb": 0.5}, 2.0, 2.0, c1=0.5)
+    out = compare(old, new)
+    assert out["c32"] == 2.0
+    assert out["per_query"]["qa"]["norm_ratio"] == 1.0
+    assert out["per_query"]["qa"]["calib_axis"] == "32t"
+    # qb is sub-second -> follows the 1t axis (c1=1.0 here), raw ratio kept
+    assert out["per_query"]["qb"]["calib_axis"] == "1t"
+    assert out["per_query"]["qb"]["norm_ratio"] == 1.0
+    # c32=2 exceeds the 0.25 cross-round band -> box-dominated
+    assert out["box_dominated"]
+    # same-speed boxes, clean probes -> clean comparison
+    out2 = compare(rec({"qa": 10.0}, 1.0, 1.0), rec({"qa": 11.0}, 1.0, 1.05))
+    assert not out2["box_dominated"]
+    assert out2["per_query"]["qa"]["raw_ratio"] == 1.1
+    # mid-run drift in one record flags it...
+    out3 = compare(rec({"qa": 10.0}, 1.0, 1.5), rec({"qa": 10.0}, 1.0, 1.0))
+    assert out3["box_dominated"]
+    # ...unless its own self-gate adjudicated the blip (calib_agree=True)
+    out4 = compare(
+        rec({"qa": 10.0}, 1.0, 1.5, agree=True), rec({"qa": 10.0}, 1.0, 1.0)
+    )
+    assert not out4["box_dominated"]
+    # minima from detail.samples beat published medians when present
+    out5 = compare(
+        rec({"qa": 10.0}, 1.0, 1.0, samples={"qa": [12.0, 8.0, 10.0]}),
+        rec({"qa": 10.0}, 1.0, 1.0, samples={"qa": [4.0, 9.0]}),
+    )
+    assert out5["per_query"]["qa"]["old_min_s"] == 8.0
+    assert out5["per_query"]["qa"]["new_min_s"] == 4.0

@@ -1,0 +1,171 @@
+"""Calibration-normalized comparison of two BENCH_FULL.json records —
+the bench.py module-docstring NORMALIZATION RULE as committed code
+(r12 verdict #2: every consumer was re-deriving it ad hoc).
+
+Usage:
+    python tools/bench_compare.py OLD_BENCH_FULL.json NEW_BENCH_FULL.json
+        [--top N] [--json]
+
+Rule (bench.py, methodology 6/7):
+
+- c32 = mean(start, end calib_32t_s of NEW) / mean(of OLD); the
+  calibration-normalized total ratio is (total_NEW / total_OLD) / c32
+  and per-query ratios divide by the same c32;
+- queries whose OLD fastest rep is under the sub-second threshold
+  (1.5 s) follow the single-thread axis c1 instead (fixed overheads are
+  single-thread-bound);
+- the comparison is flagged BOX-DOMINATED — normalized ratios printed
+  for context but not trustworthy as plan signals — when either record
+  drifted mid-run (its own start-vs-end calib_32t disagreement exceeds
+  the ~10% band, honoring a record's own `calib_agree` self-gate when
+  present, which adjudicates end-probe blips via the retry probe), or
+  when |1 - c32| > 0.25 (the rounds ran on effectively different boxes
+  and linear normalization through a >25% speed gap is extrapolation).
+
+Per-query statistics compare the MINIMUM rep (the least-contended
+observation of each round, the stat used for cross-round attribution
+since r6) when `detail.samples` is present, falling back to the
+published medians. Exit code is 0 either way — the flag is the verdict,
+not a failure."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+
+SUBSEC_THRESHOLD_S = 1.5
+MIDRUN_BAND = 0.10
+CROSS_ROUND_BAND = 0.25
+
+
+def _load(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _calib_axis(rec: dict, key: str) -> float:
+    """mean(start, end) of one calibration axis; raises KeyError for a
+    pre-methodology-6 record (no probe -> no normalization possible)."""
+    c = rec["calib"]
+    return (c["start"][key] + c["end"][key]) / 2.0
+
+
+def _midrun_drift(rec: dict) -> bool:
+    """Did this record's own session drift mid-run? Honor the record's
+    self-gate (`calib_agree`, methodology 7) when present — it already
+    adjudicated end-probe blips via the cooled-down retry — else apply
+    the band to the raw start/end probes."""
+    if "calib_agree" in rec:
+        return not rec["calib_agree"]
+    c = rec["calib"]
+    return abs(1.0 - c["end"]["calib_32t_s"] / c["start"]["calib_32t_s"]) > MIDRUN_BAND
+
+
+def _minima(rec: dict) -> dict[str, float]:
+    """Per-query fastest rep (falls back to the published median for
+    records without detail)."""
+    out = {}
+    det = rec.get("detail") or {}
+    for name, t in rec["queries"].items():
+        d = det.get(name)
+        out[name] = min(d["samples"]) if d and d.get("samples") else t
+    return out
+
+
+def compare(old: dict, new: dict) -> dict:
+    c32 = _calib_axis(new, "calib_32t_s") / _calib_axis(old, "calib_32t_s")
+    c1 = _calib_axis(new, "calib_1t_s") / _calib_axis(old, "calib_1t_s")
+    reasons = []
+    if _midrun_drift(old):
+        reasons.append("OLD record drifted mid-run (its own calib gate)")
+    if _midrun_drift(new):
+        reasons.append("NEW record drifted mid-run (its own calib gate)")
+    if abs(1.0 - c32) > CROSS_ROUND_BAND:
+        reasons.append(
+            f"cross-round box-speed gap too large to normalize through "
+            f"(c32={c32:.3f}, band +/-{CROSS_ROUND_BAND})"
+        )
+    old_min, new_min = _minima(old), _minima(new)
+    common = sorted(set(old_min) & set(new_min))
+    per_query = {}
+    for name in common:
+        c = c1 if old_min[name] < SUBSEC_THRESHOLD_S else c32
+        per_query[name] = {
+            "old_min_s": round(old_min[name], 3),
+            "new_min_s": round(new_min[name], 3),
+            "raw_ratio": round(new_min[name] / max(old_min[name], 1e-9), 3),
+            "norm_ratio": round(
+                new_min[name] / max(old_min[name], 1e-9) / c, 3
+            ),
+            "calib_axis": "1t" if old_min[name] < SUBSEC_THRESHOLD_S else "32t",
+        }
+    tot_old = sum(old_min[n] for n in common)
+    tot_new = sum(new_min[n] for n in common)
+    ratios = [v["norm_ratio"] for v in per_query.values()]
+    return {
+        "c32": round(c32, 4),
+        "c1": round(c1, 4),
+        "box_dominated": bool(reasons),
+        "box_dominated_reasons": reasons,
+        "common_queries": len(common),
+        "old_only": sorted(set(old_min) - set(new_min)),
+        "new_only": sorted(set(new_min) - set(old_min)),
+        "total_old_s": round(tot_old, 3),
+        "total_new_s": round(tot_new, 3),
+        "total_raw_ratio": round(tot_new / max(tot_old, 1e-9), 4),
+        "total_norm_ratio": round(tot_new / max(tot_old, 1e-9) / c32, 4),
+        "median_norm_ratio": round(statistics.median(ratios), 4) if ratios else None,
+        "per_query": per_query,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old", help="older BENCH_FULL.json")
+    ap.add_argument("new", help="newer BENCH_FULL.json")
+    ap.add_argument("--top", type=int, default=10, help="extreme queries to list")
+    ap.add_argument("--json", action="store_true", help="emit the full JSON blob")
+    args = ap.parse_args()
+    try:
+        rep = compare(_load(args.old), _load(args.new))
+    except KeyError as e:
+        sys.exit(
+            f"record lacks the calibration probe ({e}) — pre-methodology-6 "
+            "records cannot be normalized; compare raw numbers manually"
+        )
+    if args.json:
+        print(json.dumps(rep, indent=1, sort_keys=True))
+        return
+    flag = "BOX-DOMINATED" if rep["box_dominated"] else "clean"
+    print(f"calibration: c32={rep['c32']} c1={rep['c1']}  [{flag}]")
+    for r in rep["box_dominated_reasons"]:
+        print(f"  ! {r}")
+    print(
+        f"total over {rep['common_queries']} common queries: "
+        f"{rep['total_old_s']} s -> {rep['total_new_s']} s  "
+        f"raw x{rep['total_raw_ratio']}  normalized x{rep['total_norm_ratio']}"
+    )
+    print(f"median per-query normalized ratio: x{rep['median_norm_ratio']}")
+    if rep["old_only"] or rep["new_only"]:
+        print(f"only-in-old: {rep['old_only']}  only-in-new: {rep['new_only']}")
+    ranked = sorted(
+        rep["per_query"].items(), key=lambda kv: kv[1]["norm_ratio"], reverse=True
+    )
+    print(f"-- worst {args.top} (normalized min-rep ratio) --")
+    for name, v in ranked[: args.top]:
+        print(
+            f"  x{v['norm_ratio']:<6} {name}: {v['old_min_s']} -> "
+            f"{v['new_min_s']} s (raw x{v['raw_ratio']}, {v['calib_axis']})"
+        )
+    print(f"-- best {args.top} --")
+    for name, v in ranked[-args.top :][::-1]:
+        print(
+            f"  x{v['norm_ratio']:<6} {name}: {v['old_min_s']} -> "
+            f"{v['new_min_s']} s (raw x{v['raw_ratio']}, {v['calib_axis']})"
+        )
+
+
+if __name__ == "__main__":
+    main()
