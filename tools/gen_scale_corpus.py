@@ -28,7 +28,12 @@ import pyarrow.parquet as pq
 BASE_DOCS = 5_000  # sf0.1 documents rows
 BASE_VECS = 2_000  # sf0.1 embeddings rows
 DIM = 64
-SCALES = {"sf1": 10, "sf10": 100}
+SCALES = {"sf1": 10, "sf10": 100, "sf20": 200}
+# sf20 exists for the 20-delivery ANN soak (r12 verdict #6: ~2x the sf10
+# store at the same ~20k delivery size) — it writes EMBEDDINGS ONLY;
+# documents and the relational tables at 200x would cost ~4 GB of disk
+# no tool reads
+VECTORS_ONLY = {"sf20"}
 
 VOCAB = (
     "spark line column order small sort fast value scan hash slow group "
@@ -230,6 +235,11 @@ def main() -> int:
     out = OUT_BASE / name
     out.mkdir(parents=True, exist_ok=True)
     rnd = np.random.RandomState(42)
+    if name in VECTORS_ONLY:
+        embs = gen_embeddings(BASE_VECS * mult, rnd)
+        pq.write_table(embs, out / "embeddings.parquet", row_group_size=20_000)
+        print(f"wrote {out}: embeddings={embs.num_rows} rows (vectors-only scale)")
+        return 0
     docs = gen_documents(BASE_DOCS * mult, rnd)
     # bounded row groups: the row group is Spark's SPLIT ATOM — a single
     # 500k-row group made every sf10 documents/embeddings scan one task
