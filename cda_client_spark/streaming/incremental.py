@@ -101,8 +101,9 @@ class AnnIndexConfig:
     then the EXACT cosine against the candidate's stored raw vector
     decides ``>= threshold`` — ADC alone would under-score true copies
     of vectors the sampled trainers never saw (reconstruction error,
-    observed <= 0.045 at the defaults; ``adc_margin`` must stay above
-    it), while the exact verify scores a true copy at 1.0 regardless.
+    observed up to 0.055 at the defaults — r13 sf20 forensics;
+    ``adc_margin`` must stay above it), while the exact verify scores a
+    true copy at 1.0 regardless.
     Both stages are deterministic given the fixed model, so replays and
     re-runs decide identically."""
 
@@ -125,16 +126,27 @@ class AnnIndexConfig:
     #: ADC screening floor = threshold - adc_margin: the margin absorbs
     #: the quantization error of a true at-threshold pair so the screen
     #: has no practical false negatives (measured max self-ADC error
-    #: 0.035 over 185 planted copies at the 256-codeword default — the
-    #: margin is ~2.3x the worst observation); the exact verify removes
-    #: every false positive the looser floor lets through
+    #: 0.035 over 185 planted copies at the 256-codeword default on the
+    #: sf1 soak; the r13 sf20 forensics observed 0.055 on a cos=0.996
+    #: pair — the margin holds at ~1.45x the worst observation); the
+    #: exact verify removes every false positive the looser floor lets
+    #: through
     adc_margin: float = 0.08
     #: best-first safety cap per query on screened candidates (per
     #: partition and globally) — bounds a megacluster sitting right at
-    #: the floor; verify cost scales with this, correctness does not
-    #: (the cap keeps the HIGHEST-ADC candidates, and true copies sit
-    #: near the top by construction)
-    max_candidates: int = 512
+    #: the floor. The cap is a RECALL parameter, not just a cost bound:
+    #: a true pair survives only while it ranks within the cap among the
+    #: query's above-floor candidates, and ADC noise lets sub-threshold
+    #: siblings overscore past an underscored true pair. Measured (r13
+    #: sf20 soak forensics, 40k-member clusters with ~97% of queries
+    #: saturating the old 512 default): one cos=0.996 copy was ADC-
+    #: underscored to 0.9406 and ranked 1054 of 18,612 above-floor
+    #: candidates — evicted, the only escape in 4226 plants. 4096 gives
+    #: ~4x headroom over that observation; the timings-mode
+    #: screen_saturated_q diagnostic counts the queries where the cap
+    #: binds (on non-adversarial corpora it rarely does, so the raise
+    #: costs nothing in production)
+    max_candidates: int = 4096
     #: floor-independent safety net: at least the top ``min_keep`` ADC
     #: neighbors always reach the exact verify even when they score
     #: below the screen floor — protects against a model whose
@@ -358,6 +370,19 @@ def ann_dup_ids(
     if store is not None:
         parts.append(force(exact_copies(store, lower_id_only=False), "ann_exact"))
         store_cand = force(scan(store), "ann_screen")
+        if timings is not None:
+            # cap-saturation diagnostic (r13 soak forensics): queries
+            # whose emitted candidate set hit max_candidates — for these
+            # the cap MAY have evicted a true in-band pair (the screen's
+            # recall promise holds only below saturation), so the count
+            # is the evidence that sizes max_candidates; cheap count on
+            # the already-persisted stage
+            timings["screen_saturated_q"] = float(
+                store_cand.groupBy("query_id")
+                .count()
+                .filter(F.col("count") >= cfg.max_candidates)
+                .count()
+            )
         parts.append(
             force(
                 verify(store_cand, store)

@@ -620,7 +620,9 @@ def test_ann_config_defaults_govern_absent_keys(tmp_path):
     cfg = ann_config_from_raw(base)
     assert cfg.codewords == 256  # the dataclass default, not 16
     assert cfg.min_keep == 10 and cfg.adc_margin == 0.08
-    assert cfg.nprobe == 8 and cfg.max_candidates == 512
+    # 4096: the r13 sf20 forensics raised the cap default (a cos=0.996
+    # pair ranked 1054 among above-floor candidates — recall parameter)
+    assert cfg.nprobe == 8 and cfg.max_candidates == 4096
     assert cfg.query_batch == 2048 and cfg.sample_fraction is None
 
     cfg2 = ann_config_from_raw(

@@ -706,3 +706,72 @@ def test_timings_mode_books_stages_and_preserves_decisions(spark, tmp_path):
     # accumulations) and every booked wall is a non-negative float
     for tm in all_tm:
         assert all(isinstance(v, float) and v >= 0 for v in tm.values()), tm
+
+
+def test_ann_screen_cap_saturation_metric(spark, tmp_path):
+    """r13 (sf20 soak forensics): max_candidates is a RECALL parameter —
+    a true pair survives only while it ranks within the cap among the
+    query's above-floor candidates. The timings-mode screen_saturated_q
+    diagnostic must count the store-scan queries whose candidate set hit
+    the cap: with a tight cluster (everything above the floor) and a
+    tiny cap it fires for every clustered query; at the (raised) default
+    it stays zero on the same corpus."""
+    import dataclasses
+    import hashlib
+
+    from cda_client_spark.streaming.incremental import incremental_dedup_batch
+
+    def _cemb(i: int) -> list[float]:
+        # one TIGHT cluster: 1.0 per dim +- ~3% md5 perturbation gives
+        # mutual cosines ~0.999 — above the screen floor (threshold -
+        # 0.08) yet below the 0.9999 threshold, so every doc is accepted
+        # into the store and every scan query sees the whole cluster
+        return [
+            1.0
+            + 0.06
+            * (
+                (int(hashlib.md5(f"sat:{i}:{d}".encode()).hexdigest()[:8], 16)
+                 % 1000) / 1000.0
+                - 0.5
+            )
+            for d in range(ANN_DIM)
+        ]
+
+    def _cdoc(i: int) -> tuple:
+        return (*_doc(i), _cemb(i))
+
+    base = _ann_cfg(tmp_path, "SAT")
+    cfg_tiny = dataclasses.replace(base, threshold=0.9999, max_candidates=2)
+    rows0 = [_cdoc(i) for i in range(10)]
+    store, out = str(tmp_path / "storeSAT"), str(tmp_path / "outSAT")
+    incremental_dedup_batch(
+        spark, spark.createDataFrame(rows0, ANN_SCHEMA), 0, store, out,
+        shingle=2, max_bucket_size=64, ann=cfg_tiny, timings={},
+    )
+    # delivery 1 scans the 10-row store; with cap=2 every clustered query
+    # saturates
+    tm_tiny: dict = {}
+    incremental_dedup_batch(
+        spark, spark.createDataFrame([_cdoc(50), _cdoc(51)], ANN_SCHEMA),
+        1, store, out, shingle=2, max_bucket_size=64, ann=cfg_tiny,
+        timings=tm_tiny,
+    )
+    assert tm_tiny.get("screen_saturated_q", 0) >= 1, tm_tiny
+    # same corpus, default cap: nothing saturates
+    cfg_def = dataclasses.replace(
+        base, threshold=0.9999,
+        index_dir=str(tmp_path / "annD" / "index"),
+        model_path=str(tmp_path / "annD" / "model.json"),
+    )
+    store2, out2 = str(tmp_path / "storeD"), str(tmp_path / "outD")
+    incremental_dedup_batch(
+        spark, spark.createDataFrame(rows0, ANN_SCHEMA), 0, store2, out2,
+        shingle=2, max_bucket_size=64, ann=cfg_def, timings={},
+    )
+    tm_def: dict = {}
+    incremental_dedup_batch(
+        spark, spark.createDataFrame([_cdoc(50), _cdoc(51)], ANN_SCHEMA),
+        1, store2, out2, shingle=2, max_bucket_size=64, ann=cfg_def,
+        timings=tm_def,
+    )
+    assert tm_def.get("screen_saturated_q", -1) == 0, tm_def
