@@ -1159,19 +1159,44 @@ def ivfpq_train(
     return centroids, books
 
 
+def _ivfpq_json(
+    centroids: list[list[float]], codebooks: list[list[list[float]]]
+) -> str:
+    """The ONE serialized form of an IVFADC model — shared by the
+    sidecar writer and the fingerprint so ``ivfpq_model_md5(load(p))``
+    always equals the md5 of the sidecar file's bytes (json round-trips
+    floats exactly via repr, and key order is preserved)."""
+    import json
+
+    return json.dumps({"centroids": centroids, "codebooks": codebooks})
+
+
+def ivfpq_model_md5(
+    centroids: list[list[float]], codebooks: list[list[list[float]]]
+) -> str:
+    """Content fingerprint of an IVFADC model (r13 verdict #3): a
+    materialized code store is only meaningful against the EXACT model
+    that encoded it — ``_check_cell_range`` catches a differently-SHAPED
+    model (cell id >= nlist), but a retrained same-shape model scores a
+    stale store silently wrong. Store writers stamp this md5 next to the
+    code rows and scanners fail fast on mismatch (see
+    streaming/incremental.py ``_stamp_ann_store``/``_check_ann_store``).
+    Equals the md5 of the :func:`save_ivfpq` sidecar file's content."""
+    return hashlib.md5(_ivfpq_json(centroids, codebooks).encode()).hexdigest()
+
+
 def save_ivfpq(
     centroids: list[list[float]], codebooks: list[list[list[float]]], path: str
 ) -> None:
     """Persist an IVFADC model (KB-sized sidecar JSON, atomic publish —
     same recipe as :func:`save_codebooks`): train once on a corpus
     sample, reuse across search jobs and incremental deliveries."""
-    import json
     from pathlib import Path
 
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     tmp = p.with_suffix(p.suffix + ".tmp")
-    tmp.write_text(json.dumps({"centroids": centroids, "codebooks": codebooks}))
+    tmp.write_text(_ivfpq_json(centroids, codebooks))
     tmp.replace(p)
 
 
@@ -1367,7 +1392,17 @@ def _compact_probe_state(Q, cents_np, nprobe: int):
     old mask + full q.c table were 6.5 GB + 52 GB driver-side at
     scan_batch 65536 x nlist 100k. q.c is computed row-blocked over the
     GATHERED probed centroids only ((row_block x nprobe x dim)
-    transient), never over all nlist."""
+    transient), never over all nlist.
+
+    Numeric identity scope (r13 advice): the gathered q.c uses
+    np.einsum where the old dense state used a BLAS ``Q @ cents.T`` —
+    last-ulp differences between the two summation strategies are
+    possible, so identity with a PREVIOUS version's stored scores is
+    not guaranteed (a HALF_UP tie at round_digits could flip). Within
+    this version every scan path consumes THIS shared state, so all
+    paths are mutually bit-identical (pinned by the compact-vs-dense
+    pytest, which compares against a dense reference built from the
+    same einsum)."""
     import numpy as np
 
     near = _blocked_probe_cells(Q, cents_np, nprobe)
@@ -1405,15 +1440,20 @@ def _check_cell_range(cells, nlist: int, op: str):
     row whose cell id is >= nlist was encoded with a DIFFERENT (larger)
     coarse model than the one passed in — scoring it against this model's
     centroids would be silently wrong, and the old bounds walk just
-    skipped such rows. Raise with the mismatch spelled out instead."""
+    skipped such rows. Raise with the mismatch spelled out instead. A
+    NEGATIVE cell id is equally corrupt (r13 advice: searchsorted
+    membership in the compact-state paths would silently never match it,
+    a silent drop instead of the explicit error) — same raise."""
     if len(cells):
         mx = int(cells.max())
-        if mx >= nlist:
+        mn = int(cells.min())
+        if mx >= nlist or mn < 0:
+            bad = mx if mx >= nlist else mn
             raise ValueError(
-                f"{op}: stale IVF index — code-store cell id {mx} >= "
-                f"nlist {nlist}; the store was encoded with a different "
-                "model. Re-encode the corpus or load the matching "
-                "centroids/codebooks."
+                f"{op}: stale IVF index — code-store cell id {bad} "
+                f"outside [0, {nlist}); the store was encoded with a "
+                "different model or is corrupt. Re-encode the corpus or "
+                "load the matching centroids/codebooks."
             )
 
 

@@ -594,6 +594,19 @@ def test_ivfpq_pretrained_model_roundtrip(spark, tmp_path):
     cents2, books2 = load_ivfpq(p)
     assert cents2 == cents and books2 == books
 
+    # fingerprint contract (r13 verdict #3): the model md5 equals the
+    # md5 of the sidecar file's bytes, and survives the load roundtrip —
+    # so a store stamped at write time validates against a model loaded
+    # from the sidecar in any later session
+    import hashlib
+    from pathlib import Path
+
+    from cda_client_spark.operators.similarity import ivfpq_model_md5
+
+    file_md5 = hashlib.md5(Path(p).read_bytes()).hexdigest()
+    assert ivfpq_model_md5(cents, books) == file_md5
+    assert ivfpq_model_md5(cents2, books2) == file_md5
+
     inline = ivfpq_topk_rerank(df, q, **kw).collect()
     injected = ivfpq_topk_rerank(df, q, centroids=cents2, codebooks=books2, **kw).collect()
     key = lambda r: (r["query_id"], r["rnk"])
@@ -936,4 +949,16 @@ def test_ivfpq_stale_index_raises(spark):
     for fn in (ivfpq_topk_adc, ivfpq_screen_chunked):
         with pytest.raises(Exception) as ei:
             fn(stale, q, cents, books, **kw).collect()
+        assert "stale IVF index" in str(ei.value)
+    # r13 advice: NEGATIVE cell ids are equally corrupt — without the
+    # lower-bound guard the compact-state searchsorted membership just
+    # never matches (silent drop), not an error
+    neg = (
+        ivfpq_encode(df, cents, books)
+        .withColumn("cell", F.col("cell") - F.lit(10))
+        .localCheckpoint()
+    )
+    for fn in (ivfpq_topk_adc, ivfpq_screen_chunked):
+        with pytest.raises(Exception) as ei:
+            fn(neg, q, cents, books, **kw).collect()
         assert "stale IVF index" in str(ei.value)

@@ -775,3 +775,127 @@ def test_ann_screen_cap_saturation_metric(spark, tmp_path):
         timings=tm_def,
     )
     assert tm_def.get("screen_saturated_q", -1) == 0, tm_def
+
+
+def test_ann_screen_cap_escalation_recovers_evicted_pair(spark, tmp_path):
+    """r13 verdict #1: the cap is the screen's only remaining recall
+    hazard — a true >= threshold pair escapes when ADC underscores it
+    below cap-many above-floor siblings. Reproduce that eviction
+    DETERMINISTICALLY with an injected model (no training noise): a
+    codebook that reconstructs 6 crowd vectors exactly (ADC 0.85 to the
+    query) but snaps the true duplicate onto an underscoring entry
+    (ADC 0.83 — above the 0.82 floor, below the crowd). At cap=2 the
+    crowd fills both slots and the true pair (exact cos 0.905 >=
+    threshold 0.9) is evicted; escalation must detect the saturation,
+    re-screen at a raised cap, and catch it. With escalate_rounds=0 the
+    escape really happens — proving the setup bites — and the
+    always-on diagnostics record the residual saturation."""
+    import dataclasses
+
+    from cda_client_spark.operators.similarity import save_ivfpq
+    from cda_client_spark.streaming.incremental import (
+        AnnIndexConfig,
+        incremental_dedup_batch,
+        read_curated,
+    )
+
+    dim = 8
+
+    def unit(axis: int, scale: float, e0: float) -> list[float]:
+        v = [0.0] * dim
+        v[0] = e0
+        v[axis] = scale
+        return v
+
+    crowd_cos, crowd_sin = 0.85, 0.2775**0.5  # unit: 0.85^2 + 0.2775 = 1
+    plant_cos, plant_sin = 0.905, 0.180975**0.5
+    crowd = [unit(2 + i, crowd_sin, crowd_cos) for i in range(6)]
+    plant = unit(1, plant_sin, plant_cos)
+    query = unit(1, 0.0, 1.0)  # e0: cos 0.85 to crowd, 0.905 to plant
+    # codebook: crowd vectors verbatim (exact reconstruction) + an
+    # underscoring entry nearest to the plant (||plant - b|| = 0.075,
+    # vs ~0.68 to any crowd entry) whose q.b = 0.83
+    b_entry = unit(1, plant_sin, 0.83)
+    model = ([[0.0] * dim], [crowd + [b_entry]])  # nlist=1, m=1
+
+    def run(sub: str, **over):
+        base = tmp_path / f"esc{sub}"
+        base.mkdir()
+        cfg = AnnIndexConfig(
+            index_dir=str(base / "index"), model_path=str(base / "model.json"),
+            dim=dim, threshold=0.9, nlist=1, m=1, codewords=7, nprobe=1,
+            max_candidates=2, **over,
+        )
+        save_ivfpq(*model, cfg.model_path)  # injected — never trains
+        store, out = str(base / "store"), str(base / "out")
+        rows0 = [(*_doc(i), v) for i, v in enumerate(crowd + [plant])]
+        incremental_dedup_batch(
+            spark, spark.createDataFrame(rows0, ANN_SCHEMA), 0, store, out,
+            shingle=2, max_bucket_size=64, ann=cfg,
+        )
+        tm: dict = {}
+        incremental_dedup_batch(
+            spark, spark.createDataFrame([(*_doc(100), query)], ANN_SCHEMA),
+            1, store, out, shingle=2, max_bucket_size=64, ann=cfg, timings=tm,
+        )
+        kept = {r["doc_id"] for r in read_curated(spark, out, ANN_SCHEMA).collect()}
+        return kept, tm
+
+    # default escalation: saturation detected, one 4x escalation clears
+    # it, the evicted true pair reaches verify, the duplicate dies
+    kept, tm = run("on")
+    assert 100 not in kept, (kept, tm)
+    assert kept == set(range(7)), kept
+    assert tm["screen_saturated_q"] == 1, tm
+    assert tm["screen_escalations"] == 1, tm
+    assert tm["screen_final_saturated_q"] == 0, tm
+    assert tm["screen_final_cap"] == 8, tm
+    # escalation off (r13 behavior): the cap evicts the true pair and
+    # the duplicate survives — recorded, not silent
+    kept0, tm0 = run("off", escalate_rounds=0)
+    assert 100 in kept0, (kept0, tm0)
+    assert tm0["screen_saturated_q"] == 1, tm0
+    assert tm0["screen_escalations"] == 0, tm0
+    assert tm0["screen_final_saturated_q"] == 1, tm0
+
+
+def test_ann_store_model_fingerprint_guards_stale_scan(spark, tmp_path):
+    """r13 verdict #3: a store encoded under a SAME-SHAPE different
+    model passes the cell-range guard and would score silently wrong —
+    the model-md5 stamp written at store-write time must fail both the
+    scan against a mismatched model and an append by a mismatched
+    model, while the matching model keeps working."""
+    import pytest
+
+    from cda_client_spark.streaming.incremental import (
+        AnnIndexConfig,
+        ann_dup_ids,
+        write_ann_index_batch,
+    )
+
+    dim = 8
+    cfg = AnnIndexConfig(
+        index_dir=str(tmp_path / "fpr" / "index"),
+        model_path=str(tmp_path / "fpr" / "model.json"),
+        dim=dim, threshold=0.9, nlist=2, m=2, codewords=4, nprobe=1,
+    )
+    cents_a = [[0.0] * dim, [1.0] + [0.0] * (dim - 1)]
+    books_a = [
+        [[float(c == w) for c in range(dim // 2)] for w in range(4)]
+        for _ in range(2)
+    ]
+    rows = [(*_doc(i), [float((i + d) % 3) for d in range(dim)]) for i in range(6)]
+    b0 = spark.createDataFrame(rows, ANN_SCHEMA)
+    write_ann_index_batch(b0, b0.select("doc_id"), cfg, cents_a, books_a, 0)
+
+    # same shape, different values — cell ids all in range, so only the
+    # fingerprint can catch it
+    books_b = [[[v * 0.5 for v in w] for w in book] for book in books_a]
+    b1 = spark.createDataFrame([(*_doc(10), [0.5] * dim)], ANN_SCHEMA)
+    with pytest.raises(ValueError, match="stale ANN index"):
+        ann_dup_ids(spark, b1, 1, cfg, cents_a, books_b)
+    with pytest.raises(ValueError, match="refusing to append"):
+        write_ann_index_batch(b1, b1.select("doc_id"), cfg, cents_a, books_b, 1)
+    # the matching model still scans and appends
+    ann_dup_ids(spark, b1, 1, cfg, cents_a, books_a).count()
+    write_ann_index_batch(b1, b1.select("doc_id"), cfg, cents_a, books_a, 1)
