@@ -294,6 +294,27 @@ def calibration_probe(reps_1t: int = 3, reps_32t: int = 5) -> dict[str, float]:
     return {"calib_1t_s": round(calib_1t, 3), "calib_32t_s": round(min(t32), 3)}
 
 
+def published_calib(
+    calib: dict,
+    calib_agree: bool,
+    headline_rerun: dict | None,
+    headline_from_rerun: bool,
+) -> tuple[dict, bool]:
+    """The stdout record's (calib, calib_agree) pair — it must describe
+    the PUBLISHED numbers (r13 advice): when the headline comes from the
+    drift re-run, stamp the RE-RUN's probes (pass-1 probes ride along
+    under ``pass1`` for forensics) and the re-run's own agreement flag —
+    otherwise a consumer (tools/bench_compare.py) would normalize the
+    re-run timings by the pass-1 probe speeds, the wrong box for those
+    numbers. Protocol-tested (tests/test_bench_protocol.py)."""
+    if headline_from_rerun:
+        assert headline_rerun is not None
+        return {**headline_rerun["calib"], "pass1": calib}, headline_rerun[
+            "calib_agree"
+        ]
+    return calib, calib_agree
+
+
 def select_published_median(
     samples: list[float],
     rep_ext: list[float],
@@ -572,6 +593,9 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     headline = pub_headline_timings
+    pub_calib, pub_calib_agree = published_calib(
+        calib, calib_agree, headline_rerun, headline_from_rerun
+    )
     if os.environ.get("SPARK_GRAFT_BENCH", "full") != "headline":
         # only a FULL catalog run may overwrite the committed per-round
         # artifact — a quick headline-mode run must not clobber it with a
@@ -579,6 +603,14 @@ def main() -> None:
         full_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )
+        # non-clobber policy (r13 verdict "what's wrong #1"): the driver
+        # re-runs bench.py AFTER the round snapshot, which used to
+        # silently overwrite the builder's committed BENCH_FULL.json in
+        # the working tree. Preserve the previous record as
+        # BENCH_FULL.prev.json (one-deep backup) so both the committed
+        # artifact and the fresh run survive side by side in git.
+        if os.path.exists(full_path):
+            os.replace(full_path, full_path.replace(".json", ".prev.json"))
         with open(full_path, "w") as fh:
             json.dump(
                 {
@@ -645,9 +677,10 @@ def main() -> None:
                 # reading any delta as a plan change (module docstring);
                 # methodology 7: calib_agree/box_dominated apply the rule
                 # to THIS record's published numbers (post-retry, and
-                # post-re-run when headline_from_rerun)
-                "calib": calib,
-                "calib_agree": calib_agree,
+                # post-re-run when headline_from_rerun — then `calib` IS
+                # the re-run's probes, pass-1's under calib.pass1)
+                "calib": pub_calib,
+                "calib_agree": pub_calib_agree,
                 "box_dominated": headline_box_dominated,
                 "headline_from_rerun": headline_from_rerun,
             }

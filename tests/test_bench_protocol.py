@@ -211,3 +211,26 @@ def test_bench_compare_normalization_rule():
     )
     assert out5["per_query"]["qa"]["old_min_s"] == 8.0
     assert out5["per_query"]["qa"]["new_min_s"] == 4.0
+
+
+def test_published_calib_describes_published_numbers():
+    """r13 advice: when the headline is the drift re-run's, the stdout
+    record must carry the RE-RUN's probes and agreement flag (pass-1
+    rides along under `pass1` for forensics); otherwise the pass-1
+    block, verbatim."""
+    from bench import published_calib
+
+    p1 = {"start": {"calib_32t_s": 0.30}, "end": {"calib_32t_s": 0.40}}
+    rr = {
+        "calib": {"start": {"calib_32t_s": 0.42}, "end": {"calib_32t_s": 0.43}},
+        "calib_agree": True,
+        "queries": {},
+    }
+    c, agree = published_calib(p1, False, rr, True)
+    assert agree is True
+    assert c["start"] == rr["calib"]["start"] and c["end"] == rr["calib"]["end"]
+    assert c["pass1"] == p1  # forensics, not the normalization anchor
+    c2, agree2 = published_calib(p1, False, rr, False)
+    assert c2 == p1 and agree2 is False
+    c3, agree3 = published_calib(p1, True, None, False)
+    assert c3 == p1 and agree3 is True
