@@ -64,11 +64,9 @@ ANN_DIAG_KEYS = (
     "screen_saturated_q",
     "screen_escalations",
     "screen_final_saturated_q",
-    "screen_final_cap",
     "within_saturated_q",
     "within_escalations",
     "within_final_saturated_q",
-    "within_final_cap",
 )
 
 
@@ -126,14 +124,15 @@ class AnnIndexConfig:
 
     Recall promise (r14): the screen emits every above-floor candidate
     unless a query's candidate set hits ``max_candidates`` — and such
-    saturated queries are automatically re-screened at escalated caps
-    (``escalate_factor``/``escalate_rounds``) until unsaturated or the
-    hard ceiling. A true ``>= threshold`` pair can therefore be missed
-    only when its query saturates the CEILING cap, a condition that is
-    always counted (``screen_saturated_q``/``*_final_saturated_q``,
-    computed on every run, not just under soak instrumentation) and
-    logged as a warning — never silent. Exact bit-copies are immune
-    regardless (stage-1 hash join)."""
+    saturated queries automatically get one EXACT-cosine pass over the
+    raw stored vectors (``escalate="exact"``), so for them no cap, no
+    ADC error, and no margin assumption is involved at all. A true
+    ``>= threshold`` pair can therefore be missed only with
+    ``escalate="off"``, and that residue is counted
+    (``screen_saturated_q``/``*_final_saturated_q``, computed on every
+    run, not just under soak instrumentation) and logged as a warning —
+    never silent. Exact bit-copies are immune regardless (stage-1 hash
+    join)."""
 
     index_dir: str
     model_path: str
@@ -173,27 +172,33 @@ class AnnIndexConfig:
     #: ~4x headroom over that observation — and since r14 the cap no
     #: longer has to be sized for the worst corpus up front: every scan
     #: counts the queries that hit it (``screen_saturated_q``, always
-    #: on) and RE-SCREENS just those queries at an escalated cap (see
-    #: ``escalate_factor``/``escalate_rounds``), so a fixed-margin bet
-    #: on the last-observed worst eviction rank is no longer the recall
-    #: story
+    #: on) and hands exactly those queries to the exact escalation (see
+    #: ``escalate``), so a fixed-margin bet on the last-observed worst
+    #: eviction rank is no longer the recall story
     max_candidates: int = 4096
     #: cap-saturation escalation (r13 verdict #1): a query whose emitted
-    #: candidate set hits the current cap MAY have had a true in-band
-    #: pair evicted, so saturated queries are re-screened — just them,
-    #: against the same code frame — with the cap multiplied by
-    #: ``escalate_factor``, repeating up to ``escalate_rounds`` times
-    #: (hard ceiling max_candidates x factor^rounds = 262,144 at the
-    #: defaults). The recall promise this buys: an in-band pair can
-    #: escape the screen ONLY if its query still saturates the ceiling
-    #: cap — and that residue is counted (``*_final_saturated_q``) and
-    #: logged as a warning in production, never silent. Escalation cost
-    #: is one extra store pass per round for the saturated subset only;
-    #: on non-adversarial corpora round 0 is unsaturated and nothing
-    #: extra runs. ``escalate_rounds=0`` restores the fixed-cap r13
-    #: behavior (diagnostics still on).
-    escalate_factor: int = 4
-    escalate_rounds: int = 3
+    #: candidate set hits the cap MAY have had a true in-band pair
+    #: evicted. "exact" (default) gives just those queries one blocked
+    #: exact-cosine pass over the raw stored vectors — complete by
+    #: construction (no cap, no ADC error, no margin assumption), one
+    #: round always suffices, and every hit still flows through the
+    #: shared exact verify. Why not the two obvious alternatives,
+    #: measured on the sf20 soak corpus (SCALE.md): re-screening at
+    #: geometrically raised ADC caps must emit the query's FULL
+    #: above-floor set (~10% of the store per query in the megacluster
+    #: regime — hundreds of millions of verify rows per delivery,
+    #: brute-force cost multiplied by the round count, without ever
+    #: removing the cap bet); and a per-row Cauchy-Schwarz floor
+    #: (ADC + ||x - recon||/||x||) is sqrt(dim)-loose in practice —
+    #: measured median bound 0.093 vs median observed ADC error 0.008 —
+    #: so it admits nearly the whole cluster anyway. The exact pass is
+    #: the same flops as ONE dense re-check of the saturated queries
+    #: (sat_q x rows x dim — a few seconds of BLAS per delivery at the
+    #: soak scale), which is the provable lower bound for a sound
+    #: decision when the corpus crowds the band. On non-adversarial
+    #: corpora nothing saturates and the pass never runs. "off" restores
+    #: the fixed-cap r13 behavior (diagnostics still stamped + logged).
+    escalate: str = "exact"
     #: floor-independent safety net: at least the top ``min_keep`` ADC
     #: neighbors always reach the exact verify even when they score
     #: below the screen floor — protects against a model whose
@@ -362,9 +367,9 @@ def ann_dup_ids(
        (capped best-first at ``max_candidates``, ``min_keep`` net),
        covering the true semantic band (threshold <= cos < 1) where a
        miss is an approximation by construction, not a correctness bug.
-       Cap-saturated queries are counted on EVERY run and re-screened
-       at escalated caps (r13 verdict #1 — see ``screen`` below and
-       ``AnnIndexConfig.escalate_rounds``), so this stage always
+       Cap-saturated queries are counted on EVERY run and handed to an
+       exact-cosine escalation pass (r13 verdict #1 — see ``screen``
+       below and ``AnnIndexConfig.escalate``), so this stage always
        materializes its candidates (localCheckpoint) in production too;
        the screen-stage job boundary is the price of never letting the
        cap evict a true pair silently.
@@ -465,77 +470,136 @@ def ann_dup_ids(
             out = cand if out is None else out.unionByName(cand)
         return out
 
-    def screen(codes_frame: DataFrame, diag_prefix: str) -> DataFrame:
-        """ADC screen with ALWAYS-ON cap-saturation accounting and
+    def exact_hits(nvec_src: DataFrame, sat: DataFrame, sat_n: int) -> DataFrame:
+        """EXACT-cosine candidates for the saturated queries: one blocked
+        BLAS pass (``Q_sat @ X.T``) over ``nvec_src``'s raw vectors,
+        emitting every pair within a small slack of the threshold. The
+        slack (1e-4) exists because this kernel's BLAS dot and the
+        verify join's fold-order dot can differ in the last ulp — every
+        emission still flows through the SAME exact-cosine verify as the
+        ADC path, so the accept/reject arithmetic is identical
+        everywhere and the slack only over-includes. Flop cost is
+        sat_q x rows x dim — dense, but it IS the lower bound for a
+        sound decision on a corpus where ADC cannot separate the band
+        (see AnnIndexConfig.escalate), and it distributes shuffle-free:
+        queries broadcast in the closure, one map pass over the store
+        partitions, candidate-sized output."""
+        import numpy as np
+        import pandas as pd
+
+        src = nvec_src.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cfg.vec_col).alias("_v"),
+        )
+        out = None
+        n_p = max(1, -(-sat_n // cfg.scan_batch))
+        thr = cfg.threshold - 1e-4
+        for c in range(n_p):
+            sq = q.join(
+                F.broadcast(sat.withColumnRenamed("query_id", id_col)),
+                id_col,
+                "left_semi",
+            )
+            if n_p > 1:
+                sq = sq.filter(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_p)) == c
+                )
+            rows = sq.collect()
+            if not rows:
+                continue
+            qids = np.array([r[id_col] for r in rows], dtype=np.int64)
+            Q = np.array([r[cfg.vec_col] for r in rows], dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+
+            def kern(batches, qids=qids, Q=Q, qn=qn):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.stack(pdf["_v"].values).astype(np.float64)
+                    nids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+                    xn = np.linalg.norm(X, axis=1)
+                    oq, on = [], []
+                    # query-blocked GEMM: (2048 x rows) float64 sims
+                    # transient (~160 MB at a 10k-row arrow batch)
+                    for lo in range(0, len(Q), 2048):
+                        Qb = Q[lo : lo + 2048]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            sims = (Qb @ X.T) / (
+                                qn[lo : lo + 2048][:, None] * xn[None, :]
+                            )
+                        qi, ri = np.nonzero(sims >= thr)
+                        if qi.size:
+                            oq += qids[lo + qi].tolist()
+                            on += nids[ri].tolist()
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.asarray(oq, dtype=np.int64),
+                            "neighbor_id": np.asarray(on, dtype=np.int64),
+                        }
+                    )
+
+            part = src.mapInPandas(
+                kern, "query_id bigint, neighbor_id bigint"
+            ).filter(F.col("neighbor_id") != F.col("query_id"))
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def screen(
+        codes_frame: DataFrame, nvec_src: DataFrame, diag_prefix: str
+    ) -> DataFrame:
+        """ADC screen with ALWAYS-ON cap-saturation accounting and exact
         escalation (r13 verdict #1). A query whose emitted candidate set
         hit the cap may have had a true in-band pair evicted (the sf20
         soak measured exactly that: a cos=0.996 copy ADC-ranked 1054 of
         18,612 above-floor candidates, evicted by the old 512 cap), so:
         the screened frame is materialized (localCheckpoint — candidate-
         sized, capped rows only), the saturated queries are counted, and
-        JUST those queries are re-screened against the same code frame
-        at cap x escalate_factor, up to escalate_rounds times. Their
-        original rows are REPLACED (anti-join + union) so the result for
-        an escalated query is exactly the single higher-cap scan's —
-        per-query emission is independent in the kernel, so decisions
-        equal a from-scratch scan at the final cap. Runs identically in
-        production and timings mode (job boundaries included — the
-        accounting is the point; its cost is a groupBy-count over the
-        checkpointed candidates). Residual ceiling saturation is stamped
-        into ``timings`` (when given) and logged as a warning — never
-        silent."""
+        JUST those queries get one exact-cosine pass over the raw
+        vectors (``exact_hits``) whose results union into the candidate
+        set. Exactness makes one round always sufficient — no cap or
+        margin is involved, so there is nothing left to saturate
+        (``*_final_saturated_q`` is 0 whenever the pass runs). Runs
+        identically in production and timings mode (job boundaries
+        included — the accounting is the point; its cost is a
+        groupBy-count over the checkpointed candidates). With
+        ``escalate="off"`` the residual saturation is stamped and logged
+        as a warning — never silent."""
         t0 = time.monotonic()
         cap = cfg.max_candidates
         cand = scan(codes_frame, q, cap, n_q).localCheckpoint()
-
-        def saturated(c: DataFrame, at_cap: int) -> DataFrame:
-            return (
-                c.groupBy("query_id")
-                .count()
-                .filter(F.col("count") >= at_cap)
-                .select("query_id")
-            )
-
-        sat = saturated(cand, cap).localCheckpoint()
+        sat = (
+            cand.groupBy("query_id")
+            .count()
+            .filter(F.col("count") >= cap)
+            .select("query_id")
+            .localCheckpoint()
+        )
         sat_n = sat.count()
-        first_sat = sat_n
-        rounds = 0
-        while sat_n and rounds < cfg.escalate_rounds:
-            cap *= cfg.escalate_factor
-            rounds += 1
-            qe = q.join(
-                F.broadcast(sat.withColumnRenamed("query_id", id_col)),
-                id_col,
-                "left_semi",
-            )
-            esc = scan(codes_frame, qe, cap, sat_n).localCheckpoint()
-            cand = (
-                cand.join(F.broadcast(sat), "query_id", "left_anti")
-                .unionByName(esc)
-                .localCheckpoint()
-            )
-            sat = saturated(esc, cap).localCheckpoint()
-            sat_n = sat.count()
+        escalated = 0
+        final_sat = sat_n
+        if sat_n and cfg.escalate == "exact":
+            escalated = 1
+            esc = exact_hits(nvec_src, sat, sat_n)
+            if esc is not None:
+                cand = cand.unionByName(esc).localCheckpoint()
+            final_sat = 0
         _stage_mark(timings, "ann_screen", t0)
         if timings is not None:
             for key, val in (
-                (f"{diag_prefix}_saturated_q", first_sat),
-                (f"{diag_prefix}_escalations", rounds),
-                (f"{diag_prefix}_final_saturated_q", sat_n),
-                (f"{diag_prefix}_final_cap", cap),
+                (f"{diag_prefix}_saturated_q", sat_n),
+                (f"{diag_prefix}_escalations", escalated),
+                (f"{diag_prefix}_final_saturated_q", final_sat),
             ):
                 timings[key] = timings.get(key, 0.0) + float(val)
-        if sat_n:
+        if final_sat:
             _LOG.warning(
-                "ann_dup_ids: %d quer%s still saturate the ADC screen "
-                "cap %d after %d escalation round(s) (%s side) — an "
-                "above-threshold pair for these queries may have been "
-                "evicted; raise max_candidates/escalate_rounds or "
-                "tighten adc_margin",
-                sat_n,
-                "y" if sat_n == 1 else "ies",
+                "ann_dup_ids: %d quer%s saturated the ADC screen cap %d "
+                "with escalation off (%s side) — an above-threshold pair "
+                "for these queries may have been evicted; enable "
+                "escalate='exact' or raise max_candidates",
+                final_sat,
+                "y" if final_sat == 1 else "ies",
                 cap,
-                rounds,
                 diag_prefix,
             )
         return cand
@@ -560,7 +624,7 @@ def ann_dup_ids(
     )
     if store is not None:
         parts.append(force(exact_copies(store, lower_id_only=False), "ann_exact"))
-        store_cand = screen(store, "screen")
+        store_cand = screen(store, store, "screen")
         parts.append(
             force(
                 verify(store_cand, store)
@@ -577,7 +641,7 @@ def ann_dup_ids(
         # once (delivery-sized small ints) instead of re-running the
         # Arrow pass per pass
         batch_codes = batch_codes.localCheckpoint()
-    within = screen(batch_codes, "within")
+    within = screen(batch_codes, q, "within")
     parts.append(
         force(
             verify(within.filter(F.col("neighbor_id") < F.col("query_id")), q)

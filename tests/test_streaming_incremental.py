@@ -786,10 +786,11 @@ def test_ann_screen_cap_escalation_recovers_evicted_pair(spark, tmp_path):
     query) but snaps the true duplicate onto an underscoring entry
     (ADC 0.83 — above the 0.82 floor, below the crowd). At cap=2 the
     crowd fills both slots and the true pair (exact cos 0.905 >=
-    threshold 0.9) is evicted; escalation must detect the saturation,
-    re-screen at a raised cap, and catch it. With escalate_rounds=0 the
-    escape really happens — proving the setup bites — and the
-    always-on diagnostics record the residual saturation."""
+    threshold 0.9) is evicted; the escalation must detect the
+    saturation, run the exact-cosine pass for just that query, and
+    catch the pair. With escalate="off" the escape really happens —
+    proving the setup bites — and the always-on diagnostics record the
+    residual saturation."""
     import dataclasses
 
     from cda_client_spark.operators.similarity import save_ivfpq
@@ -841,18 +842,18 @@ def test_ann_screen_cap_escalation_recovers_evicted_pair(spark, tmp_path):
         kept = {r["doc_id"] for r in read_curated(spark, out, ANN_SCHEMA).collect()}
         return kept, tm
 
-    # default escalation: saturation detected, one 4x escalation clears
-    # it, the evicted true pair reaches verify, the duplicate dies
+    # default escalation: saturation detected, the exact pass runs for
+    # the one saturated query, the evicted true pair reaches verify,
+    # the duplicate dies
     kept, tm = run("on")
     assert 100 not in kept, (kept, tm)
     assert kept == set(range(7)), kept
     assert tm["screen_saturated_q"] == 1, tm
     assert tm["screen_escalations"] == 1, tm
     assert tm["screen_final_saturated_q"] == 0, tm
-    assert tm["screen_final_cap"] == 8, tm
     # escalation off (r13 behavior): the cap evicts the true pair and
     # the duplicate survives — recorded, not silent
-    kept0, tm0 = run("off", escalate_rounds=0)
+    kept0, tm0 = run("off", escalate="off")
     assert 100 in kept0, (kept0, tm0)
     assert tm0["screen_saturated_q"] == 1, tm0
     assert tm0["screen_escalations"] == 0, tm0
