@@ -552,28 +552,34 @@ def ann_dup_ids(
         hit the cap may have had a true in-band pair evicted (the sf20
         soak measured exactly that: a cos=0.996 copy ADC-ranked 1054 of
         18,612 above-floor candidates, evicted by the old 512 cap), so:
-        the screened frame is materialized (localCheckpoint — candidate-
-        sized, capped rows only), the saturated queries are counted, and
-        JUST those queries get one exact-cosine pass over the raw
-        vectors (``exact_hits``) whose results union into the candidate
-        set. Exactness makes one round always sufficient — no cap or
-        margin is involved, so there is nothing left to saturate
+        the screened frame is materialized (``persist`` + count — the
+        COMPRESSED columnar cache; a localCheckpoint here materializes
+        the same ~80M capped rows as raw JVM row objects, several times
+        larger, and the first sf20 attempt OOMed the driver heap on
+        exactly that), the saturated queries are counted, and JUST those
+        queries get one exact-cosine pass over the raw vectors
+        (``exact_hits``) whose results union into the candidate set.
+        Exactness makes one round always sufficient — no cap or margin
+        is involved, so there is nothing left to saturate
         (``*_final_saturated_q`` is 0 whenever the pass runs). Runs
         identically in production and timings mode (job boundaries
         included — the accounting is the point; its cost is a
-        groupBy-count over the checkpointed candidates). With
+        groupBy-count over the cached candidates; the cache is released
+        at the end of ann_dup_ids in both modes). With
         ``escalate="off"`` the residual saturation is stamped and logged
         as a warning — never silent."""
         t0 = time.monotonic()
         cap = cfg.max_candidates
-        cand = scan(codes_frame, q, cap, n_q).localCheckpoint()
+        cand = scan(codes_frame, q, cap, n_q).persist()
+        cached.append(cand)
         sat = (
             cand.groupBy("query_id")
             .count()
             .filter(F.col("count") >= cap)
             .select("query_id")
-            .localCheckpoint()
+            .persist()
         )
+        cached.append(sat)
         sat_n = sat.count()
         escalated = 0
         final_sat = sat_n
@@ -581,7 +587,7 @@ def ann_dup_ids(
             escalated = 1
             esc = exact_hits(nvec_src, sat, sat_n)
             if esc is not None:
-                cand = cand.unionByName(esc).localCheckpoint()
+                cand = cand.unionByName(esc)
             final_sat = 0
         _stage_mark(timings, "ann_screen", t0)
         if timings is not None:
@@ -654,11 +660,13 @@ def ann_dup_ids(
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     out = out.distinct()
-    if timings is not None:
-        # id-sized; cutting lineage here lets the stage caches go
-        out = out.localCheckpoint()
-        for c in cached:
-            c.unpersist()
+    # id-sized; cutting lineage here lets the stage caches go — in BOTH
+    # modes now that the screen stage always persists its candidates
+    # (the caches must not outlive the call: at soak store sizes they
+    # are ~1 GB compressed per delivery)
+    out = out.localCheckpoint()
+    for c in cached:
+        c.unpersist()
     return out
 
 
