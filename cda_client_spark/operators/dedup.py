@@ -307,18 +307,21 @@ def simhash(text_col: str, shingle: int = 2, bits: int = 64, hash_fn: str = "xxh
     else:
         h = "xxhash64(g)"
     grams = ngrams_sql(text_col, shingle)
-    hashes = f"transform({grams}, g -> {h})"
     idx = f"sequence(0, {bits - 1})"
-    return F.expr(
-        f"aggregate({hashes},"
+    # gram array bound ONCE via a single-element transform lambda: the
+    # unbound form re-built the whole gram array (itself O(words) after the
+    # ngrams_sql fix) twice PER BIT inside the finish lambda
+    body = (
+        f"aggregate(transform(gs, g -> {h}),"
         f" transform({idx}, x -> cast(0 as bigint)),"
         f" (acc, h) -> zip_with(acc, {idx}, (c, b) -> c + (shiftrightunsigned(h, b) & 1)),"
         f" counts -> aggregate("
         f"   zip_with(counts, {idx},"
-        f"     (c, b) -> if(size({grams}) > 0 and 2 * c >= size({grams}),"
+        f"     (c, b) -> if(size(gs) > 0 and 2 * c >= size(gs),"
         f"               shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
         f"   cast(0 as bigint), (a, x) -> a + x))"
     )
+    return F.expr(f"transform(array({grams}), gs -> {body})[0]")
 
 
 def simhash64(text_col: str, shingle: int = 2) -> Column:

@@ -46,12 +46,21 @@ def ngrams_sql(text_col: str, n: int = 3) -> str:
     """SQL text for word n-grams (see ``ngrams``). The ``size >= n`` guard
     matters: ``sequence(1, 0)`` in Spark DESCENDS to ``[1, 0]``, so an
     unguarded expression emits bogus grams (and a slice(_, 0, _) error) for
-    documents with fewer than ``n`` words."""
+    documents with fewer than ``n`` words.
+
+    The word array is bound ONCE through a single-element ``transform``
+    lambda (``transform(array(split(..)), ws -> ..)[0]``): higher-order
+    lambdas get no subexpression elimination, so inlining the ``split``
+    inside the per-gram lambda re-splits the whole document for EVERY gram
+    — O(words^2) per document (measured 20-40x slower on 600-word docs,
+    OPTIMIZATION_r14.md). NULL text flows identically through both forms
+    (``size(NULL) >= n`` is NULL -> else-branch -> ``array()``)."""
     w = f"split(lower({text_col}), '\\\\s+')"
     return (
-        f"if(size({w}) >= {n},"
-        f" transform(sequence(1, size({w}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({w}, i, {n}))), array())"
+        f"transform(array({w}), ws ->"
+        f" if(size(ws) >= {n},"
+        f" transform(sequence(1, size(ws) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(ws, i, {n}))), array()))[0]"
     )
 
 

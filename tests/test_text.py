@@ -584,3 +584,67 @@ def test_bloom_contamination_empty_benchmark(spark):
         "doc_id int, text string",
     )
     assert bloom_ngram_contamination(corpus, bench, n=8).count() == 0
+
+
+def test_ngrams_bound_form_equals_naive_spec(spark):
+    """The O(words) bound-once form of ngrams_sql (word array bound through a
+    single-element transform lambda) must return exactly what the naive spec
+    form (split inlined per gram, O(words^2)) returns — including NULL text,
+    empty text, sub-n docs, repeated whitespace, and mixed case."""
+    from cda_client_spark.operators.text import ngrams_sql
+
+    rows = [
+        (1, "The quick  Brown fox JUMPS over the lazy dog"),
+        (2, "one two"),
+        (3, ""),
+        (4, None),
+        (5, "   leading and trailing   "),
+        (6, " ".join(f"w{i % 7}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for n in (2, 3, 5):
+        naive = (
+            f"if(size(split(lower(text), '\\\\s+')) >= {n},"
+            f" transform(sequence(1, size(split(lower(text), '\\\\s+')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split(lower(text), '\\\\s+'), i, {n}))), array())"
+        )
+        bad = df.select("doc_id", F.expr(naive).alias("a"),
+                        F.expr(ngrams_sql("text", n)).alias("b")) \
+                .where("not (a <=> b)")
+        assert bad.count() == 0, f"n={n}: bound form diverges from naive spec"
+
+
+def test_simhash_bound_form_equals_naive_spec(spark):
+    """simhash's gram-array-bound-once rewrite must be value-identical to the
+    naive per-bit re-derivation for every hash_fn, including edge docs."""
+    from cda_client_spark.operators.dedup import simhash
+    from cda_client_spark.operators.text import ngrams_sql
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "one"),
+        (3, ""),
+        (4, None),
+        (5, " ".join(f"tok{i % 11}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for hash_fn, bits, h in (
+        ("xxhash64", 64, "xxhash64(g)"),
+        ("md5", 60, "cast(conv(substr(md5(g), 1, 15), 16, 10) as bigint)"),
+    ):
+        grams = ngrams_sql("text", 2)
+        idx = f"sequence(0, {bits - 1})"
+        naive = (
+            f"aggregate(transform({grams}, g -> {h}),"
+            f" transform({idx}, x -> cast(0 as bigint)),"
+            f" (acc, h) -> zip_with(acc, {idx}, (c, b) -> c + (shiftrightunsigned(h, b) & 1)),"
+            f" counts -> aggregate("
+            f"   zip_with(counts, {idx},"
+            f"     (c, b) -> if(size({grams}) > 0 and 2 * c >= size({grams}),"
+            f"               shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
+            f"   cast(0 as bigint), (a, x) -> a + x))"
+        )
+        bad = df.select(F.expr(naive).alias("a"),
+                        simhash("text", shingle=2, bits=bits, hash_fn=hash_fn).alias("b")) \
+                .where("not (a <=> b)")
+        assert bad.count() == 0, f"hash_fn={hash_fn}: bound simhash diverges"

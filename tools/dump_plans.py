@@ -1,0 +1,41 @@
+"""Dump ``explain("formatted")`` for named catalog queries to files.
+
+Usage: python tools/dump_plans.py <out_dir> <suffix> [query ...]
+
+Writes ``<out_dir>/<query>_<suffix>.txt`` for each named query (all
+queries when none named). Used to commit the per-query before/after plan
+evidence for optimization rounds (plans/r<N>/).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import bench_queries_map  # noqa: E402
+from cda_client_spark import get_spark  # noqa: E402
+
+SPARK = bench_queries_map()
+
+
+def main() -> None:
+    out_dir, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:] or list(SPARK)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(master="local[8]")
+    for name in names:
+        df = SPARK[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
