@@ -442,8 +442,12 @@ def simhash_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
         )
-        .distinct()
+        # verify BEFORE the distinct: the Hamming test is row-deterministic,
+        # so filter∘distinct ≡ distinct∘filter — but the distinct's shuffle
+        # then carries only verified near-dup pairs instead of every band
+        # collision (collisions >> true pairs at scale; guide §2.3)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -972,12 +972,21 @@ def order_line_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one groupBy(orderkey) aggregation; each map is row-local and
     bounded by its order's line count (7 in TPC-H), never shuffled as a
     whole-table structure.
+
+    The explicit repartition on ``l_orderkey`` establishes the clustering
+    ONCE for both aggregations: hash partitioning on the orderkey subset
+    satisfies the (orderkey, linenumber) grouping's clustering requirement,
+    so the per-line aggregate and the map-building aggregate both run
+    shuffle-free on top of it — one Exchange total instead of two
+    back-to-back aggregation shuffles of ~the same rows (plan-verified
+    2 Exchange → 1; interleaved A/B ×0.64, OPTIMIZATION_r14.md).
     """
     entries = F.sort_array(
         F.collect_list(F.struct(F.col("l_linenumber"), F.col("price")))
     )
     per_line = (
         t(spark, sf_dir, "lineitem")
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_linenumber")
         .agg(F.max("l_extendedprice").alias("price"))
     )

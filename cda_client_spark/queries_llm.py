@@ -328,8 +328,12 @@ def doc_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     plain filter. This aggregate→broadcast→filter shape is the 100 TB
     form of 'keep the best 25%' — NOT a cume_dist over a global
     unpartitioned window, which would collapse the corpus into one sort
-    task. Summarized per language for the gate."""
-    scored = quality_score(t(spark, sf_dir, "documents"), "text")
+    task. Summarized per language for the gate.
+
+    ``t_par``: the per-row stopword/regex scoring is the dominant cost and
+    the tiny single-file test scan would run it on 1-3 tasks (interleaved
+    A/B ×0.67, OPTIMIZATION_r14.md)."""
+    scored = quality_score(t_par(spark, sf_dir, "documents"), "text")
     thr = scored.agg(
         F.round(F.expr("percentile(quality_score, 0.75)"), 6).alias("q75")
     )
@@ -2283,9 +2287,13 @@ REPETITION_DUP_BAR = 0.06
 
 def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/RefinedWeb-style repetition measures per document: duplicate
-    word / 2-gram slot fractions, modal-2-gram share, and the gate flag."""
+    word / 2-gram slot fractions, modal-2-gram share, and the gate flag.
+
+    ``t_par``: the per-row gram/distinct array work dominates and the tiny
+    single-file test scan would run it on 1-3 tasks (interleaved A/B
+    ×0.82, OPTIMIZATION_r14.md)."""
     return repetition_signals(
-        t(spark, sf_dir, "documents"),
+        t_par(spark, sf_dir, "documents"),
         "text",
         "doc_id",
         n=2,

@@ -40,6 +40,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -75,7 +76,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the part filter prunes the probe side; nation⋈region broadcasts
     (fixed-size dims) and AQE sizes the supplier join; the correlated min
     is one grouped aggregation on l_partkey reused via an equi-join — no
-    per-row subquery execution.
+    per-row subquery execution. Lineitem is semi-join-pruned on BOTH
+    selective dimensions BEFORE its aggregation shuffle (the broadcast
+    pre-filter pattern): the final ``join(part)`` keeps only qualifying
+    partkeys and ``costs`` is inner-joined to EUROPE suppliers, and both
+    ``supply_cost`` and ``min_cost`` are grouped per (partkey[, suppkey])
+    — restricting the fact scan to exactly those keys up front drops
+    ~99.6% of part keys and ~4/5 of suppliers from the shuffle without
+    changing any surviving group.
     """
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
@@ -95,6 +103,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     costs = (
         _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey",
+            "left_semi",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"))),
+            "l_suppkey",
+            "left_semi",
+        )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("supply_cost"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -453,6 +471,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: revenue aggregates to one row per supplier; the max is a
     broadcast single-row cross join against it; ties all surface (same as
     the spec's view formulation). The supplier name join is AQE-sized.
+    The per-supplier frame is localCheckpoint-materialized (supplier-
+    sized — KBs per million suppliers) because BOTH consumers (the 1-row
+    max and the equality probe) otherwise re-execute its lineage, i.e.
+    scan and shuffle the fact table twice (plan: 2 lineitem scans → 1).
     """
     rev = (
         _t(spark, sf_dir, "lineitem")
@@ -462,6 +484,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(_dsum(_disc_price()).alias("total_revenue"))
+        .localCheckpoint()
     )
     best = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -538,22 +561,28 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average yearly revenue lost if Brand#3 orders below 20% of the
     part's average quantity were not filled.
 
-    Scale: the correlated AVG is one grouped aggregation joined back on
-    partkey — lineitem is scanned twice, and the avg frame (partkey-sized,
-    scales with data) co-shuffles with the probe side rather than being
-    broadcast. The average itself is decimal-sum/count so the 0.2*avg
-    comparison boundary is bit-identical on both engines.
+    Scale: the correlated AVG is a ``l_partkey``-window aggregate over
+    ONE pass of the filtered fact join — the old shape executed the
+    lineitem⋈part subtree TWICE (once for the per-part averages, once
+    for the probe side) and joined them back on partkey. The explicit
+    repartition establishes the partkey clustering the window needs;
+    the window's decimal SUM / COUNT over the partition is the same
+    exact arithmetic as the grouped ``_davg`` (decimal sums are exact,
+    one IEEE division at the end), so the 0.2*avg comparison boundary
+    is bit-identical to the join-back formulation on both engines.
+    Plan: 2 lineitem scans → 1, SortMergeJoin removed.
     """
     l = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    w_part = Window.partitionBy("l_partkey")
     avg_qty = (
-        l.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.col("l_partkey").alias("a_partkey"))
-        .agg(_davg(F.col("l_quantity")).alias("avg_qty"))
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).over(w_part).cast("double")
+        / F.count(F.lit(1)).over(w_part)
     )
     return (
         l.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(avg_qty, F.col("l_partkey") == F.col("a_partkey"))
+        .repartition(F.col("l_partkey"))
+        .withColumn("avg_qty", avg_qty)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(
@@ -669,9 +698,17 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NATION_1 suppliers who shipped >30% of some 'small' part's total
     1997 quantity (availqty-vs-half-shipped becomes dominant-share).
 
-    Scale: the part filter prunes before any aggregation; per-(part,supp)
-    and per-part sums reuse one filtered frame and join on partkey
-    (co-partitioned); the final step is a semi-join into the supplier dim.
+    Scale: the part filter prunes before any aggregation, and the fact
+    join is scanned/shuffled ONCE: an explicit repartition on
+    ``l_partkey`` lets the per-(part,supp) aggregation run shuffle-free
+    (partkey hash satisfies the superset grouping's clustering), and the
+    per-part total comes from a ``l_partkey``-window SUM over the
+    per-pair EXACT decimal sums — decimal addition is exact and
+    associative, so regrouping the partials is bit-identical to a
+    second pass over the rows, with the shared ROUND(_,4) applied once
+    at the end on both axes exactly as before. The old shape executed
+    the lineitem⋈part subtree TWICE and joined the two aggregates back
+    on partkey (plan: 2 lineitem scans → 1, 6 Exchange → 3).
     """
     part = (
         _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
@@ -683,15 +720,20 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .repartition(F.col("l_partkey"))
     )
     per_pair = l97.groupBy("l_partkey", "l_suppkey").agg(
-        _dsum(F.col("l_quantity")).alias("supp_qty")
+        F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("_exact_qty")
     )
-    per_part = l97.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        _dsum(F.col("l_quantity")).alias("total_qty")
-    )
+    w_part = Window.partitionBy("l_partkey")
     dominant = (
-        per_pair.join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        per_pair.withColumn(
+            "supp_qty", F.round(F.col("_exact_qty"), 4).cast("double")
+        )
+        .withColumn(
+            "total_qty",
+            F.round(F.sum("_exact_qty").over(w_part), 4).cast("double"),
+        )
         .filter(F.col("supp_qty") > F.col("total_qty") * 0.3)
         .select("l_suppkey")
         .distinct()
@@ -744,11 +786,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     date) on finished multi-supplier orders; counts such orders per
     supplier ("late" adapts receipt-vs-commit to ship-vs-order date).
 
-    Scale: exists/not-exists collapse to one per-order aggregation
-    (distinct supplier count, distinct late-supplier count) joined back to
-    the late lines on orderkey — co-partitioned shuffles, never a
-    broadcast (per-order frames scale with the data), no correlated
-    re-scans.
+    Scale: exists/not-exists collapse to ONE per-order aggregation. The
+    sole late supplier rides OUT of that aggregation as a
+    ``collect_set`` (bounded by suppliers-per-order, 7 in TPC-H, never a
+    whole-table structure): an order qualifies iff the set has exactly
+    one element, and that element IS the waiting supplier — so the
+    late-lines subtree, its join back on orderkey, and the ``distinct``
+    all disappear, and the fact join is scanned/shuffled ONCE instead of
+    twice (plan-verified 2 lineitem scans → 1, 7 Exchange → 5; local
+    sf0.1 wall flat — stage latency dominates a tiny fact table — the
+    win is the removed full-corpus scan+shuffle; OPTIMIZATION_r14.md).
     """
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = (
@@ -762,16 +809,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    per_order = l.groupBy(F.col("l_orderkey").alias("g_orderkey")).agg(
+    per_order = l.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+        # collect_set drops NULLs (non-late lines) and dedups, exactly like
+        # the count_distinct(when(...)) it replaces; both engines agree
+        F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supps"),
     )
     waiting = (
-        l.filter(F.col("is_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("g_orderkey"))
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        per_order.filter((F.col("n_supp") > 1) & (F.size("late_supps") == 1))
+        .select("l_orderkey", F.col("late_supps").getItem(0).alias("l_suppkey"))
     )
     return (
         waiting.join(
