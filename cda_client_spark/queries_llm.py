@@ -143,17 +143,35 @@ def _docs_with_dups(
     (measured 3-4x on the SimHash/MinHash headline queries at sf0.1).
     Queries whose only wide stage is already a shuffle (exact dedup's
     groupBy) pass ``repartition=False`` — for them the extra exchange is
-    pure overhead (measured +66% on doc_exact_dedup, SCALE.md)."""
+    pure overhead (measured +66% on doc_exact_dedup, SCALE.md).
+
+    Built as ONE scan + a per-row variant explode, not a 3-way UNION of
+    filtered re-scans: every consumer of this frame used to pay 3 corpus
+    scans per use (the recall gates, which consume it in two pipelines,
+    paid 6+ — minhash_fast_recall's plan showed 36 parquet scans). Same
+    row multiset: the null-filtered variant array reproduces exactly the
+    union's branches (r14 optimization; guide §2.4/§6)."""
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.lit(" "), F.upper("text")).alias("text"),
+    variants = F.array(
+        F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text")),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.struct(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.lit(" "), F.upper("text")).alias("text"),
+            ),
+        ),
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.struct(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
+            ),
+        ),
     )
-    near = d.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz yy xx")).alias("text"),
-    )
-    out = d.unionByName(exact).unionByName(near)
+    out = d.select(
+        F.explode(F.filter(variants, lambda x: x.isNotNull())).alias("_v")
+    ).select(F.col("_v.doc_id").alias("doc_id"), F.col("_v.text").alias("text"))
     if repartition:
         out = out.repartition(spark.sparkContext.defaultParallelism)
     return out
@@ -170,15 +188,27 @@ EMB_DUPS_SQL = """
 
 def _embs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings + planted near-dups (scaled by 1.01 → cosine 1.0).
-    Repartitioned for the same small-file reason as ``_docs_with_dups``."""
+    Repartitioned for the same small-file reason as ``_docs_with_dups``,
+    and built with the same ONE-scan variant explode (the union form
+    re-scanned embeddings per branch per consumer)."""
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dup = e.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: (x.cast("double") * F.lit(1.01)).cast("float")
-        ).alias("embedding"),
+    variants = F.array(
+        F.struct(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("embedding")),
+        F.when(
+            F.col("vec_id") % 25 == 0,
+            F.struct(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x.cast("double") * F.lit(1.01)).cast("float")
+                ).alias("embedding"),
+            ),
+        ),
     )
-    return e.unionByName(dup).repartition(spark.sparkContext.defaultParallelism)
+    return (
+        e.select(F.explode(F.filter(variants, lambda x: x.isNotNull())).alias("_v"))
+        .select(F.col("_v.vec_id").alias("vec_id"), F.col("_v.embedding").alias("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 # ---------------------------------------------------------------------------
