@@ -3132,7 +3132,17 @@ def bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact merge semantics are already property-tested corpus-free
     # against a pure-Python reference (tests/test_bpe.py)
     merges = bpe_train(hash_sample(d, "doc_id", 0.3, seed="bpe"), num_merges=10)
-    check = hash_sample(d, "doc_id", 0.2, seed="bpe-check")
+    # the roundtrip check is the gate's dominant cost: a chain of 10
+    # interpreted aggregate folds per word, and the tiny single-file scan
+    # runs it on ONE task — repartition spreads the per-row fold CPU, the
+    # same reason bpe_encode_fixed repartitions (r14: check stage min
+    # 2.62 s -> 0.46 s interleaved A/B at sf0.1; the boolean aggregate is
+    # partition-invariant). The TRAIN sample is deliberately NOT fanned
+    # out: its explode+partial-agg is cheaper than the exchange (measured
+    # 0.55 vs 0.58 s)
+    check = hash_sample(d, "doc_id", 0.2, seed="bpe-check").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return bpe_roundtrip_ok(check, merges).select(
         (
             F.col("roundtrip_ok") & F.col("compresses") & F.lit(len(merges) > 0)
