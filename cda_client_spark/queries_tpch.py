@@ -786,16 +786,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     date) on finished multi-supplier orders; counts such orders per
     supplier ("late" adapts receipt-vs-commit to ship-vs-order date).
 
-    Scale: exists/not-exists collapse to ONE per-order aggregation. The
-    sole late supplier rides OUT of that aggregation as a
-    ``collect_set`` (bounded by suppliers-per-order, 7 in TPC-H, never a
-    whole-table structure): an order qualifies iff the set has exactly
-    one element, and that element IS the waiting supplier — so the
-    late-lines subtree, its join back on orderkey, and the ``distinct``
-    all disappear, and the fact join is scanned/shuffled ONCE instead of
-    twice (plan-verified 2 lineitem scans → 1, 7 Exchange → 5; local
-    sf0.1 wall flat — stage latency dominates a tiny fact table — the
-    win is the removed full-corpus scan+shuffle; OPTIMIZATION_r14.md).
+    Scale: exists/not-exists collapse to per-order aggregation over ONE
+    pass of the fact join — two stacked codegen hash aggregations sharing
+    ONE exchange (explicit hash repartition on ``l_orderkey``; the
+    (orderkey, suppkey) grouping is clustered by the orderkey prefix, so
+    neither aggregation re-shuffles): first dedup supplier lines per
+    order with ``max(is_late)``, then count suppliers / late suppliers
+    with PLAIN aggregates. No distinct aggregates (the r14 first cut's
+    count_distinct+collect_set mix planned through Expand and measured
+    ×1.28 slower than even the two-scan original; this shape is ×0.76 vs
+    the original with identical rows — interleaved A/B, clean probes,
+    OPTIMIZATION_r14.md §4). The sole late supplier rides out of the
+    second aggregation as ``max(when(late, suppkey))`` — with exactly one
+    late supplier, the max IS that supplier — so the late-lines subtree,
+    its join back on orderkey, and the ``distinct`` all stay deleted, and
+    the fact join is scanned/shuffled ONCE (plan: 2 lineitem scans → 1).
     """
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = (
@@ -809,15 +814,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    per_order = l.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        # collect_set drops NULLs (non-late lines) and dedups, exactly like
-        # the count_distinct(when(...)) it replaces; both engines agree
-        F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supps"),
+    per_pair = (
+        l.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late"))
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     waiting = (
-        per_order.filter((F.col("n_supp") > 1) & (F.size("late_supps") == 1))
-        .select("l_orderkey", F.col("late_supps").getItem(0).alias("l_suppkey"))
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .select("l_orderkey", F.col("late_supp").alias("l_suppkey"))
     )
     return (
         waiting.join(
