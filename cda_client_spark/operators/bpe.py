@@ -74,13 +74,23 @@ def merge_chain_expr(word_var: str, merges: list[tuple[str, str]]) -> str:
     one nested expression per merge — expression depth stays constant
     regardless of table size, so analysis cost and plan size don't grow
     with the vocabulary (a 10-merge nested-fold chain measured 12s for
-    the corpus pass this double fold does in ~2s)."""
+    the corpus pass this double fold does in ~2s).
+
+    Rule (a, b) is guarded by ``instr(word, a || b)``: every symbol is a
+    contiguous substring of the word and adjacent symbols concatenate to
+    a contiguous substring, so the rule can only fire when ``a || b``
+    occurs in the word — when it doesn't, the inner fold is the identity
+    and a JVM substring search replaces the O(|word|) interpreted fold
+    with its per-step array copies. Most (word, rule) combinations miss
+    at any realistic vocabulary, so the guard prunes most of the encode
+    cost (r14: equivalence pinned by test_bpe.py's guard suite)."""
     return (
         f"aggregate({merges_literal(merges)}, split({word_var}, ''), (ms, m) -> "
+        f"if(instr({word_var}, concat(m.a, m.b)) = 0, ms, "
         f"aggregate(ms, cast(array() as array<string>), (acc, x) -> "
         f"if(size(acc) > 0 and element_at(acc, -1) = m.a and x = m.b, "
         f"concat(slice(acc, 1, size(acc) - 1), array(concat(m.a, m.b))), "
-        f"concat(acc, array(x)))))"
+        f"concat(acc, array(x))))))"
     )
 
 

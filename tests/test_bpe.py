@@ -111,6 +111,31 @@ def test_bpe_no_merges_degenerate(spark):
     assert row["roundtrip_ok"] and row["compresses"]  # vacuous-compress branch
 
 
+def test_bpe_encode_instr_guard_equivalence(spark):
+    """The instr(word, a||b) guard in merge_chain_expr must be a pure
+    skip-optimization: guarded output == the reference greedy fold on
+    adversarial cases, including words where the substring occurs but
+    the symbols no longer line up (rule ('b','c') on 'abc' after
+    ('a','b') fired: instr hits, the fold is identity), repeated
+    overlapping runs, multibyte text, and rules that never match."""
+    merges = [("a", "b"), ("b", "c"), ("ab", "cd"), ("é", "t"), ("z", "z")]
+    rows = [
+        (1, "abc"),          # 'bc' present but consumed by ('a','b')
+        (2, "abcd abcdabcd"),  # chained ('ab','cd') after ('a','b')
+        (3, "zzzz zzz"),     # overlapping same-symbol run: greedy pairs
+        (4, "été tête"),     # multibyte chars in rules and text
+        (5, "qqq"),          # no rule matches: pure guard-skip path
+        (6, "b c ab cd"),    # single symbols; rules must not fire across words
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_encode(df, merges).collect()
+    }
+    for i, t in rows:
+        assert got[i] == ref_encode(t, merges), (i, got[i], ref_encode(t, merges))
+
+
 def test_bpe_distributed_path_matches_local(spark):
     """Forcing the distributed merge rounds (threshold 0) must reproduce
     the driver-side iteration bit-for-bit — same greedy semantics, same

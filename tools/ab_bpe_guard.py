@@ -1,0 +1,98 @@
+"""Interleaved A/B: unguarded vs instr-guarded BPE merge fold, plus a
+plan-shape probe for duplicate evaluation of the encode expression.
+
+Times bpe_encode_fixed's computation (noop sink) with the OLD (unguarded)
+merge_chain_expr inlined locally vs the repo's NEW guarded form,
+alternating reps in one session so box speed cancels. Also counts how
+many times the fold expression appears in each query's physical plan.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import calibration_probe  # noqa: E402
+from cda_client_spark import get_spark  # noqa: E402
+from cda_client_spark.operators.bpe import merges_literal  # noqa: E402
+from cda_client_spark.queries_llm import BPE_FIXED_MERGES  # noqa: E402
+
+
+def old_chain(word_var: str, merges) -> str:
+    return (
+        f"aggregate({merges_literal(merges)}, split({word_var}, ''), (ms, m) -> "
+        f"aggregate(ms, cast(array() as array<string>), (acc, x) -> "
+        f"if(size(acc) > 0 and element_at(acc, -1) = m.a and x = m.b, "
+        f"concat(slice(acc, 1, size(acc) - 1), array(concat(m.a, m.b))), "
+        f"concat(acc, array(x)))))"
+    )
+
+
+def new_chain(word_var: str, merges) -> str:
+    from cda_client_spark.operators.bpe import merge_chain_expr
+
+    return merge_chain_expr(word_var, merges)
+
+
+def encode_df(spark, sf_dir, chain_fn):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    chain = chain_fn("wd", BPE_FIXED_MERGES)
+    arrays = F.expr(
+        f"transform(filter(split(lower(text), '\\\\s+'), wd -> wd != ''),"
+        f" wd -> {chain})"
+    )
+    out = d.withColumn("_tok2", arrays).withColumn(
+        "n_bpe_tokens",
+        F.expr("aggregate(_tok2, 0, (acc, ws) -> acc + size(ws))").cast("bigint"),
+    )
+    enc = out.select(
+        F.col("doc_id"), F.flatten(F.col("_tok2")).alias("bpe_tokens"), "n_bpe_tokens"
+    )
+    return enc.select(
+        "doc_id", F.array_join("bpe_tokens", " ").alias("bpe_tokens_str"), "n_bpe_tokens"
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("AB_REPS", "6"))
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    print("probe-start:", calibration_probe())
+
+    dfs = {"old": encode_df(spark, sf_dir, old_chain), "new": encode_df(spark, sf_dir, new_chain)}
+
+    # plan probe: how many times does the merge fold appear?
+    for name, df in dfs.items():
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        print(f"plan[{name}]: fold-occurrences={plan.count('slice(')}")
+
+    # value identity
+    a = dfs["old"].orderBy("doc_id").collect()
+    b = dfs["new"].orderBy("doc_id").collect()
+    assert len(a) == len(b) and all(x == y for x, y in zip(a, b)), "VALUE MISMATCH"
+    print(f"values identical: {len(a)} rows")
+
+    times: dict[str, list[float]] = {"old": [], "new": []}
+    order = ["old", "new"]
+    for r in range(reps):
+        for name in order if r % 2 == 0 else order[::-1]:
+            t0 = time.monotonic()
+            dfs[name].write.format("noop").mode("overwrite").save()
+            times[name].append(time.monotonic() - t0)
+    print("probe-end:", calibration_probe())
+    for name, ts in times.items():
+        ts2 = sorted(ts)
+        print(f"{name}: min={ts2[0]:.3f} med={ts2[len(ts2)//2]:.3f} all={[round(x,3) for x in ts]}")
+
+
+if __name__ == "__main__":
+    main()
