@@ -1,0 +1,135 @@
+"""Interleaved A/B for a REJECTED optimization (r14): skipping the
+pairs-level distinct in lsh_candidate_pairs for the two
+connected-components consumers (doc_dedup_clusters, doc_neardedup_corpus).
+
+Hypothesis: the pairs distinct is a redundant full shuffle because
+connected components distincts its exploded edge frame anyway
+(operators/graph.py). Measured verdict: REJECTED — the distinct is a
+row-REDUCTION before the 2x directed-edge explode. At sf0.1 the banded
+join emits 4,253 raw pair rows collapsing to 1,324 distinct (duplicate
+factor 3.21, bands=4: true near-dups collide in most bands), so the
+no-distinct form shuffles 2*4253 = 8,506 edge rows into CC's first
+distinct where the shipped form shuffles 4,253 + 2*1,324 = 6,901 total.
+Break-even is duplicate factor 2; near-dup corpora sit above it by
+construction. The interleaved timing A/B agreed (mins a wash, medians
+worse for the no-distinct form). See OPTIMIZATION_r14.md.
+
+The "new" (rejected) variant is built inline here — the shipped library
+keeps the distinct unconditionally.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import calibration_probe  # noqa: E402
+from cda_client_spark import get_spark  # noqa: E402
+from cda_client_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_BUCKET_SIZE,
+    cap_buckets,
+    minhash_signatures,
+)
+from cda_client_spark.operators.graph import dedup_clusters  # noqa: E402
+from cda_client_spark.queries import SPARK  # noqa: E402
+from cda_client_spark.queries_llm import _docs_with_dups  # noqa: E402
+
+
+def _pairs_no_distinct(df, id_col="doc_id", text_col="text", num_hashes=16,
+                       bands=4, shingle=3, hash_fn="md5"):
+    """lsh_candidate_pairs with the final distinct SKIPPED (the rejected
+    variant) — duplicates one multi-band collision row per extra band."""
+    rows_per_band = num_hashes // bands
+    with_sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle, hash_fn)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    buckets = with_sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = cap_buckets(buckets, ["band", "key"], DEFAULT_MAX_BUCKET_SIZE)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )
+
+
+def new_clusters(spark, sf_dir):
+    corpus = _docs_with_dups(spark, sf_dir)
+    return dedup_clusters(corpus, _pairs_no_distinct(corpus))
+
+
+def new_neardedup(spark, sf_dir):
+    corpus = _docs_with_dups(spark, sf_dir)
+    survivors = dedup_clusters(corpus, _pairs_no_distinct(corpus)).filter("is_canonical")
+    return survivors.groupBy(
+        (F.floor(F.col("doc_id") / 100) * 100).alias("id_block")
+    ).agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+CASES = {
+    "doc_dedup_clusters": (SPARK["doc_dedup_clusters"], new_clusters),
+    "doc_neardedup_corpus": (SPARK["doc_neardedup_corpus"], new_neardedup),
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("AB_REPS", "6"))
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("probe-start:", calibration_probe())
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    raw = _pairs_no_distinct(corpus)
+    n_raw, n_dis = raw.count(), raw.distinct().count()
+    print(
+        f"pair rows: raw={n_raw} distinct={n_dis} dup_factor={n_raw / n_dis:.3f}"
+        f" | shipped shuffle ~{n_raw + 2 * n_dis} rows, no-distinct ~{2 * n_raw}"
+    )
+
+    for case, (old_fn, new_fn) in CASES.items():
+        a = sorted(tuple(r) for r in old_fn(spark, sf_dir).collect())
+        b = sorted(tuple(r) for r in new_fn(spark, sf_dir).collect())
+        assert a == b, f"VALUE MISMATCH {case}: {len(a)} vs {len(b)}"
+        print(f"{case}: values identical ({len(a)} rows)")
+
+    for case, (old_fn, new_fn) in CASES.items():
+        times = {"old": [], "new": []}
+        fns = {"old": old_fn, "new": new_fn}
+        order = ["old", "new"]
+        for r in range(reps):
+            for name in order if r % 2 == 0 else order[::-1]:
+                t0 = time.perf_counter()
+                fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times[name].append(time.perf_counter() - t0)
+        for name, ts in times.items():
+            if not ts:
+                continue
+            ts2 = sorted(ts)
+            print(
+                f"{case}/{name}: min={ts2[0]:.3f} med={ts2[len(ts2)//2]:.3f}"
+                f" all={[round(x, 3) for x in ts]}"
+            )
+    print("probe-end:", calibration_probe())
+
+
+if __name__ == "__main__":
+    main()
