@@ -1,0 +1,107 @@
+"""Interleaved A/B (r14): bitwise-OR vs ANSI-checked `+` for combining
+the disjoint bit-field terms in simhash_signatures' packed sums.
+
+The three terms of each packed accumulator live in disjoint 21-bit
+fields (k*21 offsets), and the final signature reconstruction combines
+disjoint single bits — so `+` and `|` are value-identical, but under
+ANSI mode (Spark 4 default) every integer `+` is Math.addExact with an
+overflow branch while `|` has no check at all. The per-gram hot loop
+carries 2 adds per accumulator x ceil(bits/3) accumulators = ~44
+checked adds per gram at bits=64; this measures replacing them (and the
+per-doc reconstruction adds) with `|`.
+
+Both variants are built inline; value identity is asserted on full
+signatures before timing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import calibration_probe  # noqa: E402
+from cda_client_spark import get_spark  # noqa: E402
+from cda_client_spark.operators.dedup import gram_hashes  # noqa: E402
+from cda_client_spark.queries_llm import _docs_with_dups  # noqa: E402
+
+
+def simhash_signatures_joiner(df, joiner: str, id_col="doc_id", text_col="text",
+                              shingle=2, bits=64, hash_fn="xxhash64"):
+    """simhash_signatures with the term-combiner parameterized: ' + '
+    (shipped pre-change) vs ' | ' (candidate)."""
+    hs = gram_hashes(df, id_col, text_col, shingle, hash_fn, mask32=False)
+    PER, FIELD = 3, 21
+    naccs = (bits + PER - 1) // PER
+
+    def packed_sum(j):
+        body = joiner.join(
+            f"shiftleft(shiftrightunsigned(h, {j * PER + k}) & 1, {FIELD * k})"
+            for k in range(min(PER, bits - j * PER))
+        )
+        return F.expr(f"try_sum({body})")
+
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        packed_sum(j).alias(f"p{j}") for j in range(naccs)
+    ]
+    agg = hs.groupBy(id_col).agg(*aggs)
+    ps = "array(" + ", ".join(f"p{j}" for j in range(naccs)) + ")"
+    mask = (1 << FIELD) - 1
+    op = joiner.strip()
+    sim = (
+        f"aggregate(sequence(0, {naccs - 1}), cast(0 as bigint), (acc, j) -> acc {op} "
+        f"aggregate(sequence(0, least({PER - 1}, {bits - 1} - j * {PER})),"
+        f" cast(0 as bigint), (a2, k) -> a2 {op} "
+        f"if(2 * (shiftrightunsigned(element_at({ps}, j + 1), {FIELD} * k) & {mask}) >= n,"
+        f" shiftleft(cast(1 as bigint), j * {PER} + k), cast(0 as bigint))))"
+    )
+    return agg.select(id_col, F.expr(sim).alias("sim"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("AB_REPS", "8"))
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("probe-start:", calibration_probe())
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    for hf, bits in (("xxhash64", 64), ("md5", 60)):
+        a = sorted(
+            tuple(r)
+            for r in simhash_signatures_joiner(corpus, " + ", bits=bits, hash_fn=hf).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in simhash_signatures_joiner(corpus, " | ", bits=bits, hash_fn=hf).collect()
+        )
+        assert a == b, f"VALUE MISMATCH {hf}/{bits}: {len(a)} vs {len(b)}"
+        print(f"signatures {hf}/{bits}: values identical ({len(a)} rows)")
+
+    times = {"add": [], "or": []}
+    variants = {"add": " + ", "or": " | "}
+    order = ["add", "or"]
+    for r in range(reps):
+        for name in order if r % 2 == 0 else order[::-1]:
+            t0 = time.perf_counter()
+            simhash_signatures_joiner(corpus, variants[name]).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            times[name].append(time.perf_counter() - t0)
+    for name, ts in times.items():
+        if not ts:
+            continue
+        ts2 = sorted(ts)
+        print(
+            f"signature-stage/{name}: min={ts2[0]:.3f} med={ts2[len(ts2)//2]:.3f}"
+            f" all={[round(x, 3) for x in ts]}"
+        )
+    print("probe-end:", calibration_probe())
+
+
+if __name__ == "__main__":
+    main()
