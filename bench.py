@@ -132,6 +132,31 @@ Both artifacts carry ``calib_agree`` and ``box_dominated`` (the
 published numbers' own flag: true iff the pass they came from drifted
 mid-run and no clean re-run replaced it). A box_dominated record must
 not anchor cross-round attribution — compare kernels, not totals.
+
+Scaling measurability (methodology 8, r14 verdict #2): both JSON
+artifacts now record ``cpus`` (the honored $SPARK_GRAFT_CPUS) and
+``sf_dir`` so an 8-vs-32-core pair of records self-describes, and
+BENCH_FULL.json carries ``queries_calib_norm`` — each query's fastest
+rep divided by this record's own mean calibration time on the axis the
+query follows (calib_1t_s under the sub-second threshold, calib_32t_s
+above it; dimensionless). Two records' normalized values divide into
+exactly the bench_compare.py norm_ratio, so cross-round files can
+separate plan changes from box drift without re-deriving the rule
+(r14 verdict #8); tools/bench_compare.py consumes the column when both
+records carry it.
+
+Split-input mode (r14 verdict #2, opt-in): every test table is ONE
+parquet file with ONE row group, so every scan is a 1-task stage at ANY
+core count and 8-vs-32-core ratios measure driver overheads, not plan
+parallelism. /root/testdata is driver-owned and read-only, so instead
+``SPARK_GRAFT_SPLIT_FILES=N`` (default 0 = off) makes the bench copy
+each table once into ``$TMPDIR/spark_graft_split_*`` as N parquet
+files (same rows, re-laid-out) BEFORE any timing, and run the same
+queries against the copy. The stdout record stamps ``split_files`` so
+a split-mode record can never masquerade as a comparable default-mode
+one. The driver's own invocations never set the env var, so its
+cross-round series is untouched; the 8-vs-32 split-mode pair is
+committed per round as BENCH_r{N}_split_c{8,32}.json.
 """
 
 from __future__ import annotations
@@ -178,7 +203,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #       fresh session; both artifacts stamp `box_dominated` so a
 #       mid-run-drift record machine-identifies instead of relying on
 #       after-the-fact forensics
-BENCH_METHODOLOGY = 7
+#   8 = r15 (r14 verdict #2/#8): additions only, timing loop untouched —
+#       `cpus`/`sf_dir` stamped in both artifacts, the per-query
+#       calibration-normalized minima published as
+#       BENCH_FULL.json `queries_calib_norm`, and the opt-in
+#       SPARK_GRAFT_SPLIT_FILES input re-layout mode (stamped
+#       `split_files`; default off, never set by the driver)
+BENCH_METHODOLOGY = 8
 
 # the module-docstring "~10%" start-vs-end agreement band, as code
 CALIB_AGREE_BAND = 0.10
@@ -422,11 +453,74 @@ def bench_queries_map():
     }
 
 
+def _split_input_copy(sf_dir: str, n: int) -> str:
+    """Copy every test table into ``n`` parquet files under a temp dir
+    (same rows, re-laid-out) so scans split into n tasks — the opt-in
+    scaling-measurability mode (module docstring: Split-input mode).
+    Built once per (sf_dir, n) and reused; runs in its own short-lived
+    session BEFORE the calibration probes so nothing of it is timed."""
+    import tempfile
+
+    from cda_client_spark.queries import TABLES
+    from cda_client_spark.session import get_spark
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_split_%s_x%d" % (sf_dir.rstrip("/").replace("/", "_"), n),
+    )
+    marker = os.path.join(dest, "_SPLIT_OK")
+    if os.path.exists(marker):
+        return dest
+    spark = get_spark(app_name="bench-split-input")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in TABLES:
+        src = f"{sf_dir.rstrip('/')}/{name}.parquet"
+        (
+            spark.read.parquet(src)
+            .repartition(n)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dest, f"{name}.parquet"))
+        )
+    spark.stop()
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return dest
+
+
+def calib_norm_column(
+    detail: dict[str, dict], calib: dict
+) -> dict[str, dict[str, float]]:
+    """The methodology-8 ``queries_calib_norm`` map: each query's fastest
+    rep divided by this record's own mean calibration seconds on each
+    axis (dimensionless box-speed-normalized cost). Consumers pick the
+    axis by the bench_compare.py sub-second rule; both axes are
+    published so the choice stays with the comparison, not the record."""
+    c1 = (calib["start"]["calib_1t_s"] + calib["end"]["calib_1t_s"]) / 2.0
+    c32 = (calib["start"]["calib_32t_s"] + calib["end"]["calib_32t_s"]) / 2.0
+    out: dict[str, dict[str, float]] = {}
+    for name, d in detail.items():
+        m = min(d["samples"])
+        out[name] = {
+            "min_s": round(m, 3),
+            "norm_1t": round(m / c1, 4),
+            "norm_32t": round(m / c32, 4),
+        }
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cda_client_spark.session import get_spark
 
     SPARK = bench_queries_map()
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # opt-in scaling-measurability re-layout (module docstring: Split-input
+    # mode); sf is parsed from the ORIGINAL dir name before any swap
+    split_files = int(os.environ.get("SPARK_GRAFT_SPLIT_FILES", "0"))
+    sf_dir_env = sf_dir
+    if split_files > 0:
+        sf_dir = _split_input_copy(sf_dir_env, split_files)
 
     names = list(BENCH_QUERIES)
     if os.environ.get("SPARK_GRAFT_BENCH", "full") != "headline":
@@ -589,7 +683,7 @@ def main() -> None:
                 headline_from_rerun = True
 
     try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+        sf = float(sf_dir_env.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
     headline = pub_headline_timings
@@ -619,6 +713,13 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf,
+                    "cpus": cpus,
+                    "sf_dir": sf_dir_env,
+                    "split_files": split_files,
+                    # methodology 8: box-speed-normalized per-query minima
+                    # (this record's own pass-1 probes — the numbers above
+                    # are pass-1); see calib_norm_column
+                    "queries_calib_norm": calib_norm_column(detail, calib),
                     "reps": reps,
                     "reps_fast": fast_reps,
                     "fast_threshold_s": fast_threshold,
@@ -655,6 +756,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": headline,
                 "sf": sf,
+                # methodology 8 (r14 verdict #2): the scaling block's
+                # inputs self-describe — the honored core count and data
+                # dir (and the opt-in re-layout mode, 0 = default layout)
+                "cpus": cpus,
+                "sf_dir": sf_dir_env,
+                "split_files": split_files,
                 # machine-load context for cross-round comparison: the
                 # per-query series lives in BENCH_FULL.json `detail`
                 "load_1m_max": round(

@@ -332,7 +332,10 @@ def simhash(text_col: str, shingle: int = 2, bits: int = 64, hash_fn: str = "xxh
         f"   zip_with(counts, {idx},"
         f"     (c, b) -> if(size(gs) > 0 and 2 * c >= size(gs),"
         f"               shiftleft(cast(1 as bigint), b), cast(0 as bigint))),"
-        f"   cast(0 as bigint), (a, x) -> a + x))"
+        # disjoint single-bit terms: | == + with no ANSI overflow check
+        # (the simhash_signatures §14 treatment; the per-bit counter add
+        # above is a real count and must stay +)
+        f"   cast(0 as bigint), (a, x) -> a | x))"
     )
     return F.expr(f"transform(array({grams}), gs -> {body})[0]")
 

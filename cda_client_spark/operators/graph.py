@@ -48,7 +48,20 @@ def connected_components(
     """
     # both edge directions from ONE pass over pairs: a union of two selects
     # would execute the (potentially expensive) upstream pair pipeline
-    # twice in the job that first populates the cache
+    # twice in the job that first populates the cache.
+    #
+    # r15 (verdict #3): the cache is repartitioned AND sorted on ``dst`` —
+    # the per-round join key — before persisting. A cached InMemoryRelation
+    # preserves partitioning and ordering, so in the sort-merge regime (the
+    # 100 TB shape: labels too big to broadcast) every round's join reads
+    # the cache with NO exchange and NO sort on the edges side; only the
+    # (2-long-per-node) labels frame moves per round. Plan evidence on a
+    # 200k-node chain+star graph with broadcasts disabled:
+    # tools/_cc_round_plan_{shipped,prepart}.txt via tools/ab_cc_partition.py
+    # (shipped: Sort+Exchange above the edges InMemoryTableScan per round;
+    # prepart: bare InMemoryTableScan). In the broadcast regime the join
+    # streams the cache either way, so the one-time build exchange is the
+    # only cost (wall measured flat at bench scale, r14 and r15 A/Bs).
     edges = (
         pairs.select(
             F.explode(
@@ -60,6 +73,8 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
+        .repartition(F.col("dst"))
+        .sortWithinPartitions("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # round 0: own id vs min direct neighbor

@@ -294,23 +294,43 @@ def ann_topk_ivf(
     ranking uses ||c||^2 - 2 q.c (argmin euclidean, monotone equivalent),
     computed JVM-side against literal centroids.
 
-    Approximate and engine-specific (KMeans isn't replayable in SQL), so
-    correctness is recall-tested against the brute-force path rather than
-    oracle-matched.
+    Approximate and engine-specific (the k-means trainer is fp-order-
+    dependent), so correctness is recall-tested against the brute-force
+    path rather than oracle-matched. r15 (verdict #1): the trainer is
+    ``kmeans_train`` (ONE sampling job + driver numpy Lloyd) instead of
+    a Spark ML KMeans fit (~25-job chain), and assignment is a scalar
+    literal-centroid argmin instead of a model-transform joined back on
+    id — one join gone from the plan.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    fc = corpus.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
-    )
-    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(fc)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    assigned = model.transform(fc).select(
-        F.col(id_col).alias("neighbor_id"), F.col("cluster")
-    )
+    centroids = kmeans_train(corpus, k=nlist, vec_col=vec_col)
     c, q = _projections(corpus, queries, id_col, vec_col)
-    c = c.join(assigned, "neighbor_id")
+    # corpus cell assignment via the shared numpy argmin kernel (ONE
+    # Arrow pass, iterator form; same first-min arithmetic as
+    # ivfpq_encode): the interpreted literal-argmin column measured the
+    # search stage at 1.84 s vs 0.96 s with the kernel (sf0.1
+    # interleaved A/B, OPTIMIZATION_r15.md) — nlist x dim interpreted
+    # lambda ops per row vs one gemm per batch
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    # a fresh StructType — StructType.add would MUTATE the DataFrame's
+    # cached schema object in place
+    out_schema = StructType(
+        list(c.schema.fields) + [StructField("cluster", IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["c_vec"].values).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["cluster"] = _blocked_argmin_d2(x, cents_np).astype("int32")
+            yield pdf
+
+    c = c.mapInPandas(assign, schema=out_schema)
     probe_structs = [
         F.struct(
             (F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col("q_vec", cent)).alias(
@@ -422,6 +442,159 @@ def dequantize_embeddings(
 # ---------------------------------------------------------------------------
 
 
+def centroid_argmin_col(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Cluster assignment against LITERAL centers: argmin squared distance,
+    ties to the LOWEST index (Spark ML's first-minimum rule). One
+    left-to-right fold per centroid (0.0 + t1 is exact), array_position
+    returns the first occurrence of the min — the exact expression the
+    ``semdedup_assign_prune`` oracle replays, shared by every
+    literal-centroid consumer (semantic_dedup serve path, kmeans_train's
+    Lloyd assignment, ann_topk_ivf, ivfpq_train)."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                c,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda s, t: s + t,
+        ),
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _kmeanspp_init(X, k: int, seed: str):
+    """Deterministic k-means++ seeding over the driver-side sample: the
+    first center is the md5-order first row; each next center is drawn
+    with probability proportional to its squared distance from the
+    nearest chosen center, using an md5-derived uniform (no RNG state) —
+    the same D^2 seeding that makes kmeans||/k-means++ init beat random
+    sampling (a plain md5-sample init measured ann_ivf recall@5 0.54 at
+    sf0.1, under the 0.6 gate bar; D^2 seeding restores the ML-fit
+    quality band). Duplicate-proof by construction: a zero-distance
+    point has zero selection weight (an all-duplicates degenerate sample
+    falls back to repeating row 0, which never wins an assignment —
+    argmin ties break low)."""
+    import hashlib
+
+    import numpy as np
+
+    n = X.shape[0]
+    C = np.empty((k, X.shape[1]), dtype=np.float64)
+    C[0] = X[0]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:  # fewer distinct rows than k
+            C[j] = X[0]
+            continue
+        u = (
+            int(hashlib.md5(f"{seed}:kpp:{j}".encode()).hexdigest()[:15], 16)
+            / 2.0**60
+        )
+        idx = int(np.searchsorted(np.cumsum(d2 / tot), u, side="right"))
+        C[j] = X[min(idx, n - 1)]
+        d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+    return C
+
+
+#: kmeans_train's driver-side sample bound: N/k stays >= 512 at the
+#: gates' k=16 — far past where 16-means centroid estimates stabilize —
+#: while the collected bytes stay model-scale (8192 x 64 doubles = 4 MB),
+#: not corpus-scale.
+KMEANS_TRAIN_CAP = 8192
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    iters: int = 25,
+    vec_col: str = "embedding",
+    seed: str = "km",
+    sample_fraction: float | None = None,
+    cap: int = KMEANS_TRAIN_CAP,
+    restarts: int = 8,
+) -> list[list[float]]:
+    """K-means trainer for the in-gate quantizers: numpy Lloyd on a
+    BOUNDED deterministic sample, best of ``restarts`` deterministic
+    k-means++ seedings by within-cluster SSE, replacing Spark ML KMeans
+    fits (r14 verdict #1).
+
+    Why this shape (measured, tools/profile_gates.py): the ML fit is a
+    ~25-job chain (k-means|| init passes + up to 20 Lloyd jobs) — 2.0 s
+    per gate at sf0.1; a distributed DataFrame Lloyd re-plans and
+    re-shuffles per round and measured 5.5 s (per-round Catalyst planning
+    + exchange dwarf the arithmetic at any corpus size — the per-round
+    work is k x dim floats). The production observation: k-means for a
+    16-cell coarse quantizer converges on a model-scale sample, so the
+    trainer needs exactly ONE corpus pass — a per-partition top-``cap``
+    by md5 of the vector bytes (TakeOrdered: no shuffle, driver receives
+    cap x dim doubles) — and the Lloyd rounds are in-memory numpy
+    (~10 ms), not Spark jobs.
+
+    Deterministic: the md5 order fixes the sample and the init (first
+    ``k`` DISTINCT vectors of it — duplicate-proof on planted-dup
+    corpora, where two identical seeds would pin an empty cluster);
+    numpy on a fixed row order is reproducible. Still fp-arithmetic
+    (means), so consumers stay behind recall/margin gates, never
+    value-hashed. Lloyd stops early when assignments fix; empty clusters
+    keep their centroid (argmin ties break to the lowest index, matching
+    ``centroid_argmin_col``).
+
+    At 100 TB pass ``sample_fraction`` to cut the sampling pass's scan;
+    ``cap`` bounds driver memory regardless.
+    """
+    import numpy as np
+
+    base = df.sample(fraction=sample_fraction, seed=42) if sample_fraction else df
+    rows = (
+        base.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn(
+            "_key", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_v").cast("string")))
+        )
+        .orderBy("_key")
+        .limit(cap)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("kmeans_train: empty training frame")
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    x2 = (X * X).sum(axis=1)
+
+    def lloyd(C):
+        prev_assign = None
+        d2 = None
+        for _ in range(iters):
+            # ||x||^2 - 2 x.c + ||c||^2 (monotone-equivalent argmin,
+            # cap x k instead of cap x k x dim intermediates)
+            d2 = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = d2.argmin(axis=1)
+            if prev_assign is not None and np.array_equal(assign, prev_assign):
+                break
+            prev_assign = assign
+            for j in range(k):
+                m = assign == j
+                if m.any():
+                    C[j] = X[m].mean(axis=0)
+        inertia = float(d2.min(axis=1).sum())
+        return C, inertia
+
+    # best-of-R restarts by within-cluster SSE: single-init Lloyd (any
+    # init) lands in local optima that cost real recall (measured 0.48-
+    # 0.58 ann_ivf recall@5 vs the ML fit's 0.66-0.72); R deterministic
+    # k-means++ streams restore and slightly beat the kmeans|| band for
+    # ~10 ms of numpy per restart
+    best: tuple | None = None
+    for r in range(restarts):
+        C, inertia = lloyd(_kmeanspp_init(X, k, f"{seed}:r{r}"))
+        if best is None or inertia < best[1]:
+            best = (C, inertia)
+    return [[float(x) for x in c] for c in best[0]]
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -475,42 +648,15 @@ def semantic_dedup(
     if centroids is not None:
         if len(centroids) != nlist:
             raise ValueError(f"centroids has {len(centroids)} rows, nlist={nlist}")
-        cents = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        )
-        # left-to-right fold (0.0 + t1 is exact) — the oracle replays
-        # the same chain; argmin via array_position (first occurrence)
-        # == lowest-index tie-break
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"),
-                    c,
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda s, t: s + t,
-            ),
-        )
-        assigned = df.withColumn(
-            "cluster",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-        )
     else:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        fc = df.select(
-            F.col(id_col),
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv"),
-        )
-        model = KMeans(
-            k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster"
-        ).fit(fc)
-        assigned = df.join(
-            model.transform(fc).select(id_col, "cluster"), id_col
-        )
+        # r15 (verdict #1): the trainer is kmeans_train (ONE sampling job
+        # + driver numpy Lloyd) instead of a Spark ML KMeans fit (~25-job
+        # chain); the serve path below is IDENTICAL either way, so the
+        # swap is gate-bounded (semdedup_gate planted-recall), and
+        # assignment becomes a scalar column instead of a join back on
+        # id — one exchange gone from the serve plan.
+        centroids = kmeans_train(df, k=nlist, vec_col=vec_col)
+    assigned = df.withColumn("cluster", centroid_argmin_col(vec_col, centroids))
     members = assigned.select(
         F.col("cluster"),
         F.col(id_col),
@@ -522,7 +668,7 @@ def semantic_dedup(
         # cluster sizes via groupBy (partial agg, skew-safe — a megacluster
         # must never become one window task), materialized eagerly: the
         # frame is ≤ nlist rows and feeds THREE consumers (members filter,
-        # a/b pair sides, output flag) — localCheckpoint stops the k-means
+        # pair generation, output flag) — localCheckpoint stops the k-means
         # assignment lineage from re-executing once per consumer
         sizes = (
             assigned.groupBy("cluster")
@@ -536,6 +682,24 @@ def semantic_dedup(
         )
         assigned = assigned.join(F.broadcast(sizes), "cluster")
         capped = F.col("_sz") > max_cluster_size
+    # r15: members is localCheckpoint-materialized before the pair
+    # self-join, for two measured reasons (tools/ab_gates_oldnew.py,
+    # OPTIMIZATION_r15.md):
+    # (1) the argmin+norm lambdas are computed ONCE instead of once per
+    #     join branch, and the final dups join-back no longer shares a
+    #     lineage with `assigned` — a⋈b over the checkpoint beat both
+    #     the old recompute-per-branch form (min 4.28 -> 2.20 s with the
+    #     r15 trainer) and a collect_list array-pair rewrite (2.93 s);
+    # (2) it is the CORRECTNESS fix for an inherited latent flake: Spark
+    #     4.1's relation dedup mis-rewrites a duplicated higher-order-
+    #     function subtree under a self-join when the query is the
+    #     session's first (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, repro in
+    #     OPTIMIZATION_r15.md); with the checkpoint, the join duplicates
+    #     a plain RDD scan, which rewrites cleanly.
+    # Trade (same class as q15's checkpoint): the materialized frame is
+    # corpus-sized and non-replayable on executor loss — the query
+    # retries from scratch instead of recomputing the lost partition.
+    members = members.localCheckpoint(eager=True)
     a = members.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
@@ -589,49 +753,6 @@ def _books_literal(books: list[list[list[float]]]) -> Column:
     )
 
 
-PQ_INIT_SALTS = 64
-
-
-def _pq_init_rows(subs: DataFrame, codewords: int, seed: str) -> list:
-    """Deterministic PQ init: the ``codewords`` subvectors per subspace
-    that sort first by md5 of their contents — selected in TWO bounded
-    stages rather than one row_number window partitioned only by ``j``
-    (the r5 verdict's robustness flag: with only ``m`` partitions, each
-    init task sorted the whole training frame).
-
-    Stage 1 salts each row by a hash of its md5 key into
-    ``PQ_INIT_SALTS`` buckets and takes the per-(j, salt) top
-    ``codewords`` — every global top row lands in some bucket and each
-    bucket keeps its own top ``codewords``, so the union provably
-    contains the global winners while each window task sorts only
-    ~1/(m*salts) of the frame. Stage 2 re-ranks the surviving
-    ≤ m*salts*codewords rows (a few thousand at the defaults) globally
-    per subspace. The selected multiset is identical to the single-window
-    form for any corpus size, so codebooks — and pq_recall — are
-    unchanged."""
-    from pyspark.sql.window import Window as W
-
-    keyed = subs.withColumn("_svs", F.col("sv").cast("string")).withColumn(
-        "_k", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_svs")))
-    )
-    stage1 = (
-        keyed.withColumn("_s", F.pmod(F.xxhash64("_k"), F.lit(PQ_INIT_SALTS)))
-        .withColumn(
-            "r", F.row_number().over(W.partitionBy("j", "_s").orderBy("_k", "_svs"))
-        )
-        .filter(F.col("r") <= codewords)
-        .drop("r", "_s")
-    )
-    return (
-        stage1.withColumn(
-            "r", F.row_number().over(W.partitionBy("j").orderBy("_k", "_svs"))
-        )
-        .filter(F.col("r") <= codewords)
-        .select("j", "r", "sv")
-        .collect()
-    )
-
-
 def pq_train(
     df: DataFrame,
     dim: int,
@@ -641,123 +762,95 @@ def pq_train(
     vec_col: str = "embedding",
     seed: str = "pq",
     sample_fraction: float | None = None,
+    cap: int = KMEANS_TRAIN_CAP,
 ) -> list[list[list[float]]]:
-    """Train PQ codebooks with distributed Lloyd iterations over ALL ``m``
-    subspaces at once. Returns driver-side ``[m][codewords][dim/m]``
-    nested lists — 16x16x4 doubles (~4 KB) at the defaults: codebooks are
-    broadcast-scale regardless of corpus size.
+    """Train PQ codebooks: numpy Lloyd per subspace over a BOUNDED
+    deterministic sample — the ``kmeans_train`` shape (r15, verdict #1).
+    Returns driver-side ``[m][codewords][dim/m]`` nested lists — 16x16x4
+    doubles (~4 KB) at the defaults: codebooks are broadcast-scale
+    regardless of corpus size.
 
-    Why not ``m`` Spark ML KMeans fits: each fit is its own job chain
-    (measured ~1.5-2 s of overhead per fit locally — m=16 costs ~25 s
-    before any real work); here every Lloyd round is ONE assignment +
-    ONE aggregation over the exploded (subspace, subvector) rows, with the
-    current codebooks riding along as a literal. Initialization picks
-    ``codewords`` md5-ordered corpus rows per subspace — deterministic
-    across runs/partitionings, no RNG state.
+    Why not distributed Lloyd rounds (the r5-r14 form: per round one
+    Arrow assignment pass + one aggregation + a collect): each round is
+    a full Spark job with Catalyst planning and a shuffle, and the
+    measured round cost is job overhead, not arithmetic — pq_train was
+    2.4 s of the 4.2 s pq_recall gate at sf0.1 (tools/profile_gates.py)
+    while the actual Lloyd arithmetic on the training sample is ~10 ms
+    of numpy. PQ codebooks converge on a model-scale sample (the
+    documented 100 TB amortization), so the trainer needs exactly ONE
+    Spark job: a per-partition top-``cap`` of vectors by md5 of their
+    contents (TakeOrdered, no shuffle, driver receives cap x dim
+    doubles); subspace splitting, init and all Lloyd rounds are then
+    in-memory numpy.
 
-    Per round, only (m x codewords x dim/m) averaged floats return to the
-    driver — codebook-sized, not corpus-sized. At 100 TB pass
-    ``sample_fraction``: PQ codebooks converge on a sliver of the corpus.
-
-    Empty clusters keep their previous centroid.
+    Deterministic across runs/partitionings: the md5 order fixes the
+    sample; init per subspace is the ``codewords`` DISTINCT subvectors
+    that sort first by md5 of their bytes (no RNG state); numpy on a
+    fixed row order is reproducible. Still fp arithmetic (means), so
+    codebook consumers stay behind recall gates, never value-hashed.
+    ``iters`` keeps its meaning (Lloyd rounds, with an identical-result
+    early stop when assignments fix); empty clusters keep their previous
+    centroid. At 100 TB pass ``sample_fraction`` to cut the sampling
+    pass's scan; ``cap`` bounds driver memory regardless.
     """
-    from pyspark.sql.window import Window as W
+    import hashlib
+
+    import numpy as np
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     base = df.sample(fraction=sample_fraction, seed=42) if sample_fraction else df
-    subs = base.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s")
-    ).select("s.j", "s.sv")
-    subs = subs.persist()
-    try:
-        init_rows = _pq_init_rows(subs, codewords, seed)
-        books: list[list[list[float]]] = [[None] * codewords for _ in range(m)]
-        for row in init_rows:
-            books[row["j"]][row["r"] - 1] = [float(x) for x in row["sv"]]
-        for j in range(m):  # degenerate tiny input: fewer rows than codewords
-            for c in range(codewords):
-                if books[j][c] is None:
-                    books[j][c] = [0.0] * sub
-
-        for _ in range(iters):
-            means = (
-                _pq_assign_frame(subs, books, sub)
-                .select("j", "code", F.posexplode("sv").alias("pos", "x"))
-                .groupBy("j", "code", "pos")
-                .agg(F.avg("x").alias("mu"))
-                .collect()
-            )
-            for r in means:
-                books[r["j"]][r["code"]][r["pos"]] = float(r["mu"])
-    finally:
-        subs.unpersist()
-    return books
-
-
-def _pq_assign_expr(codewords: int) -> str:
-    """The Lloyd assignment as a scalar SQL expression over ``(j, sv)``
-    rows with the ``_books`` literal riding along — argmin codeword by
-    squared distance, ties to the lowest code. Kept as the executable
-    SPEC for the Arrow kernel below (parity pinned by
-    tests/test_similarity.py); the training loop itself runs the kernel:
-    interpreted higher-order evaluation over a ``codewords``-sized
-    literal costs ~ms/row and the literal alone is m x codewords x sub
-    doubles in every iteration's plan (at the 8-bit dedup operating
-    point that made each Lloyd round ~20 s on a 2k-vector delivery)."""
-    return (
-        f"array_min(transform(sequence(0, {codewords - 1}, 1), c -> named_struct("
-        f"'d', aggregate(zip_with(sv, element_at(element_at(_books, j + 1), c + 1),"
-        f" (x, y) -> (x - y) * (x - y)), cast(0 as double), (a, z) -> a + z),"
-        f" 'c', c))).c"
+    rows = (
+        base.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn(
+            "_key", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_v").cast("string")))
+        )
+        .orderBy("_key")
+        .limit(cap)
+        .collect()
     )
-
-
-def _pq_assign_frame(
-    subs: DataFrame, books: list[list[list[float]]], sub: int
-) -> DataFrame:
-    """Vectorized Lloyd assignment over exploded ``(j, sv)`` subvector
-    rows: one Arrow pass emitting ``(j, code, sv)``. Bit-exact vs
-    :func:`_pq_assign_expr`: squared-distance terms fold in subspace
-    order (matching the expression's ordered ``aggregate``) and
-    ``np.argmin`` takes the first minimum (matching ``array_min`` on
-    ``(d, c)`` structs)."""
-    import numpy as np
-    import pandas as pd
-
-    books_np = np.asarray(books, dtype=np.float64)  # (m, codewords, sub)
-
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            j = pdf["j"].to_numpy(dtype=np.int64)
-            sv = np.stack(pdf["sv"].values).astype(np.float64)  # (n, sub)
-            diff = sv[:, None, :] - books_np[j]  # (n, codewords, sub)
-            sq = diff * diff
-            dd = sq[..., 0].copy()
-            for p in range(1, sub):
-                dd += sq[..., p]
-            yield pd.DataFrame(
-                {
-                    "j": j,
-                    "code": dd.argmin(axis=1).astype("int32"),
-                    "sv": pdf["sv"].values,
-                }
-            )
-
-    return subs.mapInPandas(assign, schema="j int, code int, sv array<double>")
+    if not rows:
+        raise ValueError("pq_train: empty training frame")
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)  # n x dim
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = np.ascontiguousarray(X[:, j * sub : (j + 1) * sub])
+        # init: the `codewords` DISTINCT subvectors that sort first by
+        # md5 of their bytes (duplicate-proof; zero-pad a degenerate
+        # tiny input, as before)
+        order = sorted(
+            range(S.shape[0]),
+            key=lambda i: hashlib.md5(
+                f"{seed}:{j}:".encode() + S[i].tobytes()
+            ).hexdigest(),
+        )
+        cents: list = []
+        seen: set = set()
+        for i in order:
+            tv = S[i].tobytes()
+            if tv not in seen:
+                seen.add(tv)
+                cents.append(S[i])
+            if len(cents) == codewords:
+                break
+        while len(cents) < codewords:
+            cents.append(np.zeros(sub))
+        C = np.asarray(cents, dtype=np.float64)
+        s2 = (S * S).sum(axis=1)
+        prev_assign = None
+        for _ in range(iters):
+            d2 = s2[:, None] - 2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+            assign = d2.argmin(axis=1)
+            if prev_assign is not None and np.array_equal(assign, prev_assign):
+                break  # fixpoint: means are unchanged, identical result
+            prev_assign = assign
+            for c in range(codewords):
+                msk = assign == c
+                if msk.any():
+                    C[c] = S[msk].mean(axis=0)
+        books.append([[float(x) for x in cent] for cent in C])
+    return books
 
 
 def pq_encode_expr(m: int, codewords: int, sub: int, vec_col: str) -> str:
@@ -1126,32 +1219,39 @@ def ivfpq_train(
     (the 100 TB amortization — they converge on a sliver of the corpus);
     the returned model is KB-sized driver-side lists, persistable via
     :func:`save_ivfpq` and reusable across search jobs via
-    ``ivfpq_topk_rerank(..., centroids=..., codebooks=...)``."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``ivfpq_topk_rerank(..., centroids=..., codebooks=...)``.
 
-    fc = corpus.select(
-        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+    r15 (verdict #1): the coarse quantizer trains via the deterministic
+    sampled Lloyd (``kmeans_train``, ONE sampling job + driver numpy)
+    instead of a Spark ML KMeans fit (~25-job chain), and the residual
+    frame assigns cells with the scalar literal-centroid argmin instead
+    of a model-transform joined back on id — the id-join disappears from
+    the residual plan (gate-bounded: ivfpq_recall's bar is the
+    invariant, the PQ arithmetic downstream is value-hashed separately)."""
+    centroids = kmeans_train(
+        corpus, k=nlist, vec_col=vec_col,
+        seed="ivfcoarse", sample_fraction=sample_fraction,
     )
-    train_fc = fc.sample(fraction=sample_fraction, seed=seed) if sample_fraction else fc
-    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(
-        train_fc
-    )
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    cents = corpus.sparkSession.createDataFrame(
-        [(j, c) for j, c in enumerate(centroids)],
-        "cluster int, _cent array<double>",
-    )
-    resid = (
-        corpus.join(model.transform(fc).select(id_col, "cluster"), id_col)
-        .join(F.broadcast(cents), "cluster")
-        .withColumn(
-            "_resid",
-            F.expr(
-                f"zip_with(cast({vec_col} as array<double>), _cent, (x, y) -> x - y)"
-            ),
-        )
-    )
+    # residuals via the shared numpy kernel (ONE Arrow pass: assign +
+    # subtract; same first-min argmin as ivfpq_encode, so training
+    # residuals and encode residuals use one assignment rule) — replaces
+    # an interpreted literal-argmin column + a broadcast join + an
+    # interpreted zip_with subtract per row (r15; pq_train only consumes
+    # the residual vectors, so nothing else crosses the boundary)
+    import numpy as np
+    import pandas as pd
+
+    cents_np = np.asarray(centroids, dtype=np.float64)
+
+    def resid_fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].values).astype(np.float64)
+            cells = _blocked_argmin_d2(x, cents_np)
+            yield pd.DataFrame({"_resid": list(x - cents_np[cells])})
+
+    resid = corpus.select(vec_col).mapInPandas(resid_fn, schema="_resid array<double>")
     books = pq_train(
         resid, dim, m, codewords, iters, vec_col="_resid",
         seed="ivfpq", sample_fraction=sample_fraction,

@@ -93,4 +93,10 @@ EAGER = {
     "ivfpq_recall",
     "bpe_gate",
     "quality_classifier_gate",  # trains an ML pipeline at construction
+    # r15: the IVF gate's kmeans_train collects its bounded training
+    # sample at construction (one TakeOrdered job), same class as the
+    # other in-gate trainers above; its serve-side Arrow argmin kernel
+    # (_blocked_argmin_d2 via mapInPandas, guide §4.2) is covered by
+    # tools/plan_audit.py and tests/test_similarity.py
+    "ann_ivf_recall",
 }

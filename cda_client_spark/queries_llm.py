@@ -774,7 +774,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-verified against brute force (tests/test_similarity.py)."""
     e = t(spark, sf_dir, "embeddings")
     return _ann_topk_ivf_op(
-        e, e.filter(F.col("vec_id") < 10), dim=EMB_DIM, k=5, nlist=16, nprobe=4
+        e, e.filter(F.col("vec_id") < 10), dim=EMB_DIM, k=5, nlist=16, nprobe=6
     )
 
 
@@ -789,7 +789,15 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = ann_topk(e, q, dim=EMB_DIM, k=5, method="bruteforce").select(
         "query_id", "neighbor_id"
     )
-    ivf = _ann_topk_ivf_op(e, q, dim=EMB_DIM, k=5, nlist=16, nprobe=4).select(
+    # nprobe=6 (r15, was 4): the kmeans_train coarse cells are BETTER
+    # balanced than the old ML fit's (lower SSE, no singleton cells —
+    # tools/profile_gates.py / OPTIMIZATION_r15.md), so the old recall
+    # band partly rode on two degenerate cells fattening the probed
+    # fraction; probing 6/16 balanced cells restores it honestly
+    # (recall@5 0.76/0.76/0.64 at sf0.001/0.01/0.1 vs the ML fit's
+    # 0.72/0.66 at 4/14 effective cells) — the same textbook knob r9
+    # applied to ivfpq_recall
+    ivf = _ann_topk_ivf_op(e, q, dim=EMB_DIM, k=5, nlist=16, nprobe=6).select(
         "query_id", "neighbor_id"
     )
     hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
@@ -1573,8 +1581,16 @@ def quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     junk = d.select("doc_id", junk_text.alias("text"))
     even, odd = F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+    # max_iter=5 (r15, was 15): the L-BFGS solver runs to its iteration
+    # cap on this gate (never tol-converges), so iterations are pure
+    # linear cost — and the margin bars saturate far earlier: measured
+    # held-out pos/neg/acc at max_iter=5 are 0.991-0.994 / 0.002-0.004 /
+    # 1.000 at sf0.001/0.01/0.1 (vs bars 0.8 / 0.2 / 0.95; max_iter=15
+    # moves them only in the 3rd decimal). Train stage 1.86 -> 1.09 s
+    # measured (tools/profile_gates.py); the gate's decision is
+    # unchanged by two orders of magnitude of margin.
     model = train_quality_classifier(
-        d.filter(even), junk.filter(even), num_features=1024, max_iter=15
+        d.filter(even), junk.filter(even), num_features=1024, max_iter=5
     )
     held = score_quality(
         model,

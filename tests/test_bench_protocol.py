@@ -234,3 +234,51 @@ def test_published_calib_describes_published_numbers():
     assert c2 == p1 and agree2 is False
     c3, agree3 = published_calib(p1, True, None, False)
     assert c3 == p1 and agree3 is True
+
+
+def test_calib_norm_column_and_compare_consumption():
+    """r14 verdict #8 (methodology 8): the bench record publishes each
+    query's fastest rep normalized by the record's own mean calibration
+    on BOTH axes, and bench_compare reads per-query norm ratios straight
+    off the committed columns when both records carry them."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from bench import calib_norm_column
+    from bench_compare import compare
+
+    detail = {"qa": {"samples": [2.0, 4.0]}, "qb": {"samples": [0.5]}}
+    calib = {
+        "start": {"calib_1t_s": 0.25, "calib_32t_s": 1.0},
+        "end": {"calib_1t_s": 0.25, "calib_32t_s": 3.0},
+    }
+    col = calib_norm_column(detail, calib)
+    assert col["qa"] == {"min_s": 2.0, "norm_1t": 8.0, "norm_32t": 1.0}
+    assert col["qb"]["norm_1t"] == 2.0  # 0.5 / mean(0.25, 0.25)
+
+    def rec(q, samples, c32, c1):
+        cal = {
+            "start": {"calib_32t_s": c32, "calib_1t_s": c1},
+            "end": {"calib_32t_s": c32, "calib_1t_s": c1},
+        }
+        det = {n: {"samples": s} for n, s in samples.items()}
+        return {
+            "queries": dict(q),
+            "calib": cal,
+            "detail": det,
+            "queries_calib_norm": calib_norm_column(det, cal),
+        }
+
+    # NEW box 2x slower on 32t: committed columns must yield norm 1.0
+    old = rec({"qa": 10.0, "qb": 0.5}, {"qa": [10.0], "qb": [0.5]}, 1.0, 0.5)
+    new = rec({"qa": 20.0, "qb": 0.5}, {"qa": [20.0], "qb": [0.5]}, 2.0, 0.5)
+    out = compare(old, new)
+    assert out["per_query"]["qa"]["norm_ratio"] == 1.0
+    assert out["per_query"]["qa"]["calib_axis"] == "32t"
+    # sub-second query follows the committed 1t column (same c1 -> raw)
+    assert out["per_query"]["qb"]["norm_ratio"] == 1.0
+    # one side lacking the column falls back to the derived path
+    del new["queries_calib_norm"]
+    out2 = compare(old, new)
+    assert out2["per_query"]["qa"]["norm_ratio"] == 1.0

@@ -356,73 +356,33 @@ def test_pq_train_shape_and_determinism(spark):
     assert b1 == b2  # md5 init + exact averaging: partitioning-invariant
 
 
-def test_pq_init_two_stage_matches_single_window_and_is_bounded(spark):
-    """The salted two-stage init must select the exact multiset the naive
-    single window (partitioned only by j) would, on a corpus large enough
-    that every salt bucket is populated — and the stage-1 survivor frame
-    must stay under the m * PQ_INIT_SALTS * codewords bound."""
+def test_pq_train_bounded_sample_and_fixpoint(spark):
+    """r15 trainer shape: pq_train collects at most ``cap`` md5-ordered
+    vectors (driver-side numpy Lloyd — one Spark job), its init is
+    duplicate-proof (an all-duplicates corpus must not seed identical
+    codewords beyond the first), and the assignment-fixpoint early stop
+    returns the same books as running the full iteration budget."""
+    from cda_client_spark.operators.similarity import pq_train
+
+    df = _pq_frame(spark, n=60)
+    # cap smaller than the corpus: still deterministic across partitionings
+    b1 = pq_train(df, dim=16, m=4, codewords=4, iters=2, cap=32)
+    b2 = pq_train(df.repartition(7), dim=16, m=4, codewords=4, iters=2, cap=32)
+    assert b1 == b2
+    # fixpoint early stop == a larger iteration budget once converged
+    b_conv = pq_train(df, dim=16, m=4, codewords=4, iters=50)
+    b_more = pq_train(df, dim=16, m=4, codewords=4, iters=80)
+    assert b_conv == b_more
+    # duplicate-heavy corpus: init must pick DISTINCT subvectors first
     import pyspark.sql.functions as F
-    from pyspark.sql.window import Window as W
 
-    from cda_client_spark.operators.similarity import (
-        PQ_INIT_SALTS,
-        _pq_init_rows,
-    )
-
-    dim, m, codewords, seed = 8, 2, 4, "pq"
-    sub = dim // m
-    df = _pq_frame(spark, n=5000, dim=dim)
-    subs = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.slice(
-                            F.col("embedding").cast("array<double>"),
-                            j * sub + 1,
-                            sub,
-                        ).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s")
-    ).select("s.j", "s.sv")
-
-    got = {(r["j"], r["r"]): r["sv"] for r in _pq_init_rows(subs, codewords, seed)}
-    ref_rows = (
-        subs.withColumn(
-            "r",
-            F.row_number().over(
-                W.partitionBy("j").orderBy(
-                    F.md5(F.concat(F.lit(f"{seed}:"), F.col("sv").cast("string"))),
-                    F.col("sv").cast("string"),
-                )
-            ),
-        )
-        .filter(F.col("r") <= codewords)
-        .collect()
-    )
-    ref = {(r["j"], r["r"]): r["sv"] for r in ref_rows}
-    assert got == ref
-    assert len(got) == m * codewords
-
-    # stage-1 bound: with the two-stage form, what reaches the final global
-    # window is at most m * salts * codewords rows regardless of corpus size
-    keyed = subs.withColumn("_svs", F.col("sv").cast("string")).withColumn(
-        "_k", F.md5(F.concat(F.lit(f"{seed}:"), F.col("_svs")))
-    )
-    survivors = (
-        keyed.withColumn("_s", F.pmod(F.xxhash64("_k"), F.lit(PQ_INIT_SALTS)))
-        .withColumn(
-            "r", F.row_number().over(W.partitionBy("j", "_s").orderBy("_k", "_svs"))
-        )
-        .filter(F.col("r") <= codewords)
-        .count()
-    )
-    assert survivors <= m * PQ_INIT_SALTS * codewords
-    assert survivors < subs.count()  # it actually pruned the oversized corpus
+    dup = df.limit(2)
+    many = dup.unionByName(dup).unionByName(dup).unionByName(dup)
+    books = pq_train(many, dim=16, m=4, codewords=4, iters=1)
+    for book in books:
+        # 2 distinct rows -> 2 distinct seeds, rest zero-padded (then one
+        # Lloyd round may move them); no book may be 4 identical rows
+        assert len({tuple(c) for c in book}) >= 2
 
 
 def test_pq_encode_codes_in_range(spark):
@@ -829,52 +789,6 @@ def test_ivfpq_screen_chunked_equals_topk_adc(spark):
         for r in ivfpq_screen_chunked(enc, q, cents, books, **full_kw).collect()
     }
     assert want and got == want
-
-
-def test_pq_assign_kernel_matches_expression_spec(spark):
-    """The Lloyd-assignment Arrow kernel (_pq_assign_frame) is bit-exact
-    vs its executable SQL spec (_pq_assign_expr) — same ordered
-    squared-distance fold, same first-minimum tie rule — including a
-    planted exact tie (duplicate codewords) that must resolve to the
-    LOWER code on both paths."""
-    import math
-
-    from pyspark.sql import functions as F
-
-    from cda_client_spark.operators.similarity import (
-        _books_literal,
-        _pq_assign_expr,
-        _pq_assign_frame,
-    )
-
-    m, codewords, sub = 3, 5, 4
-    books = [
-        [
-            [math.sin(j * 1.7 + c * 0.9 + p * 0.4) for p in range(sub)]
-            for c in range(codewords)
-        ]
-        for j in range(m)
-    ]
-    books[1][3] = list(books[1][1])  # exact tie: codes 1 and 3 equal
-    rows = [
-        (i % m, [math.cos(i * 0.23 + p * 0.71) for p in range(sub)])
-        for i in range(90)
-    ] + [(1, list(books[1][1]))]  # lands exactly on the tied codewords
-    subs = spark.createDataFrame(rows, "j int, sv array<double>")
-
-    got = sorted(
-        (r["j"], tuple(r["sv"]), r["code"])
-        for r in _pq_assign_frame(subs, books, sub).collect()
-    )
-    want = sorted(
-        (r["j"], tuple(r["sv"]), r["code"])
-        for r in subs.withColumn("_books", _books_literal(books))
-        .withColumn("code", F.expr(_pq_assign_expr(codewords)))
-        .collect()
-    )
-    assert got == want
-    tied = [c for j, sv, c in got if sv == tuple(books[1][1])]
-    assert tied == [1]  # not 3: first-minimum rule
 
 
 def test_compact_probe_state_equals_dense_reference():

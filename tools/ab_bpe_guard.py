@@ -68,12 +68,20 @@ def main() -> None:
 
     dfs = {"old": encode_df(spark, sf_dir, old_chain), "new": encode_df(spark, sf_dir, new_chain)}
 
-    # plan probe: how many times does the merge fold appear?
+    # plan probe: how many times does the merge fold appear? Count the
+    # fold's own last-symbol probe `element_at(<lambda var>, -1)` — unique
+    # to the merge lambda — instead of 'slice(' (r14 ADVICE: any unrelated
+    # slice() in a future plan would skew the count). HOF lambda variables
+    # print as namedlambdavariable() in formatted plans; fall back to the
+    # raw element_at count if that rendering ever changes.
     for name, df in dfs.items():
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
-        print(f"plan[{name}]: fold-occurrences={plan.count('slice(')}")
+        n = plan.count("element_at(namedlambdavariable(), -1)")
+        if n == 0:
+            n = plan.count("element_at(")
+        print(f"plan[{name}]: fold-occurrences={n}")
 
     # value identity
     a = dfs["old"].orderBy("doc_id").collect()

@@ -1,0 +1,169 @@
+"""Connected-components edges pre-partitioning A/B on a graph big enough
+that the per-round labels join is NOT broadcast (VERDICT r14 "Next round"
+#3 — the r14 rejection's own caveat was that at bench scale the labels
+side broadcasts, so the cached edges partitioning could not show value).
+
+Graph: 200k nodes = 1,000 chains x 100 nodes (forces ~log2(100) pointer-
+jumping rounds) + 10,000 stars x 10 nodes. Broadcast joins are disabled
+(autoBroadcastJoinThreshold=-1, AQE local-shuffle-read left on) to put
+the join in the sort-merge regime a 100 TB corpus would be in.
+
+Variants (both return identical (node, component) sets — asserted):
+  shipped  — operators/graph.py connected_components as committed
+  prepart  — edges cache repartitioned AND sorted on the join key before
+             persist, so every round's edges-side exchange AND sort
+             disappear (cached InMemoryRelation preserves partitioning
+             and ordering)
+
+Also dumps one round's join plan for each variant (Exchange count on the
+edges side is the box-independent evidence).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+from pyspark.storagelevel import StorageLevel  # noqa: E402
+
+from bench import calibration_probe  # noqa: E402
+from cda_client_spark.operators.graph import connected_components  # noqa: E402
+from cda_client_spark.session import get_spark  # noqa: E402
+
+REPS = int(os.environ.get("AB_REPS", "4"))
+CHAINS, CHAIN_LEN = 1_000, 100
+STARS, STAR_SIZE = 10_000, 10
+
+
+def build_pairs(spark) -> DataFrame:
+    chain_base = 0
+    chains = (
+        spark.range(CHAINS * (CHAIN_LEN - 1))
+        .select(
+            (F.lit(chain_base) + (F.col("id") / (CHAIN_LEN - 1)).cast("bigint") * CHAIN_LEN
+             + F.col("id") % (CHAIN_LEN - 1)).alias("id_a")
+        )
+        .select("id_a", (F.col("id_a") + 1).alias("id_b"))
+    )
+    star_base = CHAINS * CHAIN_LEN
+    stars = (
+        spark.range(STARS * (STAR_SIZE - 1))
+        .select(
+            (F.lit(star_base) + (F.col("id") / (STAR_SIZE - 1)).cast("bigint") * STAR_SIZE).alias("id_a"),
+            (F.lit(star_base) + (F.col("id") / (STAR_SIZE - 1)).cast("bigint") * STAR_SIZE
+             + 1 + F.col("id") % (STAR_SIZE - 1)).alias("id_b"),
+        )
+    )
+    return chains.unionByName(stars)
+
+
+def cc_prepart(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """connected_components with the edges cache repartitioned+sorted on
+    ``dst`` (the per-round join key) before persist."""
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+        .repartition(F.col("dst"))
+        .sortWithinPartitions("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
+        .select(F.col("src").alias("node"), "component")
+        .localCheckpoint()
+    )
+    try:
+        prev_sum = labels.agg(F.sum("component").alias("s")).first()["s"]
+        for rnd in range(max_iterations):
+            neighbor_labels = edges.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            ).select(F.col("src").alias("node"), "component")
+            proposed = (
+                neighbor_labels.union(labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            hop = labels.select(
+                F.col("node").alias("component"), F.col("component").alias("hopped")
+            )
+            new_labels = (
+                proposed.join(hop, "component", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce("hopped", F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            if rnd == 0:
+                dump_plan("prepart", neighbor_labels)
+            new_sum = new_labels.agg(F.sum("component").alias("s")).first()["s"]
+            labels = new_labels
+            if new_sum == prev_sum:
+                return labels
+            prev_sum = new_sum
+        raise RuntimeError("no convergence")
+    finally:
+        edges.unpersist()
+
+
+def dump_plan(name: str, df: DataFrame) -> None:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    n_ex = plan.count("Exchange")
+    print(f"plan[{name}] round-1 neighbor_labels: Exchange x{n_ex}")
+    path = os.path.join(os.path.dirname(__file__), f"_cc_round_plan_{name}.txt")
+    with open(path, "w") as fh:
+        fh.write(plan)
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="ab-cc-partition",
+        conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("probe-start:", calibration_probe())
+    pairs = build_pairs(spark).localCheckpoint()
+    print("pairs:", pairs.count())
+
+    # value identity
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, cc_prepart(pairs).collect()))
+    assert a == b, "VALUE MISMATCH"
+    print(f"values identical: {len(a)} nodes")
+
+    variants = {"shipped": lambda: connected_components(pairs), "prepart": lambda: cc_prepart(pairs)}
+    times = {k: [] for k in variants}
+    for r in range(REPS):
+        order = list(variants) if r % 2 == 0 else list(variants)[::-1]
+        for k in order:
+            t0 = time.monotonic()
+            variants[k]().write.format("noop").mode("overwrite").save()
+            times[k].append(time.monotonic() - t0)
+    for k, ts in times.items():
+        s = sorted(ts)
+        print(f"{k:<8} min {s[0]:.3f}  med {s[len(s) // 2]:.3f}  all {[round(x, 3) for x in ts]}")
+    print("probe-end:", calibration_probe())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Interleaved old-vs-new A/B for the r15 trainer/serve restructures of
+ann_ivf_recall and semdedup_gate (and the semdedup serve variants), in ONE
+session so box speed cancels.
+
+OLD = the r14 implementations (Spark ML KMeans fit + model-transform-join
+assignment; a⋈b members self-join serve), reconstructed verbatim below.
+NEW = the current operators (kmeans_train + scalar argmin; collect_list
+pair serve). A third semdedup serve variant (V-B: checkpointed members +
+a⋈b join) is measured to decide the serve shape on local evidence.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from bench import calibration_probe  # noqa: E402
+from cda_client_spark.operators.similarity import (  # noqa: E402
+    DEFAULT_MAX_BUCKET_SIZE,
+    _projections,
+    _scored,
+    ann_topk,
+    centroid_argmin_col,
+    norm_col,
+)
+from cda_client_spark.queries_llm import (  # noqa: E402
+    EMB_DIM,
+    _embs_with_dups,
+    ann_ivf_recall,
+    semdedup_gate,
+    t,
+)
+from cda_client_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("AB_REPS", "6"))
+SEMDEDUP_BAR = 0.8
+ANN_IVF_RECALL_BAR = 0.6
+
+
+def old_ann_topk_ivf(corpus, queries, dim, k=10, nlist=16, nprobe=4, seed=42):
+    """r14 form: Spark ML KMeans fit + model-transform joined on id."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from cda_client_spark.operators.similarity import plane_dot_col
+
+    id_col, vec_col, round_digits, exclude_self = "vec_id", "embedding", 6, True
+    fc = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="fv", predictionCol="cluster").fit(fc)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = model.transform(fc).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cluster")
+    )
+    c, q = _projections(corpus, queries, id_col, vec_col)
+    c = c.join(assigned, "neighbor_id")
+    probe_structs = [
+        F.struct(
+            (F.lit(sum(x * x for x in cent)) - 2 * plane_dot_col("q_vec", cent)).alias(
+                "score"
+            ),
+            F.lit(j).alias("cluster"),
+        )
+        for j, cent in enumerate(centroids)
+    ]
+    probes = F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe)
+    q = q.withColumn("pr", F.explode(probes)).select(
+        "query_id", "q_vec", "q_norm", F.col("pr.cluster").alias("cluster")
+    )
+    pairs = c.join(F.broadcast(q), "cluster")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos_sim", _scored(round_digits))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def old_ann_ivf_recall(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = ann_topk(e, q, dim=EMB_DIM, k=5, method="bruteforce").select(
+        "query_id", "neighbor_id"
+    )
+    ivf = old_ann_topk_ivf(e, q, dim=EMB_DIM, k=5, nlist=16, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("hits"))
+        .crossJoin(brute.agg(F.count("*").alias("total")))
+        .select(
+            (
+                (F.col("total") > 0)
+                & (F.col("hits") >= ANN_IVF_RECALL_BAR * F.col("total"))
+            ).alias("recall_ok")
+        )
+    )
+
+
+def _old_semantic_dedup(df, threshold, nlist, centroids=None, trainer="ml"):
+    """r14 serve shape (a⋈b members self-join); trainer selectable."""
+    id_col, vec_col, round_digits = "vec_id", "embedding", 6
+    max_cluster_size = DEFAULT_MAX_BUCKET_SIZE
+    if centroids is None:
+        if trainer == "ml":
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            fc = df.select(
+                F.col(id_col),
+                array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv"),
+            )
+            model = KMeans(
+                k=nlist, seed=42, featuresCol="fv", predictionCol="cluster"
+            ).fit(fc)
+            centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+        else:
+            from cda_client_spark.operators.similarity import kmeans_train
+
+            centroids = kmeans_train(df, k=nlist, vec_col=vec_col)
+    assigned = df.withColumn("cluster", centroid_argmin_col(vec_col, centroids))
+    members = assigned.select(
+        F.col("cluster"), F.col(id_col), F.col(vec_col).alias("v"),
+        norm_col(vec_col).alias("n"),
+    )
+    sizes = (
+        assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("_sz"))
+        .localCheckpoint(eager=True)
+    )
+    members = (
+        members.join(F.broadcast(sizes), "cluster")
+        .filter(F.col("_sz") <= max_cluster_size).drop("_sz")
+    )
+    if os.environ.get("VB", "") == "1":  # V-B: checkpoint before the self-join
+        members = members.localCheckpoint(eager=True)
+    assigned = assigned.join(F.broadcast(sizes), "cluster")
+    capped = F.col("_sz") > max_cluster_size
+    a = members.select(
+        "cluster", F.col(id_col).alias("id_a"),
+        F.col("v").alias("q_vec"), F.col("n").alias("q_norm"),
+    )
+    b = members.select(
+        "cluster", F.col(id_col).alias("id_b"),
+        F.col("v").alias("c_vec"), F.col("n").alias("c_norm"),
+    )
+    dups = (
+        a.join(b, ["cluster"]).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", _scored(round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias(id_col)).distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(True)), id_col, "left")
+        .withColumn("is_dup", F.coalesce(F.col("_dup"), F.lit(False)))
+        .withColumn("cluster_capped", capped)
+        .drop("_dup", "_sz")
+    )
+
+
+def old_semdedup_gate(spark, sf_dir, trainer="ml"):
+    e = _embs_with_dups(spark, sf_dir)
+    marked = _old_semantic_dedup(e, threshold=0.999, nlist=16, trainer=trainer)
+    planted = marked.filter(F.col("vec_id") >= 100000)
+    return (
+        planted.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("is_dup").cast("int")).alias("flagged"),
+        ).select(
+            (
+                (F.col("total") > 0)
+                & (F.col("flagged") >= SEMDEDUP_BAR * F.col("total"))
+            ).alias("semdedup_ok")
+        )
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="ab-gates-oldnew")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("probe-start:", calibration_probe())
+
+    variants = {
+        "ivf_old": lambda: old_ann_ivf_recall(spark, SF_DIR),
+        "ivf_new": lambda: ann_ivf_recall(spark, SF_DIR),
+        "sd_old": lambda: old_semdedup_gate(spark, SF_DIR, trainer="ml"),
+        "sd_joinserve_newtrain": lambda: old_semdedup_gate(spark, SF_DIR, trainer="np"),
+        "sd_new": lambda: semdedup_gate(spark, SF_DIR),
+    }
+    times = {k: [] for k in variants}
+    for r in range(REPS):
+        order = list(variants) if r % 2 == 0 else list(variants)[::-1]
+        for k in order:
+            t0 = time.monotonic()
+            variants[k]().write.format("noop").mode("overwrite").save()
+            times[k].append(time.monotonic() - t0)
+    for k, ts in times.items():
+        s = sorted(ts)
+        print(f"{k:<24} min {s[0]:.3f}  med {s[len(s) // 2]:.3f}  all {[round(x, 3) for x in ts]}")
+    print("probe-end:", calibration_probe())
+
+
+if __name__ == "__main__":
+    main()

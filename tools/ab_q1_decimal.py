@@ -1,0 +1,101 @@
+"""q1_pricing_summary decimal-path attribution + candidate A/B
+(VERDICT r14 "Next round" #5).
+
+q1's per-row cost is 5 double->decimal(38,10) casts + 5 exact decimal
+sums (the oracle-pinned order-independent arithmetic). This tool:
+
+1. attributes the cost: raw-double sums (NOT a candidate — different
+   values, probe only) vs the decimal path, to separate cast+decimal-add
+   cost from scan+agg scaffolding;
+2. A/Bs the value-identical candidates:
+   - narrower cast precision (decimal(27,10): same 10-digit HALF_UP
+     rounding of the double, sum buffer decimal(37,10) instead of
+     (38,10) — per-row value provably identical since every row value
+     < 1e17);
+   - try_sum over the same casts (ANSI overflow machinery off; sums
+     cannot overflow the +10-digit buffer headroom by construction);
+   asserting first that the FULL q1 result set is row-identical to the
+   shipped form.
+
+Interleaved alternating-order reps, one session (box speed cancels).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import calibration_probe  # noqa: E402
+from cda_client_spark.queries import t  # noqa: E402
+from cda_client_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("AB_REPS", "8"))
+
+
+def q1_variant(spark, sf_dir, mode: str):
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+
+    if mode == "double":  # probe only: plain double sums (different values)
+        def ds(c):
+            return F.sum(c)
+    elif mode == "prec27":
+        def ds(c):
+            return F.round(F.sum(c.cast("decimal(27,10)")), 4).cast("double")
+    elif mode == "trysum":
+        def ds(c):
+            return F.round(F.try_sum(c.cast("decimal(38,10)")), 4).cast("double")
+    else:  # shipped
+        def ds(c):
+            return F.round(F.sum(c.cast("decimal(38,10)")), 4).cast("double")
+
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        ds(F.col("l_quantity")).alias("sum_qty"),
+        ds(F.col("l_extendedprice")).alias("sum_base_price"),
+        ds(disc_price).alias("sum_disc_price"),
+        ds(charge).alias("sum_charge"),
+        (ds(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+        (ds(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+        (ds(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="ab-q1-decimal")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("probe-start:", calibration_probe())
+
+    modes = ["base", "prec27", "trysum", "double"]
+    dfs = {m: q1_variant(spark, SF_DIR, m) for m in modes}
+
+    base_rows = sorted(map(tuple, dfs["base"].collect()))
+    for m in ("prec27", "trysum"):
+        rows = sorted(map(tuple, dfs[m].collect()))
+        assert rows == base_rows, f"VALUE MISMATCH for {m}"
+    print(f"values identical for prec27/trysum: {len(base_rows)} rows")
+
+    times: dict[str, list[float]] = {m: [] for m in modes}
+    for r in range(REPS):
+        order = modes if r % 2 == 0 else modes[::-1]
+        for m in order:
+            t0 = time.monotonic()
+            dfs[m].write.format("noop").mode("overwrite").save()
+            times[m].append(time.monotonic() - t0)
+    for m in modes:
+        ts = sorted(times[m])
+        print(f"{m:<8} min {ts[0]:.3f}  med {ts[len(ts) // 2]:.3f}  all {[round(x, 3) for x in times[m]]}")
+    print("probe-end:", calibration_probe())
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,15 @@ Per-query statistics compare the MINIMUM rep (the least-contended
 observation of each round, the stat used for cross-round attribution
 since r6) when `detail.samples` is present, falling back to the
 published medians. Exit code is 0 either way — the flag is the verdict,
-not a failure."""
+not a failure.
+
+Methodology-8 records (r14 verdict #8) additionally carry
+``queries_calib_norm`` — each query's min rep pre-divided by the
+record's own mean calibration seconds on both axes. When BOTH records
+carry it, per-query norm_ratio is read straight off the committed
+columns (new.norm_axis / old.norm_axis, axis picked by the OLD record's
+sub-second rule — algebraically the same number as the derived path,
+now auditable in the records themselves)."""
 
 from __future__ import annotations
 
@@ -88,18 +96,27 @@ def compare(old: dict, new: dict) -> dict:
             f"(c32={c32:.3f}, band +/-{CROSS_ROUND_BAND})"
         )
     old_min, new_min = _minima(old), _minima(new)
+    # methodology 8: prefer the committed normalized columns when both
+    # records publish them (identical arithmetic, auditable in the record)
+    old_norm = old.get("queries_calib_norm") or {}
+    new_norm = new.get("queries_calib_norm") or {}
     common = sorted(set(old_min) & set(new_min))
     per_query = {}
     for name in common:
-        c = c1 if old_min[name] < SUBSEC_THRESHOLD_S else c32
+        axis = "1t" if old_min[name] < SUBSEC_THRESHOLD_S else "32t"
+        if name in old_norm and name in new_norm:
+            norm_ratio = new_norm[name][f"norm_{axis}"] / max(
+                old_norm[name][f"norm_{axis}"], 1e-9
+            )
+        else:
+            c = c1 if axis == "1t" else c32
+            norm_ratio = new_min[name] / max(old_min[name], 1e-9) / c
         per_query[name] = {
             "old_min_s": round(old_min[name], 3),
             "new_min_s": round(new_min[name], 3),
             "raw_ratio": round(new_min[name] / max(old_min[name], 1e-9), 3),
-            "norm_ratio": round(
-                new_min[name] / max(old_min[name], 1e-9) / c, 3
-            ),
-            "calib_axis": "1t" if old_min[name] < SUBSEC_THRESHOLD_S else "32t",
+            "norm_ratio": round(norm_ratio, 3),
+            "calib_axis": axis,
         }
     tot_old = sum(old_min[n] for n in common)
     tot_new = sum(new_min[n] for n in common)

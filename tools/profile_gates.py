@@ -1,0 +1,287 @@
+"""Stage attribution for the trainer-gated ANN/classifier queries and the
+LSH/connected-components paths (VERDICT r14 "Next round" #1/#3/#4).
+
+Splits each gate into its train / encode / search / baseline phases and
+times each with the noop sink (guide §1.4), bracketed by calibration
+probes so a box drift is visible. Phase SPLITS are box-ratio-robust even
+when absolute numbers are not (r14 protocol).
+
+Usage: python tools/profile_gates.py [gate ...]
+Gates: ivf pq ivfpq semdedup classifier lsh embdup cc  (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import calibration_probe  # noqa: E402
+from cda_client_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("PROFILE_REPS", "3"))
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(label: str, fn, reps: int = REPS) -> float:
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    best = min(ts)
+    print(f"  {label:<42} min {best:7.3f} s  reps {[round(t, 3) for t in ts]}")
+    return best
+
+
+def profile_ivf(spark) -> None:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.queries_llm import EMB_DIM, ann_ivf_recall, t
+    from cda_client_spark.operators.similarity import ann_topk
+
+    print("== ann_ivf_recall ==")
+    e = t(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    fc = e.select(
+        F.col("vec_id"), array_to_vector(F.col("embedding").cast("array<double>")).alias("fv")
+    )
+
+    def fit():
+        m = KMeans(k=16, seed=42, featuresCol="fv", predictionCol="cluster").fit(fc)
+        return m
+
+    timed("KMeans(k=16).fit (Spark ML, OLD)", fit)
+    m = fit()
+    print(f"  KMeans maxIter=default(20); summary numIter: {m.summary.numIter}")
+    from cda_client_spark.operators.similarity import kmeans_train
+
+    timed("kmeans_train k=16 iters=5 (NEW)", lambda: kmeans_train(e, k=16, iters=5))
+    timed("brute topk (noop)", lambda: noop(ann_topk(e, q, dim=EMB_DIM, k=5, method="bruteforce")))
+    timed("FULL gate, NEW trainer (noop)", lambda: noop(ann_ivf_recall(spark, SF_DIR)))
+
+
+def profile_pq(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import pq_topk_rerank, pq_train
+    from cda_client_spark.queries_llm import EMB_DIM, PQ_TRAIN_SAMPLE, pq_recall, t
+
+    print("== pq_recall ==")
+    e = t(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    timed(
+        "pq_train iters=3 (sampled)",
+        lambda: pq_train(e, dim=EMB_DIM, iters=3, sample_fraction=PQ_TRAIN_SAMPLE),
+    )
+    timed("FULL gate (noop)", lambda: noop(pq_recall(spark, SF_DIR)))
+
+
+def profile_ivfpq(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk_rerank,
+        ivfpq_train,
+    )
+    from cda_client_spark.queries_llm import EMB_DIM, PQ_TRAIN_SAMPLE, ivfpq_recall, t
+
+    print("== ivfpq_recall ==")
+    e = t(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fc = e.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("fv")
+    ).sample(fraction=PQ_TRAIN_SAMPLE, seed=42)
+    timed(
+        "coarse KMeans fit, sampled (Spark ML, OLD)",
+        lambda: KMeans(k=16, seed=42, featuresCol="fv", predictionCol="cluster").fit(fc),
+    )
+    timed(
+        "ivfpq_train (NEW Lloyd + pq_train)",
+        lambda: ivfpq_train(e, dim=EMB_DIM, nlist=16, iters=3, sample_fraction=PQ_TRAIN_SAMPLE),
+    )
+    cents, books = ivfpq_train(
+        e, dim=EMB_DIM, nlist=16, iters=3, sample_fraction=PQ_TRAIN_SAMPLE
+    )
+    timed("encode + localCheckpoint", lambda: ivfpq_encode(e, cents, books).localCheckpoint())
+    enc = ivfpq_encode(e, cents, books).localCheckpoint()
+    timed(
+        "search given index (noop)",
+        lambda: noop(
+            ivfpq_topk_rerank(
+                e, q, dim=EMB_DIM, k=5, nprobe=8,
+                centroids=cents, codebooks=books, corpus_codes=enc,
+            )
+        ),
+    )
+    timed("FULL gate (noop)", lambda: noop(ivfpq_recall(spark, SF_DIR)))
+
+
+def profile_semdedup(spark) -> None:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.similarity import semantic_dedup
+    from cda_client_spark.queries_llm import _embs_with_dups, semdedup_gate
+
+    print("== semdedup_gate ==")
+    e = _embs_with_dups(spark, SF_DIR)
+    fc = e.select(
+        F.col("vec_id"), array_to_vector(F.col("embedding").cast("array<double>")).alias("fv")
+    )
+
+    def fit():
+        return KMeans(k=16, seed=42, featuresCol="fv", predictionCol="cluster").fit(fc)
+
+    timed("KMeans(k=16).fit (Spark ML, OLD)", fit)
+    m = fit()
+    print(f"  summary numIter: {m.summary.numIter}")
+    from cda_client_spark.operators.similarity import kmeans_train
+
+    timed("kmeans_train k=16 iters=5 (NEW)", lambda: kmeans_train(e, k=16, iters=5))
+    cents = [[float(x) for x in c] for c in m.clusterCenters()]
+    timed(
+        "serve path (fixed centroids, noop)",
+        lambda: noop(semantic_dedup(e, threshold=0.999, nlist=16, centroids=cents)),
+    )
+    timed("FULL gate, NEW trainer (noop)", lambda: noop(semdedup_gate(spark, SF_DIR)))
+
+
+def profile_classifier(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.classifier import train_quality_classifier
+    from cda_client_spark.queries_llm import quality_classifier_gate, t
+
+    print("== quality_classifier_gate ==")
+    d = t(spark, SF_DIR, "documents").select("doc_id", "text")
+    junk_text = F.concat_ws(
+        " ",
+        *[
+            F.substring(
+                F.md5(F.concat(F.lit(f"junk{i}:"), F.col("doc_id").cast("string"))), 1, 4
+            )
+            for i in range(12)
+        ],
+    )
+    junk = d.select("doc_id", junk_text.alias("text"))
+    even = F.col("doc_id") % 2 == 0
+
+    def fit(it=15):
+        return train_quality_classifier(
+            d.filter(even), junk.filter(even), num_features=1024, max_iter=it
+        )
+
+    timed("train max_iter=15", fit)
+    m = fit()
+    lr = m.stages[-1]
+    print(f"  LR totalIterations: {lr.summary.totalIterations}")
+    for it in (8, 5, 3):
+        timed(f"train max_iter={it}", lambda it=it: fit(it))
+    timed("FULL gate (noop)", lambda: noop(quality_classifier_gate(spark, SF_DIR)))
+
+
+def profile_lsh(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from cda_client_spark.operators.dedup import cap_buckets
+    from cda_client_spark.operators.similarity import (
+        hyperplane_weights,
+        sketch_buckets,
+    )
+    from cda_client_spark.queries_llm import EMB_DIM, ann_topk_lsh, t_par
+
+    print("== ann_topk_lsh ==")
+    e = t_par(spark, SF_DIR, "embeddings")
+    weights = hyperplane_weights(32, EMB_DIM)
+    timed("sketch_buckets corpus (noop)", lambda: noop(sketch_buckets(e, weights, 4)))
+    timed(
+        "sketch + cap_buckets (noop)",
+        lambda: noop(cap_buckets(sketch_buckets(e, weights, 4), ["band", "key"], 200)),
+    )
+    qb = sketch_buckets(e.filter(F.col("vec_id") < 10), weights, 4)
+    cb = cap_buckets(sketch_buckets(e, weights, 4), ["band", "key"], 200)
+    timed(
+        "candidates distinct (noop)",
+        lambda: noop(
+            cb.withColumnRenamed("vec_id", "neighbor_id")
+            .join(F.broadcast(qb.withColumnRenamed("vec_id", "query_id")), ["band", "key"])
+            .select("query_id", "neighbor_id")
+            .distinct()
+        ),
+    )
+    timed("FULL ann_topk_lsh (noop)", lambda: noop(ann_topk_lsh(spark, SF_DIR)))
+
+
+def profile_embdup(spark) -> None:
+    from cda_client_spark.operators.dedup import cap_buckets
+    from cda_client_spark.operators.similarity import (
+        hyperplane_weights,
+        sketch_buckets,
+    )
+    from cda_client_spark.queries_llm import EMB_DIM, _embs_with_dups, emb_near_dup_pairs
+
+    print("== emb_near_dup_pairs ==")
+    e = _embs_with_dups(spark, SF_DIR)
+    weights = hyperplane_weights(32, EMB_DIM)
+    timed("sketch_buckets corpus (noop)", lambda: noop(sketch_buckets(e, weights, 4)))
+    timed(
+        "sketch + cap (noop)",
+        lambda: noop(cap_buckets(sketch_buckets(e, weights, 4), ["band", "key"], 200)),
+    )
+    timed("FULL emb_near_dup_pairs (noop)", lambda: noop(emb_near_dup_pairs(spark, SF_DIR)))
+
+
+def profile_cc(spark) -> None:
+    from cda_client_spark.operators.graph import connected_components, dedup_clusters
+    from cda_client_spark.operators.dedup import lsh_candidate_pairs
+    from cda_client_spark.queries_llm import _docs_with_dups
+
+    print("== doc_dedup_clusters ==")
+    docs = _docs_with_dups(spark, SF_DIR)
+    pairs = lsh_candidate_pairs(docs, num_hashes=16, bands=4, shingle=3, hash_fn="md5")
+    timed("pairs pipeline (noop)", lambda: noop(pairs))
+    frozen = pairs.localCheckpoint()
+    timed("connected_components on frozen pairs (noop)", lambda: noop(connected_components(frozen)))
+    timed("dedup_clusters full (noop)", lambda: noop(dedup_clusters(docs, pairs)))
+
+
+GATES = {
+    "ivf": profile_ivf,
+    "pq": profile_pq,
+    "ivfpq": profile_ivfpq,
+    "semdedup": profile_semdedup,
+    "classifier": profile_classifier,
+    "lsh": profile_lsh,
+    "embdup": profile_embdup,
+    "cc": profile_cc,
+}
+
+
+def main() -> None:
+    which = sys.argv[1:] or list(GATES)
+    spark = get_spark(app_name="profile-gates")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("probe-start:", calibration_probe())
+    for name in which:
+        spark.sparkContext.setJobDescription(f"profile:{name}")
+        GATES[name](spark)
+    print("probe-end:", calibration_probe())
+
+
+if __name__ == "__main__":
+    main()
