@@ -147,23 +147,74 @@ def sketch_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, band, key) bucket rows: ``bands`` rows per vector, computed
-    scalar per row (no shuffle until the bucket join). All plane dots come
-    from one array expression; band keys pack sign bits off slices of it.
+    in ONE Arrow pass (no shuffle until the bucket join).
+
+    r15 (verdict #4): the per-row interpreted evaluation of
+    ``all_plane_dots_col`` (num_planes x dim lambda steps per vector) was
+    ~45% of ann_topk_lsh and ~33% of emb_near_dup_pairs; the kernel below
+    computes the same dots vectorized (guide §4.2) and emits the band
+    rows directly (the explode rides along for free). Bit-identical to
+    the expression spec BY CONSTRUCTION, which the value-hashed oracle
+    requires: per plane it accumulates strictly left-to-right over the
+    dim axis from 0.0 (``acc += x_d * w_d`` — the same IEEE ops in the
+    same order as the ``aggregate`` fold; 0.0 + t0 is exact), and the
+    sign/packing arithmetic is integer. Parity with
+    ``all_plane_dots_col`` is pinned by
+    tests/test_similarity.py::test_sketch_kernel_matches_expression_spec.
+    A NULL vector keeps the old expression behavior (null dots -> every
+    ``when`` falls to otherwise(0) -> key 0 in every band).
     """
-    width = len(weights) // bands
-    dots = all_plane_dots_col(vec_col, weights)
-    keyed = df.select(F.col(id_col), dots.alias("_dots"))
-    band_structs = []
-    for b in range(bands):
-        key = F.lit(0)
-        for j in range(width):
-            key = key + F.when(F.col("_dots")[b * width + j] >= 0, 1 << j).otherwise(0)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("key"))
-        )
-    return keyed.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    import numpy as np
+    import pandas as pd
+
+    num_planes = len(weights)
+    width = num_planes // bands
+    w_np = np.asarray(weights, dtype=np.float64)  # planes x dim
+    src = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    id_field = src.schema.fields[0]
+
+    def sketch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0]
+            vecs = pdf["_v"]
+            keys = np.zeros((len(pdf), bands), dtype=np.int64)
+            # a NULL vector or one whose length differs from the plane dim
+            # keeps key 0 in every band — exactly the expression form
+            # (zip_with PADS length mismatches with nulls, so the dot goes
+            # null and every sign-`when` falls to otherwise(0))
+            lens = np.array([len(v) if v is not None else -1 for v in vecs])
+            sel = lens == w_np.shape[1]
+            if sel.any():
+                x = np.stack(vecs[sel].values).astype(np.float64)
+                dots = np.empty((x.shape[0], num_planes), dtype=np.float64)
+                for p in range(num_planes):
+                    acc = np.zeros(x.shape[0], dtype=np.float64)
+                    for d in range(w_np.shape[1]):  # left-to-right fold
+                        acc = acc + x[:, d] * w_np[p, d]
+                    dots[:, p] = acc
+                kk = np.zeros((x.shape[0], bands), dtype=np.int64)
+                for b in range(bands):
+                    for j in range(width):
+                        kk[:, b] |= (dots[:, b * width + j] >= 0).astype(
+                            np.int64
+                        ) << j
+                keys[sel] = kk
+            yield pd.DataFrame(
+                {
+                    id_field.name: np.repeat(ids.to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [id_field, StructField("band", IntegerType()), StructField("key", LongType())]
     )
+    return src.mapInPandas(sketch, schema=out_schema)
 
 
 def _np_round_half_up(x, digits: int):

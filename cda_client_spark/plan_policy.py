@@ -77,6 +77,11 @@ ARROW_OK = {
     # ivfpq_encode + ivfpq_topk_adc Arrow kernels over the fixed model —
     # exact-arithmetic (grid-snapped) and DuckDB-replayed bit-for-bit
     "ivfpq_screen_fixed",
+    # r15: sketch_buckets is an Arrow kernel (left-to-right plane-dot
+    # accumulation, bit-identical to the all_plane_dots_col fold —
+    # parity-pinned and DuckDB-value-hashed); these two queries carry it
+    "ann_topk_lsh",
+    "emb_near_dup_pairs",
 }
 
 # queries whose CONSTRUCTION executes Spark jobs (iterative connected

@@ -84,6 +84,58 @@ def test_sketch_buckets_shape_and_determinism(vecs):
     assert all(again[(r["vec_id"], r["band"])] == r["key"] for r in rows)
 
 
+def test_sketch_kernel_matches_expression_spec(spark):
+    """r15: sketch_buckets runs as an Arrow kernel; it must be
+    BIT-identical to the all_plane_dots_col expression form (the shape
+    the DuckDB oracle replays) — same left-to-right plane-dot fold, same
+    sign packing — including near-zero dots, a null vector (old behavior:
+    key 0 in every band) and a short vector (zip_with truncation)."""
+    import pyspark.sql.functions as F
+
+    from cda_client_spark.operators.similarity import (
+        all_plane_dots_col,
+        hyperplane_weights,
+        sketch_buckets,
+    )
+
+    w = hyperplane_weights(8, 6, seed="sk")
+    rows = [
+        (i, [((i * 7 + d * 3) % 11 - 5) / 3.0 for d in range(6)])
+        for i in range(200)
+    ]
+    rows.append((900, None))           # null vector
+    rows.append((901, [0.0] * 6))      # all-zero: every dot exactly 0.0
+    rows.append((902, [1.0, -1.0]))    # shorter than dim: truncated fold
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    got = {
+        (r["vec_id"], r["band"]): r["key"]
+        for r in sketch_buckets(df, w, bands=2).collect()
+    }
+    # the expression spec, verbatim from the pre-r15 form
+    width = len(w) // 2
+    dots = all_plane_dots_col("embedding", w)
+    keyed = df.select(F.col("vec_id"), dots.alias("_dots"))
+    band_structs = []
+    for b in range(2):
+        key = F.lit(0)
+        for j in range(width):
+            key = key + F.when(
+                F.col("_dots")[b * width + j] >= 0, 1 << j
+            ).otherwise(0)
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("key"))
+        )
+    want = {
+        (r["vec_id"], r["bk"]["band"]): r["bk"]["key"]
+        for r in keyed.select(
+            "vec_id", F.explode(F.array(*band_structs)).alias("bk")
+        ).collect()
+    }
+    assert got == want
+    assert got[(900, 0)] == 0 and got[(900, 1)] == 0
+
+
 def test_band_key_col_matches_sql_builder(spark, vecs):
     """The Spark fold and the oracle's explicit-sum SQL must agree."""
     w = hyperplane_weights(8, 3)
